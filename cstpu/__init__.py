@@ -1,0 +1,80 @@
+"""cstpu — a TPU-native sparse recovery / feature selection framework.
+
+A brand-new JAX/XLA/Pallas implementation of the capability surface of
+CompressedSensing.jl (Ament & Gomes, ICML 2021 "Sparse Bayesian Learning via
+Stepwise Regression"): matching pursuits, forward/backward stepwise
+regression, two-stage methods, Sparse Bayesian Learning, and (reweighted)
+Basis Pursuit — designed batched-first for TPU with fixed-shape masked
+active sets, fused kernels, and mesh sharding, rather than the reference's
+single-threaded dynamic sparse vectors.
+
+Reference parity map (file:line cites refer to /root/reference):
+  - mp/omp/gomp/oblivious     -> src/matchingpursuit.jl, src/oblivious.jl
+  - fr (ols/oomp/ormp)        -> src/forward.jl
+  - br/fbr/lace               -> src/backward.jl
+  - sp/ompr/srr               -> src/twostage.jl
+  - rmp/foba                  -> src/stepwise.jl
+  - sbl/fsbl/rmps             -> src/sbl.jl
+  - bp/bpd/ista/fista/...     -> src/basispursuit.jl
+  - data gens, babel, precond -> src/util.jl
+"""
+
+from cstpu.utils.data import (
+    sparse_vector,
+    sparse_data,
+    gaussian_data,
+    correlated_data,
+    coherent_data,
+    perturb,
+)
+from cstpu.utils.dictionary import (
+    colnorms,
+    normalize_columns,
+    coherence,
+    babel,
+    cumbabel,
+    mean_preconditioner,
+    svd_preconditioner,
+    precondition,
+)
+from cstpu.utils.sparse import (
+    SparseSolution,
+    support,
+    samesupport,
+)
+from cstpu.models.matching_pursuit import mp, omp, gomp, oblivious
+from cstpu.models.forward import fr, ols, oomp, ormp
+from cstpu.models.backward import br, fbr, lace
+from cstpu.models.twostage import sp, ompr, srr
+from cstpu.models.stepwise import rmp, foba
+from cstpu.models.sbl import sbl, fsbl, rmps, rmps_estimate_noise
+from cstpu.models.basis_pursuit import (
+    bp,
+    bp_candes,
+    bp_ard,
+    bpd,
+    bpd_candes,
+    bpd_ard,
+    ista,
+    fista,
+)
+from cstpu.models.exhaustive import exhaustive
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "sparse_vector", "sparse_data", "gaussian_data", "correlated_data",
+    "coherent_data", "perturb",
+    "colnorms", "normalize_columns", "coherence", "babel", "cumbabel",
+    "mean_preconditioner", "svd_preconditioner", "precondition",
+    "SparseSolution", "support", "samesupport",
+    "mp", "omp", "gomp", "oblivious",
+    "fr", "ols", "oomp", "ormp",
+    "br", "fbr", "lace",
+    "sp", "ompr", "srr",
+    "rmp", "foba",
+    "sbl", "fsbl", "rmps", "rmps_estimate_noise",
+    "bp", "bp_candes", "bp_ard", "bpd", "bpd_candes", "bpd_ard",
+    "ista", "fista",
+    "exhaustive",
+]

@@ -1,0 +1,314 @@
+"""Convex sparse recovery: (weighted) Basis Pursuit, BP denoising, Candes
+and ARD reweighting, ISTA/FISTA.
+
+Capability parity with /root/reference/src/basispursuit.jl — with the
+process-boundary native solvers replaced by XLA-native first-order methods:
+the reference ships the equality LP to COIN-OR Clp (C++ simplex) and the
+SOCP to ECOS (C interior point) through JuMP (src/basispursuit.jl:7,83,
+135-137); here both are jit-compiled ADMM splittings whose per-iteration
+work is a couple of GEMVs + cheap proximal maps — dense, fused, and
+batchable on TPU, with the linear-system factor computed once.
+
+  * bp:  min w'|x| s.t. Ax = b       — ADMM with exact affine projection
+         via a cached Cholesky of AA' (exactly feasible each iterate).
+  * bpd: min w'|x| s.t. ||Ax-b|| <= delta — ADMM over (x, z=x, y=Ax) with
+         soft-threshold and l2-ball projection proximal maps.
+
+The reweighting drivers and weight rules are faithful ports of behavior:
+Candes w = 1/(|x|+eps) (src/basispursuit.jl:33-45) and the ARD/SBL-prior
+weights w_j = sqrt(a_j' K^-1 a_j), K = eps*I + A diag(|x|/w) A'
+(src/basispursuit.jl:49-65). FISTA is implemented correctly (the
+reference's loop is broken — undefined xkn/xk at src/basispursuit.jl:198).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.scipy.linalg import cho_solve
+
+
+def _shrink(x, t):
+    """Soft-thresholding prox of the (weighted) l1 norm.
+    Parity: `shrinkage` (src/basispursuit.jl:144)."""
+    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Basis pursuit (equality-constrained weighted l1)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def _bp_admm(A, b, w, rho, maxiter: int, tol):
+    n, m = A.shape
+    L = jnp.linalg.cholesky(A @ A.T)
+
+    def project(v):  # exact projection onto {x : Ax = b}
+        return v - A.T @ cho_solve((L, True), A @ v - b)
+
+    x0 = A.T @ cho_solve((L, True), b)  # min-norm feasible point
+    thresh = w / rho
+
+    def cond(c):
+        x, z, u, t, done = c
+        return (t < maxiter) & ~done
+
+    def body(c):
+        x, z, u, t, _ = c
+        x = project(z - u)
+        z_new = _shrink(x + u, thresh)
+        u = u + x - z_new
+        pri = jnp.linalg.norm(x - z_new)
+        dua = rho * jnp.linalg.norm(z_new - z)
+        scale = 1.0 + jnp.linalg.norm(z_new)
+        done = (pri < tol * scale) & (dua < tol * scale)
+        return x, z_new, u, t + 1, done
+
+    _, z, _, _, _ = lax.while_loop(
+        cond, body,
+        (x0, x0, jnp.zeros((m,), A.dtype), jnp.int32(0), jnp.bool_(False)))
+    return z
+
+
+def bp(A, b, w=None, rho: float = 1.0, maxiter: int = 20000,
+       tol: float = None):
+    """(Weighted) basis pursuit: min sum w_i |x_i| s.t. Ax = b.
+
+    Returns a dense vector with exact zeros off the support (the shrinkage
+    iterate). Parity target: `basispursuit` (src/basispursuit.jl:1-16),
+    solved by ADMM instead of the Clp simplex.
+    """
+    m = A.shape[1]
+    if w is None:
+        w = jnp.ones((m,), A.dtype)
+    w = jnp.asarray(w, A.dtype)
+    if tol is None:
+        tol = 1e-9 if A.dtype == jnp.float64 else 1e-6
+    return _bp_admm(A, b, w, jnp.asarray(rho, A.dtype), int(maxiter),
+                    jnp.asarray(tol, A.dtype))
+
+
+basispursuit = bp
+
+
+# ---------------------------------------------------------------------------
+# Basis pursuit denoising (l2-ball constrained weighted l1)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
+    n, m = A.shape
+    # x-update solves (I + A'A) x = rhs; factor once on the smaller side
+    if m <= n:
+        L = jnp.linalg.cholesky(jnp.eye(m, dtype=A.dtype) + A.T @ A)
+
+        def xsolve(rhs):
+            return cho_solve((L, True), rhs)
+    else:
+        L = jnp.linalg.cholesky(jnp.eye(n, dtype=A.dtype) + A @ A.T)
+
+        def xsolve(rhs):  # Woodbury: (I + A'A)^-1 = I - A'(I + AA')^-1 A
+            return rhs - A.T @ cho_solve((L, True), A @ rhs)
+
+    def project_ball(v):
+        d = v - b
+        nd = jnp.linalg.norm(d)
+        return b + d * jnp.minimum(1.0, delta / jnp.maximum(nd, 1e-300))
+
+    thresh = w / rho
+
+    def cond(c):
+        x, z, y, uz, uy, t, done = c
+        return (t < maxiter) & ~done
+
+    def body(c):
+        x, z, y, uz, uy, t, _ = c
+        x = xsolve((z - uz) + A.T @ (y - uy))
+        Ax = A @ x
+        z_new = _shrink(x + uz, thresh)
+        y_new = project_ball(Ax + uy)
+        uz = uz + x - z_new
+        uy = uy + Ax - y_new
+        pri = jnp.linalg.norm(x - z_new) + jnp.linalg.norm(Ax - y_new)
+        dua = rho * (jnp.linalg.norm(z_new - z) + jnp.linalg.norm(y_new - y))
+        scale = 1.0 + jnp.linalg.norm(z_new)
+        done = (pri < tol * scale) & (dua < tol * scale)
+        return x, z_new, y_new, uz, uy, t + 1, done
+
+    z0 = jnp.zeros((m,), A.dtype)
+    _, z, _, _, _, _, _ = lax.while_loop(
+        cond, body,
+        (z0, z0, jnp.asarray(b), z0, jnp.zeros((n,), A.dtype),
+         jnp.int32(0), jnp.bool_(False)))
+    return z
+
+
+def bpd(A, b, delta: float, w=None, rho: float = 1.0, maxiter: int = 20000,
+        tol: float = None):
+    """(Weighted) basis pursuit denoising: min sum w_i |x_i|
+    s.t. ||Ax - b||_2 <= delta. Parity target: `basis_pursuit_denoising`
+    (src/basispursuit.jl:80-100), solved by ADMM instead of ECOS."""
+    m = A.shape[1]
+    if w is None:
+        w = jnp.ones((m,), A.dtype)
+    w = jnp.asarray(w, A.dtype)
+    if tol is None:
+        tol = 1e-8 if A.dtype == jnp.float64 else 1e-5
+    return _bpd_admm(A, b, jnp.asarray(delta, A.dtype), w,
+                     jnp.asarray(rho, A.dtype), int(maxiter),
+                     jnp.asarray(tol, A.dtype))
+
+
+basis_pursuit_denoising = bpd
+
+
+# ---------------------------------------------------------------------------
+# Reweighting drivers and weight rules
+# ---------------------------------------------------------------------------
+
+def basispursuit_reweighting(A, b, reweight, maxiter: int = 8,
+                             min_decrease: float = 1e-8):
+    """Iteratively reweighted BP. Parity: src/basispursuit.jl:18-31."""
+    x = bp(A, b)
+    m = A.shape[1]
+    w = jnp.ones((m,), A.dtype)
+    for _ in range(1, int(maxiter)):
+        w = reweight(w, x)
+        xs = bp(A, b, w)
+        if float(jnp.linalg.norm(xs - x)) < min_decrease:
+            return xs
+        x = xs
+    return x
+
+
+def bpd_reweighting(A, b, delta, reweight, maxiter: int = 8,
+                    min_decrease: float = 1e-4):
+    """Iteratively reweighted BPD. Parity: src/basispursuit.jl:102-115."""
+    x = bpd(A, b, delta)
+    m = A.shape[1]
+    w = jnp.ones((m,), A.dtype)
+    for _ in range(1, int(maxiter)):
+        w = reweight(w, x)
+        xs = bpd(A, b, delta, w)
+        if float(jnp.linalg.norm(xs - x)) < min_decrease:
+            return xs
+        x = xs
+    return x
+
+
+def candes_weights(w, x, eps: float):
+    """w = 1/(|x| + eps). Parity: src/basispursuit.jl:33-39."""
+    w = 1.0 / (jnp.abs(x) + eps)
+    if not bool(jnp.all(jnp.isfinite(w))):
+        raise FloatingPointError("weights contain NaN or Inf")
+    return w
+
+
+def candes_function(eps: float):
+    return lambda w, x: candes_weights(w, x, eps)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _ard_weights(A, x, w, eps, iters: int):
+    n = A.shape[0]
+
+    def body(_, w):
+        wx = jnp.abs(x) / w
+        K = eps * jnp.eye(n, dtype=A.dtype) + (A * wx[None, :]) @ A.T
+        KA = cho_solve((jnp.linalg.cholesky(K), True), A)
+        return jnp.sqrt(jnp.maximum(jnp.sum(A * KA, axis=0), 0.0))
+
+    return lax.fori_loop(0, iters, body, w)
+
+
+def ard_weights(w, A, x, eps: float, iters: int = 8):
+    """ARD/SBL-prior weights w_j = sqrt(a_j' K^-1 a_j) with
+    K = eps*I + A diag(|x|/w) A', fixed-pointed `iters` times.
+    Parity: src/basispursuit.jl:49-65."""
+    if bool(jnp.any(w == 0)):
+        raise ValueError("weights cannot be zero")
+    return _ard_weights(A, x, w, jnp.asarray(eps, A.dtype), int(iters))
+
+
+def ard_function(A, eps: float):
+    return lambda w, x: ard_weights(w, A, x, eps)
+
+
+def bp_candes(A, b, eps: float = 1e-2, maxiter: int = 8):
+    """Candes-reweighted BP. Parity: src/basispursuit.jl:41-45."""
+    return basispursuit_reweighting(A, b, candes_function(eps),
+                                    maxiter=maxiter)
+
+
+def bp_ard(A, b, eps: float = 1e-2, maxiter: int = 8):
+    """ARD-reweighted BP. Parity: src/basispursuit.jl:70-74."""
+    return basispursuit_reweighting(A, b, ard_function(A, eps),
+                                    maxiter=maxiter)
+
+
+def bpd_candes(A, b, delta: float, eps: float = None, maxiter: int = 8):
+    """Candes-reweighted BPD (eps defaults to delta).
+    Parity: src/basispursuit.jl:119-121."""
+    eps = delta if eps is None else eps
+    return bpd_reweighting(A, b, delta, candes_function(eps), maxiter=maxiter)
+
+
+def bpd_ard(A, b, delta: float, eps: float = None, maxiter: int = 8):
+    """ARD-reweighted BPD (eps defaults to delta^2).
+    Parity: src/basispursuit.jl:122-124."""
+    eps = delta ** 2 if eps is None else eps
+    return bpd_reweighting(A, b, delta, ard_function(A, eps), maxiter=maxiter)
+
+
+# ---------------------------------------------------------------------------
+# ISTA / FISTA
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def _ista(A, b, w, x0, stepsize, maxiter: int):
+    def body(_, x):
+        g = A.T @ (b - A @ x)
+        return _shrink(x + 2 * stepsize * g, w * stepsize)
+
+    return lax.fori_loop(0, maxiter, body, x0)
+
+
+def ista(A, b, lam, x0=None, maxiter: int = 1024, stepsize: float = 1e-2):
+    """Proximal gradient for the weighted-l1 LASSO
+    min ||Ax-b||^2 + sum w_i |x_i| (lam scalar or per-atom weights).
+    Parity: src/basispursuit.jl:164-183."""
+    m = A.shape[1]
+    w = jnp.broadcast_to(jnp.asarray(lam, A.dtype), (m,))
+    x0 = jnp.zeros((m,), A.dtype) if x0 is None else jnp.asarray(x0, A.dtype)
+    return _ista(A, b, w, x0, jnp.asarray(stepsize, A.dtype), int(maxiter))
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def _fista(A, b, w, x0, stepsize, maxiter: int):
+    def body(_, carry):
+        x, y, t = carry
+        g = A.T @ (b - A @ y)
+        x_new = _shrink(y + 2 * stepsize * g, w * stepsize)
+        t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
+        y_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
+        return x_new, y_new, t_new
+
+    x, _, _ = lax.fori_loop(0, maxiter, body,
+                            (x0, x0, jnp.asarray(1.0, A.dtype)))
+    return x
+
+
+def fista(A, b, lam, x0=None, maxiter: int = 1024, stepsize: float = 1e-2):
+    """Accelerated proximal gradient (FISTA) for the weighted-l1 LASSO.
+
+    The reference's FISTA is unfinished/broken (undefined `xkn`/`xk`,
+    src/basispursuit.jl:186-204); this is the correct Beck-Teboulle
+    iteration with the same objective convention as `ista`."""
+    m = A.shape[1]
+    w = jnp.broadcast_to(jnp.asarray(lam, A.dtype), (m,))
+    x0 = jnp.zeros((m,), A.dtype) if x0 is None else jnp.asarray(x0, A.dtype)
+    return _fista(A, b, w, x0, jnp.asarray(stepsize, A.dtype), int(maxiter))

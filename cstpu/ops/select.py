@@ -1,0 +1,36 @@
+"""Atom-selection (acquisition) primitives.
+
+The hot op of every pursuit: correlate the dictionary with the residual and
+pick the best atom(s) — `argmaxinner!` in the reference
+(/root/reference/src/matchingpursuit.jl:181-193). The XLA path below is a
+single dot + abs + argmax/top_k, which XLA fuses; a Pallas kernel that keeps
+the scores in VMEM (never materializing them in HBM) lives in
+cstpu.ops.pallas_kernels and is used on TPU for large dictionaries.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def abs_correlate(A, r):
+    """|A' r| for a single residual (m,) or batch R (n, batch) -> (m, batch).
+
+    Batched-first: stacking residuals makes this an (m x n)(n x B) GEMM that
+    reads A once for the whole batch — the key TPU win over the reference's
+    per-instance GEMV.
+    """
+    return jnp.abs(A.T @ r)
+
+
+def top1(scores):
+    """(index, value) of the largest score; first index wins ties."""
+    i = jnp.argmax(scores)
+    return i, scores[i]
+
+
+def topl(scores, l: int):
+    """Indices of the l largest scores, descending (ties: lowest index)."""
+    _, idx = lax.top_k(scores, l)
+    return idx

@@ -1,0 +1,97 @@
+"""Sparse-solution container and support-set helpers.
+
+The reference threads Julia `SparseVector`s (dynamic nzind/nzval) through
+every solver (/root/reference/src/util.jl:117-170). On TPU, dynamic shapes
+kill compilation, so solvers here carry fixed-size masked active sets (see
+cstpu.ops.active_set) and return a `SparseSolution`: padded, sorted
+(idx, val, mask) triples — the static-shape analog of nzind/nzval — plus a
+dense view. The container is a registered pytree whose ambient dimension m
+is static aux data, so it passes through jit/vmap/scan unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class SparseSolution:
+    """Static-shape sparse vector: `val[i]` at position `idx[i]` where
+    `mask[i]`; `m` is the (static) ambient dimension."""
+    idx: jax.Array    # i32[kmax], sorted among active entries, padded with m
+    val: jax.Array    # f[kmax]
+    mask: jax.Array   # bool[kmax]
+    m: int
+
+    def tree_flatten(self):
+        return (self.idx, self.val, self.mask), self.m
+
+    @classmethod
+    def tree_unflatten(cls, m, children):
+        return cls(*children, m=m)
+
+    @property
+    def nzind(self) -> np.ndarray:
+        """Active support indices, sorted ascending (host numpy)."""
+        mask = np.asarray(self.mask)
+        return np.sort(np.asarray(self.idx)[mask])
+
+    @property
+    def nzval(self) -> np.ndarray:
+        """Values aligned with `nzind` (host numpy)."""
+        mask = np.asarray(self.mask)
+        idx = np.asarray(self.idx)[mask]
+        val = np.asarray(self.val)[mask]
+        order = np.argsort(idx, kind="stable")
+        return val[order]
+
+    @property
+    def nnz(self) -> int:
+        return int(np.sum(np.asarray(self.mask)))
+
+    def todense(self) -> jax.Array:
+        """Dense (m,) vector (jit/vmap-safe: m is static)."""
+        safe_idx = jnp.where(self.mask, self.idx, self.m)
+        z = jnp.zeros((self.m + 1,), dtype=self.val.dtype)
+        z = z.at[safe_idx].add(jnp.where(self.mask, self.val, 0))
+        return z[: self.m]
+
+
+def from_dense(x, kmax: int | None = None, tol: float = 0.0) -> SparseSolution:
+    """Build a SparseSolution from a dense vector (host-side helper)."""
+    x = np.asarray(x)
+    m = x.shape[0]
+    nz = np.flatnonzero(np.abs(x) > tol)
+    kmax = kmax or max(len(nz), 1)
+    if len(nz) > kmax:
+        raise ValueError(f"{len(nz)} nonzeros exceed kmax={kmax}")
+    idx = np.full((kmax,), m, dtype=np.int32)
+    val = np.zeros((kmax,), dtype=x.dtype)
+    mask = np.zeros((kmax,), dtype=bool)
+    idx[: len(nz)] = nz
+    val[: len(nz)] = x[nz]
+    mask[: len(nz)] = True
+    return SparseSolution(jnp.asarray(idx), jnp.asarray(val),
+                          jnp.asarray(mask), m)
+
+
+def support(x, tol: float = 0.0) -> np.ndarray:
+    """Sorted support of a dense vector or SparseSolution.
+
+    Parity helper for the tests' `x.nzind` oracles
+    (e.g. /root/reference/test/matchingpursuit.jl:24).
+    """
+    if isinstance(x, SparseSolution):
+        return x.nzind
+    x = np.asarray(x)
+    return np.flatnonzero(np.abs(x) > tol)
+
+
+def samesupport(x, y, tol: float = 0.0) -> bool:
+    """Support-set equality predicate. Parity: src/util.jl:4-9."""
+    return np.array_equal(support(x, tol), support(y, tol))

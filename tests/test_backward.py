@@ -1,0 +1,58 @@
+"""Conformance tests for BR/FBR/LACE under all three stopping criteria.
+Oracles: /root/reference/test/backward.jl (square system, seeded here)."""
+
+import jax
+import numpy as np
+import pytest
+
+from cstpu import br, fbr, lace, sparse_data, perturb, support
+
+DELTA = 1e-2
+
+
+def _problem(seed, n=32, k=3):
+    kd, kn = jax.random.split(jax.random.PRNGKey(seed))
+    A, x, b = sparse_data(kd, n=n, m=n, k=k)
+    y = perturb(kn, b, DELTA / 2)
+    return A, x, y
+
+
+def _check(sol, x, atol=2 * DELTA):
+    assert list(sol.nzind) == list(support(x))
+    np.testing.assert_allclose(sol.todense(), np.asarray(x), atol=atol)
+
+
+@pytest.mark.parametrize("solver", [br, fbr, lace])
+def test_backward_sparsity(solver):
+    A, x, y = _problem(20)
+    _check(solver(A, y, sparsity=3), x)
+
+
+@pytest.mark.parametrize("solver", [br, fbr, lace])
+def test_backward_max_residual(solver):
+    A, x, y = _problem(21)
+    _check(solver(A, y, max_residual=DELTA), x)
+
+
+@pytest.mark.parametrize("solver", [br, fbr, lace])
+def test_backward_max_increase(solver):
+    A, x, y = _problem(22)
+    _check(solver(A, y, max_increase=DELTA), x)
+
+
+def test_br_naive_matches_fast():
+    A, x, y = _problem(23)
+    fast = br(A, y, sparsity=3)
+    slow = br(A, y, sparsity=3, naive=True)
+    assert list(fast.nzind) == list(slow.nzind)
+    np.testing.assert_allclose(fast.todense(), slow.todense(), rtol=1e-8)
+
+
+def test_backward_requires_overdetermined():
+    A, _, b = sparse_data(jax.random.PRNGKey(24), n=16, m=32, k=3)
+    with pytest.raises(ValueError):
+        br(A, b, sparsity=3)
+    with pytest.raises(ValueError):
+        fbr(A, b, sparsity=3)
+    with pytest.raises(ValueError):
+        lace(A, b, sparsity=3)

@@ -1,0 +1,85 @@
+"""Conformance tests for BP / BPD / reweighting / ISTA / FISTA.
+Oracles: /root/reference/test/basispursuit.jl (seeded here)."""
+
+import jax
+import numpy as np
+
+from cstpu import (bp, bp_candes, bp_ard, bpd, bpd_candes, bpd_ard,
+                   ista, fista, sparse_data, perturb, support)
+
+DELTA = 1e-2
+
+
+def _problem(seed, n=32, m=48, k=3):
+    kd, kn = jax.random.split(jax.random.PRNGKey(seed))
+    A, x, b = sparse_data(kd, n=n, m=m, k=k)
+    y = perturb(kn, b, DELTA / 2)
+    return A, x, b, y
+
+
+def _droptol(x, tol):
+    x = np.asarray(x).copy()
+    x[np.abs(x) <= tol] = 0.0
+    return x
+
+
+def test_bp():
+    A, x, b, _ = _problem(60)
+    xl = _droptol(bp(A, b), 1e-5)
+    assert list(support(xl)) == list(support(x))
+
+
+def test_bp_candes():
+    A, x, b, _ = _problem(61)
+    xc = _droptol(bp_candes(A, b), 1e-5)
+    assert list(support(xc)) == list(support(x))
+
+
+def test_bp_ard():
+    A, x, b, _ = _problem(62)
+    xa = _droptol(bp_ard(A, b), 1e-5)
+    assert list(support(xa)) == list(support(x))
+
+
+def test_bpd():
+    # oracle drops spurious coefficients above the perturbation level
+    A, x, _, y = _problem(63)
+    xl = _droptol(bpd(A, y, DELTA), 1e-2)
+    assert list(support(xl)) == list(support(x))
+
+
+def test_bpd_candes():
+    A, x, _, y = _problem(64)
+    xc = _droptol(bpd_candes(A, y, DELTA, maxiter=3), 1e-6)
+    assert list(support(xc)) == list(support(x))
+
+
+def test_bpd_ard():
+    A, x, _, y = _problem(65)
+    xa = _droptol(bpd_ard(A, y, DELTA, maxiter=16), 1e-6)
+    assert list(support(xa)) == list(support(x))
+
+
+def test_ista():
+    # oracle: residual fit only (test/basispursuit.jl:40-48)
+    A, x, _, y = _problem(66)
+    xi = ista(A, y, DELTA / 10, maxiter=1024, stepsize=1e-1)
+    assert float(np.linalg.norm(np.asarray(A) @ np.asarray(xi)
+                                - np.asarray(y))) < DELTA
+
+
+def test_fista():
+    # FISTA should fit at least as well as ISTA in the same iterations
+    A, x, _, y = _problem(67)
+    xf = fista(A, y, DELTA / 10, maxiter=1024, stepsize=1e-1)
+    assert float(np.linalg.norm(np.asarray(A) @ np.asarray(xf)
+                                - np.asarray(y))) < DELTA
+
+
+def test_weighted_bp_prefers_low_weight_atoms():
+    # sanity: zero weights on the true support force recovery
+    A, x, b, _ = _problem(68)
+    w = np.ones(48)
+    w[support(x)] = 1e-6
+    xl = _droptol(bp(A, b, w), 1e-5)
+    assert set(support(xl)) <= set(support(x))

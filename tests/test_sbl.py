@@ -1,0 +1,73 @@
+"""Conformance tests for the SBL family.
+Oracles: /root/reference/test/sbl.jl (seeded here)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cstpu import (sbl, fsbl, rmps, rmps_estimate_noise, rmp,
+                   sparse_data, perturb, support)
+
+SIGMA = 1e-2
+
+
+def _problem(seed, n=32, m=48, k=3):
+    kd, kn = jax.random.split(jax.random.PRNGKey(seed))
+    A, x, b = sparse_data(kd, n=n, m=m, k=k)
+    y = perturb(kn, b, SIGMA / 2)
+    return A, x, b, y
+
+
+def _thresh_support(x, tol=SIGMA):
+    return np.flatnonzero(np.abs(np.asarray(x)) > tol)
+
+
+def test_sbl():
+    A, x, b, y = _problem(50)
+    xs = sbl(A, y, SIGMA ** 2)
+    assert list(_thresh_support(xs)) == list(support(x))
+    np.testing.assert_allclose(np.asarray(A @ xs), np.asarray(b), atol=SIGMA)
+
+
+def test_fsbl():
+    A, x, b, y = _problem(51)
+    xs = fsbl(A, y, SIGMA ** 2)
+    assert list(_thresh_support(xs)) == list(support(x))
+    np.testing.assert_allclose(np.asarray(A @ xs), np.asarray(b), atol=SIGMA)
+
+
+def test_rmps():
+    A, x, b, y = _problem(52)
+    xs = rmps(A, y, SIGMA ** 2)
+    assert list(_thresh_support(xs)) == list(support(x))
+    np.testing.assert_allclose(np.asarray(A @ xs), np.asarray(b), atol=SIGMA)
+
+
+def test_rmps_matrix_covariance():
+    A, x, b, y = _problem(53)
+    Sigma = (SIGMA ** 2) * jnp.eye(32, dtype=A.dtype)
+    xs = rmps(A, y, Sigma)
+    assert list(_thresh_support(xs)) == list(support(x))
+
+
+def test_rmps_noise_learning():
+    # oracle: test/sbl.jl:29-40
+    A, x, b, y = _problem(54)
+    xs, s2 = rmps_estimate_noise(A, y, SIGMA ** 2)
+    assert np.isscalar(s2) or np.ndim(s2) == 0
+    assert float(jnp.linalg.norm(A @ xs - y)) < 5 * np.sqrt(s2) * A.shape[0]
+
+    xs, s2 = rmps_estimate_noise(A, y, SIGMA ** 2, a_sigma2=1.0,
+                                 b_sigma2=SIGMA ** 2)
+    assert float(jnp.linalg.norm(A @ xs - y)) < 5 * np.sqrt(s2) * A.shape[0]
+    # noise variance approximately recovered (rtol = 2, as in the reference)
+    np.testing.assert_allclose(s2, SIGMA ** 2, rtol=2)
+
+
+def test_rmp_zero_noise_limit():
+    # oracle: test/sbl.jl:43-45
+    A, x, b, y = _problem(55)
+    sol = rmp(A, y, delta=SIGMA)
+    assert list(sol.nzind) == list(support(x))
+    r = np.asarray(A) @ np.asarray(sol.todense()) - np.asarray(b)
+    assert np.linalg.norm(r) < 10 * SIGMA

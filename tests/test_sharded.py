@@ -1,0 +1,69 @@
+"""Multi-device tests: column-sharded OMP on a virtual 8-device CPU mesh
+must match the single-device solver bitwise on support selection.
+
+This is the multi-host test story the reference lacks entirely
+(SURVEY.md §2.5, §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cstpu import omp, sparse_data, perturb, support
+from cstpu.parallel.mesh import make_mesh, shard_dictionary
+from cstpu.parallel.sharded import omp_sharded
+
+DELTA = 1e-2
+
+
+def _problem(seed, n=32, m=64, k=3):
+    kd, kn = jax.random.split(jax.random.PRNGKey(seed))
+    A, x, b = sparse_data(kd, n=n, m=m, k=k)
+    y = perturb(kn, b, DELTA / 2)
+    return A, x, b, y
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    return make_mesh((1, 8))
+
+
+def test_sharded_omp_matches_single_device(mesh):
+    A, x, b, y = _problem(70)
+    ref = omp(A, b, 3)
+    sol = omp_sharded(A, b, 3, mesh)
+    assert list(sol.nzind) == list(ref.nzind)
+    np.testing.assert_allclose(sol.nzval, ref.nzval, rtol=1e-12)
+
+    ref = omp(A, y, 3)
+    sol = omp_sharded(A, y, 3, mesh)
+    assert list(sol.nzind) == list(ref.nzind)
+    np.testing.assert_allclose(sol.nzval, ref.nzval, rtol=1e-12)
+
+
+def test_sharded_omp_recovers_support(mesh):
+    A, x, b, _ = _problem(71)
+    sol = omp_sharded(A, b, 3, mesh)
+    assert list(sol.nzind) == list(support(x))
+
+
+def test_sharded_omp_batched_dp_tp(mesh2d_problems=None):
+    # 2x4 mesh: batch data-parallel x atom tensor-parallel
+    mesh2 = make_mesh((2, 4))
+    A, x, b, y = _problem(72)
+    B = jnp.stack([b, y, b, y])
+    sols = omp_sharded(A, B, 3, mesh2)
+    ref = omp(A, b, 3)
+    for i in range(4):
+        row_idx = np.asarray(sols.idx[i])
+        row_mask = np.asarray(sols.mask[i])
+        assert sorted(row_idx[row_mask]) == list(ref.nzind)
+
+
+def test_sharded_dictionary_placement(mesh):
+    A, _, b, _ = _problem(73)
+    As = shard_dictionary(A, mesh)
+    sol = omp_sharded(As, b, 3, mesh)
+    ref = omp(A, b, 3)
+    assert list(sol.nzind) == list(ref.nzind)

@@ -1,0 +1,56 @@
+"""Conformance tests for RMP and FoBa.
+Oracles: /root/reference/test/stepwise.jl (seeded here)."""
+
+import jax
+import numpy as np
+
+from cstpu import rmp, foba, sparse_data, perturb, support
+
+DELTA = 1e-2
+
+
+def _problem(seed, n=32, m=64, k=3):
+    kd, kn = jax.random.split(jax.random.PRNGKey(seed))
+    A, x, b = sparse_data(kd, n=n, m=m, k=k)
+    y = perturb(kn, b, DELTA)
+    return A, x, b, y
+
+
+def test_rmp_k():
+    A, x, b, _ = _problem(40)
+    sol = rmp(A, b, k=3)
+    assert list(sol.nzind) == list(support(x))
+    np.testing.assert_allclose(sol.nzval, np.asarray(x)[support(x)],
+                               rtol=1e-8)
+
+
+def test_rmp_delta():
+    A, x, _, y = _problem(41)
+    sol = rmp(A, y, delta=DELTA)
+    assert list(sol.nzind) == list(support(x))
+    np.testing.assert_allclose(sol.nzval, np.asarray(x)[support(x)],
+                               atol=2 * DELTA)
+
+
+def test_rmp_multiple_outer():
+    A, x, _, y = _problem(42)
+    sol = rmp(A, y, delta=DELTA, maxiter=3)
+    assert list(sol.nzind) == list(support(x))
+    np.testing.assert_allclose(sol.nzval, np.asarray(x)[support(x)],
+                               atol=2 * DELTA)
+
+
+def test_foba_noiseless():
+    A, x, b, _ = _problem(43)
+    sol = foba(A, b, DELTA)
+    assert list(sol.nzind) == list(support(x))
+    np.testing.assert_allclose(sol.nzval, np.asarray(x)[support(x)],
+                               rtol=1e-8)
+
+
+def test_foba_noisy():
+    A, x, _, y = _problem(44)
+    sol = foba(A, y, DELTA)
+    assert list(sol.nzind) == list(support(x))
+    np.testing.assert_allclose(sol.nzval, np.asarray(x)[support(x)],
+                               atol=2 * DELTA)
