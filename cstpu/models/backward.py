@@ -119,7 +119,7 @@ def _fbr_init(A, b) -> FBRState:
     G = A.T @ A
     L = jnp.linalg.cholesky(G)
     AAinv = cho_solve((L, True), jnp.eye(m, dtype=A.dtype))
-    Ab = A.T @ b
+    Ab = b @ A
     return FBRState(
         idx=jnp.arange(m, dtype=jnp.int32),
         mask=jnp.ones((m,), bool),

@@ -48,9 +48,9 @@ def _bp_admm(A, b, w, rho, maxiter: int, tol):
     L = jnp.linalg.cholesky(A @ A.T)
 
     def project(v):  # exact projection onto {x : Ax = b}
-        return v - A.T @ cho_solve((L, True), A @ v - b)
+        return v - cho_solve((L, True), A @ v - b) @ A
 
-    x0 = A.T @ cho_solve((L, True), b)  # min-norm feasible point
+    x0 = cho_solve((L, True), b) @ A  # min-norm feasible point
     thresh = w / rho
 
     def cond(c):
@@ -75,14 +75,26 @@ def _bp_admm(A, b, w, rho, maxiter: int, tol):
 
 
 def bp(A, b, w=None, rho: float = 1.0, maxiter: int = 20000,
-       tol: float = None):
+       tol: float = None, method: str = "admm"):
     """(Weighted) basis pursuit: min sum w_i |x_i| s.t. Ax = b.
 
     Returns a dense vector with exact zeros off the support (the shrinkage
-    iterate). Parity target: `basispursuit` (src/basispursuit.jl:1-16),
-    solved by ADMM instead of the Clp simplex.
+    iterate). Parity target: `basispursuit` (src/basispursuit.jl:1-16).
+
+    `method`: "admm" (default — jit-compiled, batched/shardable, runs on
+    TPU) or "simplex" (exact vertex solution via the native C++ solver in
+    cstpu.native — the on-host equivalent of the reference's Clp path).
     """
     m = A.shape[1]
+    if method == "simplex":
+        from cstpu.native import bp_simplex
+        import numpy as _np
+        wn = None if w is None else _np.asarray(w, _np.float64)
+        x = bp_simplex(_np.asarray(A, _np.float64),
+                       _np.asarray(b, _np.float64), wn)
+        return jnp.asarray(x, A.dtype)
+    if method != "admm":
+        raise ValueError(f"unknown method {method!r}")
     if w is None:
         w = jnp.ones((m,), A.dtype)
     w = jnp.asarray(w, A.dtype)
@@ -112,7 +124,7 @@ def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
         L = jnp.linalg.cholesky(jnp.eye(n, dtype=A.dtype) + A @ A.T)
 
         def xsolve(rhs):  # Woodbury: (I + A'A)^-1 = I - A'(I + AA')^-1 A
-            return rhs - A.T @ cho_solve((L, True), A @ rhs)
+            return rhs - cho_solve((L, True), A @ rhs) @ A
 
     def project_ball(v):
         d = v - b
@@ -127,7 +139,7 @@ def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
 
     def body(c):
         x, z, y, uz, uy, t, _ = c
-        x = xsolve((z - uz) + A.T @ (y - uy))
+        x = xsolve((z - uz) + (y - uy) @ A)
         Ax = A @ x
         z_new = _shrink(x + uz, thresh)
         y_new = project_ball(Ax + uy)
@@ -271,7 +283,7 @@ def bpd_ard(A, b, delta: float, eps: float = None, maxiter: int = 8):
 @partial(jax.jit, static_argnames=("maxiter",))
 def _ista(A, b, w, x0, stepsize, maxiter: int):
     def body(_, x):
-        g = A.T @ (b - A @ x)
+        g = (b - A @ x) @ A
         return _shrink(x + 2 * stepsize * g, w * stepsize)
 
     return lax.fori_loop(0, maxiter, body, x0)
@@ -291,7 +303,7 @@ def ista(A, b, lam, x0=None, maxiter: int = 1024, stepsize: float = 1e-2):
 def _fista(A, b, w, x0, stepsize, maxiter: int):
     def body(_, carry):
         x, y, t = carry
-        g = A.T @ (b - A @ y)
+        g = (b - A @ y) @ A
         x_new = _shrink(y + 2 * stepsize * g, w * stepsize)
         t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
         y_new = x_new + ((t - 1.0) / t_new) * (x_new - x)

@@ -35,7 +35,7 @@ def forward_deltas(A, b, st, colnorm2, m: int):
     active span) score -inf so they are never selected.
     """
     r = aset.residual(st, b)
-    q = A.T @ r
+    q = r @ A  # == A'r without transposing the dictionary
     resc = aset.ols_rescaling(A, st, colnorm2)
     d2 = jnp.where(resc > 0, q * q / resc, -jnp.inf)
     act = aset.active_marker(st, m)

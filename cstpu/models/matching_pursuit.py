@@ -35,7 +35,7 @@ from cstpu.utils.sparse import SparseSolution
 def _mp(A, b, k: int):
     def body(_, x):
         r = b - A @ x
-        p = A.T @ r
+        p = r @ A
         i = jnp.argmax(jnp.abs(p))
         return x.at[i].add(p[i])
 
@@ -146,7 +146,7 @@ def gomp(A, b, l: int, k: int | None = None,
 @partial(jax.jit, static_argnames=("k",))
 def _oblivious(A, b, k: int):
     m = A.shape[1]
-    idx = topl(jnp.abs(A.T @ b), k)
+    idx = topl(jnp.abs(b @ A), k)
     st = aset.refit(aset.rebuild(A, b, idx, jnp.ones((k,), bool)))
     return aset.finalize(st, m)
 

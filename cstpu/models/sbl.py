@@ -44,9 +44,9 @@ def _weighted_gram(A, b, sigma):
     """A' Sigma^-1 A and A' Sigma^-1 b (Sigma scalar variance or matrix)."""
     sigma = jnp.asarray(sigma, A.dtype)
     if sigma.ndim == 0:
-        return (A.T @ A) / sigma, (A.T @ b) / sigma
+        return (A.T @ A) / sigma, (b @ A) / sigma
     SiA = jnp.linalg.solve(sigma, A)
-    return SiA.T @ A, SiA.T @ b
+    return SiA.T @ A, b @ SiA
 
 
 # ---------------------------------------------------------------------------
@@ -114,7 +114,7 @@ def _init_sq(A, b, sigma, alpha) -> SQState:
     Cinv = cho_solve((L, True), jnp.eye(n, dtype=A.dtype))
     CA = cho_solve((L, True), A)
     S = jnp.sum(CA * A, axis=0)
-    Q = CA.T @ b
+    Q = b @ CA
     return SQState(alpha=alpha, S=S, Q=Q, Cinv=Cinv)
 
 
@@ -153,7 +153,7 @@ def _update_sqc(A, st: SQState, i, gamma_change) -> SQState:
     v = st.Cinv @ a
     denom = alpha_eff + st.S[i]
     Cinv = st.Cinv - jnp.outer(v, v) / denom
-    Av = A.T @ v
+    Av = v @ A  # == A'v without transposing the dictionary
     S = st.S - Av * Av / denom
     Q = st.Q - Av * (st.Q[i]) / denom
     return SQState(alpha=st.alpha, S=S, Q=Q, Cinv=Cinv)

@@ -34,7 +34,7 @@ def _oblivious_state(A, b, k: int, kmax: int):
     Parity: `oblivious_acquisition!` (/root/reference/src/matchingpursuit.jl:207-216).
     """
     m = A.shape[1]
-    idx = topl(jnp.abs(A.T @ b), k)
+    idx = topl(jnp.abs(b @ A), k)
     idx_full = jnp.concatenate([idx.astype(jnp.int32),
                                 jnp.full((kmax - k,), m, jnp.int32)])
     mask = jnp.arange(kmax) < k
@@ -116,7 +116,7 @@ def _ompr(A, b, k: int, delta, eta, maxiter: int):
         safe = jnp.where(st.mask, st.idx, m)
         xdense = jnp.zeros((m + 1,), A.dtype).at[safe].add(
             jnp.where(st.mask, st.coef, 0))[:m]
-        Ar = xdense + eta * (A.T @ r)
+        Ar = xdense + eta * (r @ A)
         act = aset.active_marker(st, m)
         i, best = masked_argmax(jnp.abs(Ar), ~act)
         nochange = ~(best > 0)  # reference's i == 0 bail-out (twostage.jl:153)

@@ -1,0 +1,105 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The reference's only native code is binary solver dependencies (COIN-OR Clp
+C++ simplex, ECOS C interior point) reached through JuMP
+(/root/reference/src/CompressedSensing.jl:15-20). cstpu's equivalents:
+
+  * `simplex_solve` — dense two-phase revised simplex (simplex.cpp), the
+    exact LP path for basis pursuit (`bp(..., method="simplex")`) and the
+    conformance oracle for the XLA-native ADMM solver.
+
+The shared library is built on demand with g++ (no pybind11/setuptools
+required) and cached next to the sources.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "simplex.cpp")
+_LIB = os.path.join(_HERE, "libcstpu_native.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> str:
+    """Compile the native library if missing or stale."""
+    if (not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+               "-o", _LIB, _SRC]
+        subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_build())
+            lib.cstpu_simplex_solve.restype = ctypes.c_int
+            lib.cstpu_simplex_solve.argtypes = [
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int, ctypes.c_double,
+            ]
+            _lib = lib
+    return _lib
+
+
+class SimplexError(RuntimeError):
+    pass
+
+
+_STATUS = {1: "infeasible", 2: "unbounded", 3: "iteration limit",
+           4: "numerical failure"}
+
+
+def simplex_solve(A, b, c, max_iter: int = 0, tol: float = 1e-9):
+    """Solve min c'x s.t. Ax = b, x >= 0 exactly (vertex solution).
+
+    Returns (x, objective). Raises SimplexError on infeasible/unbounded/
+    failed problems.
+    """
+    lib = _load()
+    A = np.ascontiguousarray(A, np.float64)
+    b = np.ascontiguousarray(b, np.float64)
+    c = np.ascontiguousarray(c, np.float64)
+    n, N = A.shape
+    if b.shape != (n,) or c.shape != (N,):
+        raise ValueError("shape mismatch")
+    x = np.zeros(N, np.float64)
+    obj = ctypes.c_double(0.0)
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.cstpu_simplex_solve(
+        n, N,
+        A.ctypes.data_as(dp), b.ctypes.data_as(dp), c.ctypes.data_as(dp),
+        x.ctypes.data_as(dp), ctypes.byref(obj), int(max_iter), float(tol))
+    if rc in _STATUS:
+        raise SimplexError(f"simplex: {_STATUS[rc]}")
+    return x, obj.value
+
+
+def bp_simplex(A, b, w=None):
+    """Exact (weighted) basis pursuit via the native simplex:
+    min w'(x+ + x-) s.t. A(x+ - x-) = b — the same LP the reference ships
+    to Clp (/root/reference/src/basispursuit.jl:6-16). Returns a dense x
+    with exact zeros off the optimal vertex support."""
+    A = np.asarray(A, np.float64)
+    b = np.asarray(b, np.float64)
+    n, m = A.shape
+    w = np.ones(m) if w is None else np.asarray(w, np.float64)
+    Astd = np.concatenate([A, -A], axis=1)
+    cstd = np.concatenate([w, w])
+    x, _ = simplex_solve(Astd, b, cstd)
+    return x[:m] - x[m:]

@@ -15,13 +15,16 @@ from jax import lax
 
 
 def abs_correlate(A, r):
-    """|A' r| for a single residual (m,) or batch R (n, batch) -> (m, batch).
+    """|A' r| computed as |r @ A| — never transposing the dictionary.
 
-    Batched-first: stacking residuals makes this an (m x n)(n x B) GEMM that
-    reads A once for the whole batch — the key TPU win over the reference's
-    per-instance GEMV.
+    On TPU, `A.T @ r` materializes a full transposed copy of A in HBM every
+    step; `r @ A` is the same contraction with A consumed in its stored
+    layout. Batched-first: under vmap the residuals stack into an
+    (B x n)(n x m) GEMM that reads A once for the whole batch — the key TPU
+    win over the reference's per-instance GEMV
+    (/root/reference/src/matchingpursuit.jl:182).
     """
-    return jnp.abs(A.T @ r)
+    return jnp.abs(r @ A)
 
 
 def top1(scores):

@@ -43,7 +43,7 @@ def _global_argmax_abs_corr(A_local, r, axis: str):
     """
     m_local = A_local.shape[1]
     shard = lax.axis_index(axis)
-    scores = jnp.abs(A_local.T @ r)
+    scores = jnp.abs(r @ A_local)
     li = jnp.argmax(scores)
     lv = scores[li]
     gi = shard.astype(jnp.int32) * m_local + li.astype(jnp.int32)

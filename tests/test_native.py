@@ -1,0 +1,64 @@
+"""Native C++ simplex tests: exactness, LP sanity, and cross-check of the
+XLA-native ADMM basis-pursuit solver against the exact vertex solution
+(the role Clp played for the reference)."""
+
+import jax
+import numpy as np
+import pytest
+
+from cstpu import bp, sparse_data, support
+from cstpu.native import simplex_solve, bp_simplex, SimplexError
+
+
+def test_simplex_known_lp():
+    A = np.array([[1.0, 2.0], [3.0, 2.0]])
+    b = np.array([4.0, 8.0])
+    c = np.array([1.0, 1.0])
+    x, obj = simplex_solve(A, b, c)
+    np.testing.assert_allclose(x, [2.0, 1.0], atol=1e-10)
+    assert abs(obj - 3.0) < 1e-10
+
+
+def test_simplex_infeasible():
+    A = np.array([[1.0, 1.0], [1.0, 1.0]])
+    b = np.array([1.0, 2.0])  # inconsistent
+    c = np.array([1.0, 1.0])
+    with pytest.raises(SimplexError):
+        simplex_solve(A, b, c)
+
+
+def test_simplex_negative_rhs():
+    # min x1 s.t. -x1 = -3 → x1 = 3 (row sign normalization path)
+    A = np.array([[-1.0, 0.0]])
+    b = np.array([-3.0])
+    c = np.array([1.0, 5.0])
+    x, obj = simplex_solve(A, b, c)
+    np.testing.assert_allclose(x, [3.0, 0.0], atol=1e-10)
+
+
+def test_bp_simplex_exact_recovery():
+    A, x, b = sparse_data(jax.random.PRNGKey(80), n=32, m=48, k=3)
+    xs = bp_simplex(np.asarray(A), np.asarray(b))
+    assert list(np.flatnonzero(np.abs(xs) > 1e-9)) == list(support(x))
+    np.testing.assert_allclose(np.asarray(A) @ xs, np.asarray(b), atol=1e-10)
+
+
+def test_bp_admm_matches_simplex():
+    # ADMM first-order solution must identify the same support and nearly
+    # the same objective as the exact vertex solution
+    A, x, b = sparse_data(jax.random.PRNGKey(81), n=32, m=48, k=3)
+    x_admm = np.asarray(bp(A, b))
+    x_sx = np.asarray(bp(A, b, method="simplex"))
+    s_admm = np.flatnonzero(np.abs(x_admm) > 1e-5)
+    s_sx = np.flatnonzero(np.abs(x_sx) > 1e-9)
+    assert list(s_admm) == list(s_sx)
+    assert abs(np.abs(x_admm).sum() - np.abs(x_sx).sum()) < 1e-4
+
+
+def test_bp_simplex_weighted():
+    # heavy weights off the true support force the sparse solution
+    A, x, b = sparse_data(jax.random.PRNGKey(82), n=32, m=48, k=3)
+    w = np.full(48, 10.0)
+    w[support(x)] = 1.0
+    xs = bp_simplex(np.asarray(A), np.asarray(b), w)
+    assert list(np.flatnonzero(np.abs(xs) > 1e-9)) == list(support(x))
