@@ -7,23 +7,28 @@ jit/vmap/shard-friendly state:
 
   * `idx`/`mask`   — padded support (insertion order; sorted at extraction)
   * `cols`         — cached active columns of A (zeros where inactive)
-  * `G`            — Gram matrix of the active columns, identity-padded so a
-                     single fixed-shape Cholesky is always well-posed
-  * `Atb`          — A_i' b for the active columns
-  * `chol`, `coef` — Cholesky factor of G and the current LS coefficients
+  * `G`            — exact Gram matrix of the active columns, identity-padded
+  * `Ginv`         — its inverse, identity-padded
+  * `Atb`, `coef`  — A_i' b and the current LS coefficients
 
-Everything the greedy algorithms need falls out of this one factorization:
+Everything the greedy algorithms need falls out of the padded Gram inverse:
 
-  * LS refit (`ldiv!` on the QR in the reference) = cho_solve against Atb
+  * LS refit (`ldiv!` on the QR in the reference) = Ginv @ Atb (one matvec)
   * forward-regression OLS rescaling ||a_j||^2 - ||Q' a_j||^2
-    (/root/reference/src/forward.jl:100-114) = colnorm^2 - ||L^-1 Ai' a_j||^2
-  * backward-regression gamma = diag((R'R)^-1)
-    (/root/reference/src/backward.jl:69-74) = column sums of (L^-1)^2
+    (/root/reference/src/forward.jl:100-114) = colnorm^2 - w_j' Ginv w_j
+  * backward-regression gamma = diag((A_i'A_i)^-1)
+    (/root/reference/src/backward.jl:69-74) = diag(Ginv), free
 
-Appends are O(n*k + k^2); support changes re-factorize the padded Gram with
-one kmax^3 Cholesky — a single fused XLA/MXU op, preferred on TPU over the
-reference's scalar Givens-rotation updates which cannot tile. The engine is
-dtype-generic (f64 on CPU for conformance tests, f32/bf16 on TPU).
+TPU-first numerics: the hot loop (append in OMP/FR/...) updates Ginv with a
+rank-one BLOCK-INVERSE formula — outer products and GEMVs only, no
+Cholesky/triangular solves, which are serial scalar chains the MXU/VPU hate
+(profiled at ~250 us/step vs ~16 us for the whole rest of the step on
+v5e). Support deletions and bulk rebuilds recompute Ginv exactly from the
+exact G via a Cholesky solve (`refresh`), bounding error accumulation:
+only consecutive appends are incremental, mirroring the stability contract
+of the reference (QR-exact backward steps, fast forward updates). The
+engine is dtype-generic (f64 on CPU for conformance tests, f32/bf16 on
+TPU).
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_solve, solve_triangular
+from jax.scipy.linalg import cho_solve
 
 
 class ActiveSet(NamedTuple):
@@ -41,8 +46,8 @@ class ActiveSet(NamedTuple):
     k: jax.Array      # i32[] number of active slots
     cols: jax.Array   # f[n, kmax] active columns of A, zero where inactive
     G: jax.Array      # f[kmax, kmax] Gram, identity on inactive slots
+    Ginv: jax.Array   # f[kmax, kmax] inverse Gram, identity on inactive
     Atb: jax.Array    # f[kmax]
-    chol: jax.Array   # f[kmax, kmax] lower Cholesky of G
     coef: jax.Array   # f[kmax] current LS coefficients
 
 
@@ -55,8 +60,8 @@ def empty(n: int, kmax: int, m: int, dtype) -> ActiveSet:
         k=jnp.zeros((), jnp.int32),
         cols=jnp.zeros((n, kmax), dtype),
         G=eye,
+        Ginv=eye,
         Atb=jnp.zeros((kmax,), dtype),
-        chol=eye,
         coef=jnp.zeros((kmax,), dtype),
     )
 
@@ -69,35 +74,63 @@ def contains(st: ActiveSet, i) -> jax.Array:
 def append_col(a, b, st: ActiveSet, i) -> ActiveSet:
     """Add the explicit column `a` as atom index i (no refit).
 
-    This is the primitive used by the sharded solvers, where the owning
-    shard broadcasts the selected column and every replica appends it.
+    Ginv grows by the block-inverse identity: with u = Ginv g,
+    d = a'a - g'u, the bordered inverse is
+        [[Ginv + u u'/d, -u/d], [-u'/d, 1/d]]
+    — rank-one outer products only (the TPU-fast path). Callers guard
+    capacity/duplicates. Sharded solvers use this primitive directly with
+    the psum-broadcast column.
     """
     p = st.k
     cols = st.cols.at[:, p].set(a)
-    g = cols.T @ a                      # zeros at inactive slots, a'a at p
-    G = st.G.at[p, :].set(g).at[:, p].set(g)
+    gfull = cols.T @ a                  # zeros at inactive slots, a'a at p
+    G = st.G.at[p, :].set(gfull).at[:, p].set(gfull)
+
+    g = jnp.where(st.mask, gfull, 0)    # cross terms with OLD active set
+    ata = a @ a
+    u = st.Ginv @ g                     # zeros beyond old active block
+    d = ata - g @ u
+    d = jnp.maximum(d, 1e-12 * jnp.maximum(ata, 1e-30))  # degeneracy guard
+    dinv = 1.0 / d
+    Ginv = st.Ginv + dinv * jnp.outer(u, u)
+    Ginv = Ginv.at[p, :].set(-dinv * u).at[:, p].set(-dinv * u)
+    Ginv = Ginv.at[p, p].set(dinv)
+
     return ActiveSet(
         idx=st.idx.at[p].set(jnp.asarray(i, jnp.int32)),
         mask=st.mask.at[p].set(True),
         k=st.k + 1,
         cols=cols,
         G=G,
+        Ginv=Ginv,
         Atb=st.Atb.at[p].set(a @ b),
-        chol=st.chol,
         coef=st.coef,
     )
 
 
 def append(A, b, st: ActiveSet, i) -> ActiveSet:
-    """Add atom i at the first free slot (no refit). Caller must `refit`.
-
-    Unconditional fixed-shape scatter; callers guard capacity/duplicates.
-    """
+    """Add atom i at the first free slot (no refit). Caller must `refit`."""
     return append_col(jnp.take(A, i, axis=1), b, st, i)
 
 
+def refresh(st: ActiveSet) -> ActiveSet:
+    """Recompute Ginv exactly from the exact padded Gram (Cholesky solve).
+
+    Used after deletions/rebuilds — the robustness anchor that keeps error
+    from rank-one updates from accumulating across support changes.
+    """
+    kmax = st.G.shape[0]
+    eye = jnp.eye(kmax, dtype=st.G.dtype)
+    Gpad = jnp.where(st.mask[:, None] & st.mask[None, :], st.G, eye)
+    L = jnp.linalg.cholesky(Gpad)
+    Ginv = cho_solve((L, True), eye)
+    return st._replace(Ginv=Ginv)
+
+
 def delete(st: ActiveSet, pos, m: int) -> ActiveSet:
-    """Remove the active slot at position `pos`, compacting left (no refit)."""
+    """Remove the active slot at `pos`, compacting left; Ginv is recomputed
+    exactly (backward steps are O(k^3) in the reference too —
+    /root/reference/src/backward.jl:69-74). No refit."""
     kmax = st.idx.shape[0]
     ar = jnp.arange(kmax)
     src = jnp.where(ar >= pos, ar + 1, ar)
@@ -107,16 +140,17 @@ def delete(st: ActiveSet, pos, m: int) -> ActiveSet:
     eye = jnp.eye(kmax, dtype=dtype)
     G = st.G[src][:, src]
     G = jnp.where(newmask[:, None] & newmask[None, :], G, eye)
-    return ActiveSet(
+    st2 = ActiveSet(
         idx=jnp.where(newmask, st.idx[src], m),
         mask=newmask,
         k=st.k - 1,
         cols=jnp.where(newmask[None, :], st.cols[:, src], 0),
         G=G,
+        Ginv=eye,
         Atb=jnp.where(newmask, st.Atb[src], 0),
-        chol=st.chol,
         coef=jnp.where(newmask, st.coef[src], 0),
     )
+    return refresh(st2)
 
 
 def rebuild(A, b, idx, mask) -> ActiveSet:
@@ -132,29 +166,27 @@ def rebuild(A, b, idx, mask) -> ActiveSet:
     cols = jnp.take(A, safe, axis=1) * mask[None, :].astype(dtype)
     G = cols.T @ cols
     G = jnp.where(mask[:, None] & mask[None, :], G, jnp.eye(kmax, dtype=dtype))
-    eye = jnp.eye(kmax, dtype=dtype)
-    return ActiveSet(
+    st = ActiveSet(
         idx=jnp.where(mask, idx, A.shape[1]).astype(jnp.int32),
         mask=mask,
         k=jnp.sum(mask).astype(jnp.int32),
         cols=cols,
         G=G,
+        Ginv=jnp.eye(kmax, dtype=dtype),
         Atb=cols.T @ b,
-        chol=eye,
         coef=jnp.zeros((kmax,), dtype),
     )
+    return refresh(st)
 
 
 def refit(st: ActiveSet) -> ActiveSet:
-    """Re-factorize the padded Gram and solve the active LS problem.
+    """Solve the active LS problem: coef = Ginv @ Atb — one small matvec.
 
     Equivalent of the reference's `ldiv!!(x.nzval, AiQR, b, r)`
     (/root/reference/src/matchingpursuit.jl:170-176) via normal equations.
     """
-    L = jnp.linalg.cholesky(st.G)
-    coef = cho_solve((L, True), jnp.where(st.mask, st.Atb, 0))
-    coef = jnp.where(st.mask, coef, 0)
-    return st._replace(chol=L, coef=coef)
+    coef = st.Ginv @ jnp.where(st.mask, st.Atb, 0)
+    return st._replace(coef=jnp.where(st.mask, coef, 0))
 
 
 def residual(st: ActiveSet, b) -> jax.Array:
@@ -163,29 +195,26 @@ def residual(st: ActiveSet, b) -> jax.Array:
 
 
 def gamma(st: ActiveSet) -> jax.Array:
-    """diag(G^-1) over active slots (junk elsewhere; callers mask).
+    """diag((A_i'A_i)^-1) over active slots (junk elsewhere; callers mask).
 
     The backward-regression leverage quantity, parity with `get_gamma`
-    (/root/reference/src/backward.jl:69-74): G^-1 = L^-T L^-1 so
-    diag(G^-1)_i = sum_r (L^-1)_{ri}^2.
+    (/root/reference/src/backward.jl:69-74) — free with the inverse-Gram
+    representation.
     """
-    kmax = st.chol.shape[0]
-    Linv = solve_triangular(st.chol, jnp.eye(kmax, dtype=st.chol.dtype),
-                            lower=True)
-    return jnp.sum(Linv * Linv, axis=0)
+    return jnp.diagonal(st.Ginv)
 
 
 def ols_rescaling(A, st: ActiveSet, colnorm2) -> jax.Array:
     """Squared energetic norms ||a_j||^2 - ||proj_active a_j||^2 for all j.
 
     Forward-regression selection denominator, parity with `ols_rescaling!`
-    (/root/reference/src/forward.jl:100-114) — but computed from the Gram
-    Cholesky as colnorm^2 - ||L^-1 (Ai' a_j)||^2, which is a (k x m) GEMM +
-    triangular solve instead of the reference's (n x n)(n x m) GEMM.
+    (/root/reference/src/forward.jl:100-114) — computed as
+    colnorm^2 - sum(W * (Ginv W)) with W = Ai'A: a (k x m) GEMM pair
+    instead of the reference's (n x n)(n x m) `Q'A` GEMM.
     """
     W = st.cols.T @ A                      # rows are zero at inactive slots
-    U = solve_triangular(st.chol, W, lower=True)
-    return colnorm2 - jnp.sum(U * U, axis=0)
+    V = st.Ginv @ W
+    return colnorm2 - jnp.sum(W * V, axis=0)
 
 
 def active_marker(st: ActiveSet, m: int) -> jax.Array:

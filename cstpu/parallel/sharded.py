@@ -135,3 +135,130 @@ def _out_struct(A, b, k, m, batched):
         mask=jax.ShapeDtypeStruct(lead + (k,), jnp.bool_),
         m=m,
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded (measurement-axis) OMP — the long-measurement-axis strategy
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple
+from jax.scipy.linalg import cho_solve
+
+
+class _RowState(NamedTuple):
+    """Active set with row-sharded columns: `cols` holds only this shard's
+    measurement rows; the Gram/Atb/coef summaries are replicated (psum'd)."""
+    idx: jax.Array    # i32[kmax] replicated
+    mask: jax.Array   # bool[kmax] replicated
+    k: jax.Array      # i32[] replicated
+    cols: jax.Array   # f[n_local, kmax] SHARDED rows
+    G: jax.Array      # f[kmax, kmax] replicated (global Gram)
+    Atb: jax.Array    # f[kmax] replicated
+    coef: jax.Array   # f[kmax] replicated
+
+
+def _row_refit(st: _RowState) -> _RowState:
+    L = jnp.linalg.cholesky(st.G)
+    coef = cho_solve((L, True), jnp.where(st.mask, st.Atb, 0))
+    return st._replace(coef=jnp.where(st.mask, coef, 0))
+
+
+def _omp_rows_body(A_local, b_local, k: int, eps, m: int, axis: str):
+    """One OMP solve with A row-sharded over `axis` (measurement axis).
+
+    Per step: each shard computes its partial correlation r_s @ A_s; one
+    m-length psum produces the replicated global correlation (this is the
+    reduction the 'ring of partial dot products' analog in SURVEY.md §2.5
+    describes). Selection and the k x k refit are replicated; Gram/Atb
+    updates are psum'd scalars/vectors. Use when n >> m.
+    """
+    n_local = A_local.shape[0]
+    dtype = A_local.dtype
+    eye = jnp.eye(k, dtype=dtype)
+    st0 = _RowState(
+        idx=jnp.full((k,), m, jnp.int32),
+        mask=jnp.zeros((k,), bool),
+        k=jnp.zeros((), jnp.int32),
+        cols=jnp.zeros((n_local, k), dtype),
+        G=eye, Atb=jnp.zeros((k,), dtype), coef=jnp.zeros((k,), dtype),
+    )
+
+    def residual_local(st):
+        return b_local - st.cols @ st.coef
+
+    def body(carry):
+        st, t, done = carry
+        r_local = residual_local(st)
+        scores = jnp.abs(lax.psum(r_local @ A_local, axis))   # global |A'r|
+        i = jnp.argmax(scores)
+        present = jnp.any(st.mask & (st.idx == i))
+        full = st.k >= k
+        ok = ~present & ~full
+        # append column i (local rows) + psum'd Gram/Atb updates
+        p = st.k
+        a_local = jnp.take(A_local, i, axis=1)
+        cols2 = st.cols.at[:, p].set(a_local)
+        g = lax.psum(cols2.T @ a_local, axis)
+        G2 = st.G.at[p, :].set(g).at[:, p].set(g)
+        st2 = _RowState(
+            idx=st.idx.at[p].set(i.astype(jnp.int32)),
+            mask=st.mask.at[p].set(True),
+            k=st.k + 1,
+            cols=cols2, G=G2,
+            Atb=st.Atb.at[p].set(lax.psum(a_local @ b_local, axis)),
+            coef=st.coef,
+        )
+        st2 = _row_refit(st2)
+        st2 = tree_where(ok, st2, st)
+        rn2 = jnp.sqrt(lax.psum(jnp.sum(residual_local(st2) ** 2), axis))
+        return st2, t + 1, (present | full) | (rn2 < eps)
+
+    def cond(carry):
+        st, t, done = carry
+        return (t < k) & ~done
+
+    st, _, _ = lax.while_loop(cond, body, (st0, jnp.int32(0), jnp.bool_(False)))
+
+    from cstpu.utils.sparse import SparseSolution
+    key = jnp.where(st.mask, st.idx, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)
+    return SparseSolution(
+        idx=jnp.where(st.mask[order], st.idx[order], m).astype(jnp.int32),
+        val=jnp.where(st.mask[order], st.coef[order], 0),
+        mask=st.mask[order],
+        m=m,
+    )
+
+
+def omp_sharded_rows(A, b, k: int, mesh: Mesh, max_residual: float = 0.0,
+                     meas_axis: str = "atoms"):
+    """OMP with the dictionary ROW-sharded over `meas_axis` (and b likewise).
+
+    The long-measurement-axis (n >> m) scaling strategy: partial
+    correlations are psum-reduced across shards. Deterministic and
+    bit-stable like the column-sharded variant.
+    """
+    n, m = A.shape
+    k = int(min(k if k is not None else n, n, m))
+    eps = jnp.asarray(max_residual, A.dtype)
+    n_shards = mesh.shape[meas_axis]
+    if n % n_shards:
+        raise ValueError(f"n = {n} not divisible by shards {n_shards}")
+
+    def shard_fn(A_local, b_local):
+        return _omp_rows_body(A_local, b_local, k, eps, m, meas_axis)
+
+    from cstpu.utils.sparse import SparseSolution
+    out_struct = SparseSolution(
+        idx=jax.ShapeDtypeStruct((k,), jnp.int32),
+        val=jax.ShapeDtypeStruct((k,), A.dtype),
+        mask=jax.ShapeDtypeStruct((k,), jnp.bool_),
+        m=m,
+    )
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(meas_axis, None), P(meas_axis)),
+        out_specs=jax.tree.map(lambda _: P(), out_struct),
+        check_vma=False,
+    )
+    return jax.jit(fn)(A, b)

@@ -1,0 +1,75 @@
+"""Structured per-iteration solver diagnostics.
+
+The reference has no observability (stray debug printlns only,
+/root/reference/src/backward.jl:170-171). Here every traced solve returns a
+fixed-shape `SolveTrace` pytree — residual-norm history, selected atoms,
+acceptance mask, per-step marginal decrease — that lives on device, costs
+one extra carry in the solver loop, and vmaps/shards with the solve.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cstpu.ops import active_set as aset
+from cstpu.ops.select import abs_correlate, top1
+from cstpu.ops.util import tree_where
+from cstpu.utils.sparse import SparseSolution
+
+
+class SolveTrace(NamedTuple):
+    """Fixed-shape per-step history of a greedy solve (padded past the
+    step where the solver stopped)."""
+    residual_norm: jax.Array  # f[k] residual norm after each step
+    selected: jax.Array       # i32[k] atom chosen at each step (-1 if none)
+    accepted: jax.Array       # bool[k] whether the step changed the state
+    score: jax.Array          # f[k] selection score (|<a,r>| for OMP)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _omp_traced(A, b, k: int, eps):
+    n, m = A.shape
+    st0 = aset.empty(n, k, m, A.dtype)
+    tr0 = SolveTrace(
+        residual_norm=jnp.zeros((k,), A.dtype),
+        selected=jnp.full((k,), -1, jnp.int32),
+        accepted=jnp.zeros((k,), bool),
+        score=jnp.zeros((k,), A.dtype),
+    )
+
+    def cond(carry):
+        st, tr, t, done = carry
+        return (t < k) & ~done
+
+    def body(carry):
+        st, tr, t, done = carry
+        r = aset.residual(st, b)
+        i, sc = top1(abs_correlate(A, r))
+        present = aset.contains(st, i)
+        full = st.k >= jnp.minimum(n, k)
+        ok = ~present & ~full
+        st2 = tree_where(ok, aset.refit(aset.append(A, b, st, i)), st)
+        rn = jnp.linalg.norm(aset.residual(st2, b))
+        tr = SolveTrace(
+            residual_norm=tr.residual_norm.at[t].set(rn),
+            selected=tr.selected.at[t].set(jnp.where(ok, i, -1)),
+            accepted=tr.accepted.at[t].set(ok),
+            score=tr.score.at[t].set(sc),
+        )
+        return st2, tr, t + 1, (present | full) | (rn < eps)
+
+    st, tr, _, _ = lax.while_loop(
+        cond, body, (st0, tr0, jnp.int32(0), jnp.bool_(False)))
+    return aset.finalize(st, m), tr
+
+
+def omp_traced(A, b, k: int | None = None, max_residual: float = 0.0):
+    """OMP returning (solution, SolveTrace) — cstpu.omp plus observability."""
+    n, m = A.shape
+    k = int(min(k if k is not None else n, n, m))
+    return _omp_traced(A, b, k, jnp.asarray(max_residual, A.dtype))

@@ -1,0 +1,49 @@
+"""Tests for the observability and checkpoint subsystems (absent from the
+reference — SURVEY.md §5)."""
+
+import os
+
+import jax
+import numpy as np
+
+from cstpu import omp, sparse_data, support
+from cstpu.utils.diagnostics import omp_traced
+from cstpu.utils.checkpoint import save_state, load_state
+
+
+def test_omp_traced_matches_plain():
+    A, x, b = sparse_data(jax.random.PRNGKey(90), n=32, m=48, k=3)
+    sol, tr = omp_traced(A, b, 3)
+    ref = omp(A, b, 3)
+    assert list(sol.nzind) == list(ref.nzind)
+    # residual strictly decreases over accepted steps
+    rn = np.asarray(tr.residual_norm)[np.asarray(tr.accepted)]
+    assert np.all(np.diff(rn) < 0)
+    # selected atoms = final support (in selection order)
+    sel = np.asarray(tr.selected)
+    assert sorted(sel[sel >= 0]) == list(ref.nzind)
+    # scores are the greedy correlation magnitudes, positive
+    assert np.all(np.asarray(tr.score)[np.asarray(tr.accepted)] > 0)
+
+
+def test_trace_records_stall():
+    A, x, b = sparse_data(jax.random.PRNGKey(91), n=32, m=48, k=3)
+    sol, tr = omp_traced(A, b, 10)  # more steps than the true sparsity
+    acc = np.asarray(tr.accepted)
+    assert acc.sum() >= 3
+    # after recovery the solver stalls: remaining entries not accepted
+    last = np.max(np.flatnonzero(acc))
+    assert acc[: last + 1].all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cstpu.ops import active_set as aset
+    import jax.numpy as jnp
+    A, x, b = sparse_data(jax.random.PRNGKey(92), n=16, m=24, k=2)
+    st = aset.refit(aset.empty(16, 4, 24, A.dtype))
+    st = aset.refit(aset.append(A, b, st, jnp.asarray(3)))
+    path = str(tmp_path / "state")
+    save_state(path, st)
+    st2 = load_state(path, st)
+    for a, c in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

@@ -67,3 +67,16 @@ def test_sharded_dictionary_placement(mesh):
     sol = omp_sharded(As, b, 3, mesh)
     ref = omp(A, b, 3)
     assert list(sol.nzind) == list(ref.nzind)
+
+
+def test_row_sharded_omp_matches_single_device(mesh):
+    from cstpu.parallel.sharded import omp_sharded_rows
+    A, x, b, y = _problem(74)
+    ref = omp(A, b, 3)
+    sol = omp_sharded_rows(A, b, 3, mesh)
+    assert list(sol.nzind) == list(ref.nzind)
+    np.testing.assert_allclose(sol.nzval, ref.nzval, rtol=1e-12)
+    ref = omp(A, y, 3)
+    sol = omp_sharded_rows(A, y, 3, mesh)
+    assert list(sol.nzind) == list(ref.nzind)
+    np.testing.assert_allclose(sol.nzval, ref.nzval, rtol=1e-12)
