@@ -56,7 +56,7 @@ def forward_step(A, b, st, max_eps, min_delta, colnorm2, m: int):
     i, maxd2 = top1(d2)
     accept = ((st.k < n) & (st.k < kmax) & (normr > max_eps)
               & (min_delta * min_delta < maxd2))
-    st2 = tree_where(accept, aset.refit(aset.append(A, b, st, i)), st)
+    st2 = aset.refit(aset.append_gated(A, b, st, i, accept))
     return st2, accept, d2
 
 

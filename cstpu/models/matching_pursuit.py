@@ -58,23 +58,25 @@ def _omp(A, b, k: int, eps):
     n, m = A.shape
     st0 = aset.empty(n, k, m, A.dtype)
 
+    # the residual is carried across steps: the post-update residual that
+    # decides epsilon stopping is exactly the next step's correlation input
     def cond(carry):
-        st, t, done = carry
+        st, r, t, done = carry
         return (t < k) & ~done
 
     def body(carry):
-        st, t, done = carry
-        r = aset.residual(st, b)
+        st, r, t, done = carry
         i, _ = top1(abs_correlate(A, r))
         present = aset.contains(st, i)
         full = st.k >= jnp.minimum(n, k)
         ok = ~present & ~full
-        st2 = tree_where(ok, aset.refit(aset.append(A, b, st, i)), st)
+        st2 = aset.refit(aset.append_gated(A, b, st, i, ok))
         r2 = aset.residual(st2, b)
         stalled = present | full
-        return st2, t + 1, stalled | (jnp.linalg.norm(r2) < eps)
+        return st2, r2, t + 1, stalled | (jnp.linalg.norm(r2) < eps)
 
-    st, _, _ = lax.while_loop(cond, body, (st0, jnp.int32(0), jnp.bool_(False)))
+    st, _, _, _ = lax.while_loop(
+        cond, body, (st0, b, jnp.int32(0), jnp.bool_(False)))
     return aset.finalize(st, m)
 
 
@@ -96,7 +98,7 @@ def _add_absent(A, b, st, indices, cap):
     addindex! (src/util.jl:129-134) followed by a single LS solve."""
     def step(st, i):
         ok = ~aset.contains(st, i) & (st.k < cap)
-        return tree_where(ok, aset.append(A, b, st, i), st), None
+        return aset.append_gated(A, b, st, i, ok), None
 
     st, _ = lax.scan(step, st, indices)
     return aset.refit(st)
@@ -110,19 +112,19 @@ def _gomp(A, b, l: int, k: int, rem: int, eps):
     cap = jnp.minimum(n, k)
 
     def cond(carry):
-        st, t, done = carry
+        st, r, t, done = carry
         return (t < outer) & ~done
 
     def body(carry):
-        st, t, done = carry
+        st, r, t, done = carry
         notfull = st.k < n
-        r = aset.residual(st, b)
         idx = topl(abs_correlate(A, r), l)
         st2 = tree_where(notfull, _add_absent(A, b, st, idx, cap), st)
         r2 = aset.residual(st2, b)
-        return st2, t + 1, (~notfull) | (jnp.linalg.norm(r2) < eps)
+        return st2, r2, t + 1, (~notfull) | (jnp.linalg.norm(r2) < eps)
 
-    st, _, _ = lax.while_loop(cond, body, (st0, jnp.int32(0), jnp.bool_(False)))
+    st, _, _, _ = lax.while_loop(
+        cond, body, (st0, b, jnp.int32(0), jnp.bool_(False)))
     if rem > 0:  # unconditional remainder step, as in the reference
         r = aset.residual(st, b)
         idx = topl(abs_correlate(A, r), rem)

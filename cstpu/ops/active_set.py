@@ -113,6 +113,52 @@ def append(A, b, st: ActiveSet, i) -> ActiveSet:
     return append_col(jnp.take(A, i, axis=1), b, st, i)
 
 
+def append_col_gated(a, b, st: ActiveSet, i, ok) -> ActiveSet:
+    """`append_col` that is an exact no-op when `ok` is False — WITHOUT
+    copying the large buffers.
+
+    A leafwise `tree_where(ok, appended, st)` select costs a full pass over
+    `cols` (the dominant state leaf) every step; here the gate rides the
+    written values instead: the appended column is zeroed when not ok (slot
+    p is inactive, i.e. already zero), and only the small Gram/index leaves
+    carry selects. This is the accept/reject idiom for the hot loop.
+    """
+    p = st.k
+    okf = ok.astype(a.dtype) if hasattr(ok, "astype") else jnp.float32(ok)
+    a_eff = a * okf                      # zero column when rejected
+    cols = st.cols.at[:, p].set(a_eff)
+    gfull = cols.T @ a_eff
+    G = jnp.where(ok, st.G.at[p, :].set(gfull).at[:, p].set(gfull), st.G)
+
+    g = jnp.where(st.mask, gfull, 0)
+    ata = a_eff @ a_eff
+    u = st.Ginv @ g
+    d = ata - g @ u
+    d = jnp.maximum(d, 1e-12 * jnp.maximum(ata, 1e-30))
+    dinv = 1.0 / d
+    Ginv = st.Ginv + dinv * jnp.outer(u, u)
+    Ginv = Ginv.at[p, :].set(-dinv * u).at[:, p].set(-dinv * u)
+    Ginv = Ginv.at[p, p].set(dinv)
+    Ginv = jnp.where(ok, Ginv, st.Ginv)
+
+    return ActiveSet(
+        idx=st.idx.at[p].set(jnp.where(ok, jnp.asarray(i, jnp.int32),
+                                       st.idx[p])),
+        mask=st.mask.at[p].set(ok),
+        k=st.k + ok.astype(jnp.int32),
+        cols=cols,
+        G=G,
+        Ginv=Ginv,
+        Atb=st.Atb.at[p].set(a_eff @ b),
+        coef=st.coef,
+    )
+
+
+def append_gated(A, b, st: ActiveSet, i, ok) -> ActiveSet:
+    """Gated append by atom index (see append_col_gated)."""
+    return append_col_gated(jnp.take(A, i, axis=1), b, st, i, ok)
+
+
 def refresh(st: ActiveSet) -> ActiveSet:
     """Recompute Ginv exactly from the exact padded Gram (Cholesky solve).
 

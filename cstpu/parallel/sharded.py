@@ -79,7 +79,7 @@ def _omp_shard_body(A_local, b, k: int, eps, m: int, axis: str):
         present = aset.contains(st, gidx)
         full = st.k >= jnp.minimum(n, k)
         ok = ~present & ~full
-        st2 = tree_where(ok, aset.refit(aset.append_col(a, b, st, gidx)), st)
+        st2 = aset.refit(aset.append_col_gated(a, b, st, gidx, ok))
         r2 = aset.residual(st2, b)
         stalled = present | full
         return st2, t + 1, stalled | (jnp.linalg.norm(r2) < eps)

@@ -53,7 +53,7 @@ def _omp_traced(A, b, k: int, eps):
         present = aset.contains(st, i)
         full = st.k >= jnp.minimum(n, k)
         ok = ~present & ~full
-        st2 = tree_where(ok, aset.refit(aset.append(A, b, st, i)), st)
+        st2 = aset.refit(aset.append_gated(A, b, st, i, ok))
         rn = jnp.linalg.norm(aset.residual(st2, b))
         tr = SolveTrace(
             residual_norm=tr.residual_norm.at[t].set(rn),

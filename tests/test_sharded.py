@@ -80,3 +80,22 @@ def test_row_sharded_omp_matches_single_device(mesh):
     sol = omp_sharded_rows(A, y, 3, mesh)
     assert list(sol.nzind) == list(ref.nzind)
     np.testing.assert_allclose(sol.nzval, ref.nzval, rtol=1e-12)
+
+
+def test_bp_sharded_matches_single_device(mesh):
+    from cstpu import bp
+    from cstpu.parallel.convex import bp_sharded
+    A, x, b, _ = _problem(75, n=32, m=48)
+    ref = np.asarray(bp(A, b))
+    sol = np.asarray(bp_sharded(A, b, mesh=mesh))
+    sup_ref = np.flatnonzero(np.abs(ref) > 1e-5)
+    sup_sol = np.flatnonzero(np.abs(sol) > 1e-5)
+    assert list(sup_sol) == list(sup_ref) == list(support(x))
+    np.testing.assert_allclose(sol, ref, atol=1e-6)
+
+
+def test_bp_ard_sharded_recovers(mesh):
+    from cstpu.parallel.convex import bp_ard_sharded
+    A, x, b, _ = _problem(76, n=32, m=48)
+    sol = np.asarray(bp_ard_sharded(A, b, mesh))
+    assert list(np.flatnonzero(np.abs(sol) > 1e-5)) == list(support(x))
