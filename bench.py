@@ -94,8 +94,10 @@ def main():
     # --- diagnostic: raw correlation GEMM ----------------------------------
     @partial(jax.jit, static_argnames=("reps",))
     def corr_chain(Bs, reps: int):
+        # roll (not add): an additive perturbation lets XLA distribute the
+        # matmul and hoist it out of the loop entirely
         def body(i, acc):
-            s = jnp.abs((Bs + i.astype(jnp.float32) * 1e-30) @ A)
+            s = jnp.abs(jnp.roll(Bs, i, axis=1) @ A)
             return acc + jnp.sum(s)
         return lax.fori_loop(0, reps, body, jnp.float32(0))
 

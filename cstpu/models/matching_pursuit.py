@@ -53,30 +53,43 @@ def mp(A, b, k: int):
     return _mp(A, b, int(k))
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _omp(A, b, k: int, eps):
+@partial(jax.jit, static_argnames=("k", "early_exit"))
+def _omp(A, b, k: int, eps, early_exit: bool):
     n, m = A.shape
     st0 = aset.empty(n, k, m, A.dtype)
 
     # the residual is carried across steps: the post-update residual that
     # decides epsilon stopping is exactly the next step's correlation input
-    def cond(carry):
-        st, r, t, done = carry
-        return (t < k) & ~done
-
-    def body(carry):
-        st, r, t, done = carry
+    def step(st, r):
         i, _ = top1(abs_correlate(A, r))
         present = aset.contains(st, i)
         full = st.k >= jnp.minimum(n, k)
         ok = ~present & ~full
         st2 = aset.refit(aset.append_gated(A, b, st, i, ok))
         r2 = aset.residual(st2, b)
-        stalled = present | full
-        return st2, r2, t + 1, stalled | (jnp.linalg.norm(r2) < eps)
+        return st2, r2, present | full
 
-    st, _, _, _ = lax.while_loop(
-        cond, body, (st0, b, jnp.int32(0), jnp.bool_(False)))
+    if early_exit:
+        def cond(carry):
+            st, r, t, done = carry
+            return (t < k) & ~done
+
+        def body(carry):
+            st, r, t, done = carry
+            st2, r2, stalled = step(st, r)
+            return st2, r2, t + 1, stalled | (jnp.linalg.norm(r2) < eps)
+
+        st, _, _, _ = lax.while_loop(
+            cond, body, (st0, b, jnp.int32(0), jnp.bool_(False)))
+    else:
+        # fixed trip count: unrolled fori pipelines the small state-update
+        # kernels across steps (a stalled solve's steps are exact no-ops)
+        def body(t, carry):
+            st, r = carry
+            st2, r2, _ = step(st, r)
+            return st2, r2
+
+        st, _ = lax.fori_loop(0, k, body, (st0, b), unroll=4)
     return aset.finalize(st, m)
 
 
@@ -89,7 +102,8 @@ def omp(A, b, k: int | None = None, max_residual: float = 0.0) -> SparseSolution
     """
     n, m = A.shape
     k = int(min(k if k is not None else n, n, m))
-    return _omp(A, b, k, jnp.asarray(max_residual, A.dtype))
+    early_exit = float(max_residual) > 0.0
+    return _omp(A, b, k, jnp.asarray(max_residual, A.dtype), early_exit)
 
 
 def _add_absent(A, b, st, indices, cap):
