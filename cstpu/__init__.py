@@ -60,7 +60,8 @@ from cstpu.models.basis_pursuit import (
 )
 from cstpu.models.exhaustive import exhaustive
 from cstpu.models.batched import (
-    batch, omp_batch, fr_batch, sp_batch, gomp_batch, rmps_batch,
+    batch, omp_batch, fr_batch, mp_batch, sp_batch, gomp_batch,
+    rmps_batch,
 )
 from cstpu.utils.diagnostics import omp_traced, SolveTrace
 from cstpu.utils.checkpoint import save_state, load_state
@@ -82,6 +83,7 @@ __all__ = [
     "bp", "bp_candes", "bp_ard", "bpd", "bpd_candes", "bpd_ard",
     "ista", "fista",
     "exhaustive",
-    "batch", "omp_batch", "fr_batch", "sp_batch", "gomp_batch", "rmps_batch",
+    "batch", "omp_batch", "fr_batch", "mp_batch", "sp_batch",
+    "gomp_batch", "rmps_batch",
     "omp_traced", "SolveTrace", "save_state", "load_state",
 ]

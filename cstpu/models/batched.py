@@ -66,10 +66,60 @@ def omp_batch(A, Bs, k=None, max_residual: float = 0.0, precision=None):
 
 
 def fr_batch(A, Bs, max_residual: float = 0.0, min_decrease: float = 0.0,
-             sparsity=None):
-    """Batched forward regression over measurement rows Bs (B, n)."""
+             sparsity=None, precision=None):
+    """Batched forward regression over measurement rows Bs (B, n).
+
+    On TPU with a sparsity cap this dispatches to the fused whole-solve FR
+    kernel (cstpu.ops.fused_solve.fr_fused_solve): the OLS rescaling is
+    maintained order-recursively in VMEM instead of re-derived from a
+    (k x m) GEMM per step. `precision` as in omp_batch.
+    """
+    import jax.numpy as jnp
+
+    from cstpu.ops import fused_solve
+
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    use_fused = (
+        precision in (None, "bf16", "f32")
+        and sparsity is not None
+        and A.dtype == jnp.float32
+        and Bs.ndim == 2
+        and jax.default_backend() == "tpu"
+        and fused_solve.supported_fr(A, Bs, int(sparsity))
+    )
+    if use_fused:
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        sol, _ = fused_solve.fr_fused_solve(
+            A, Bs, int(sparsity), max_residual, min_decrease, corr_dtype=cdt)
+        return sol
     return jax.vmap(
         lambda bb: fr(A, bb, max_residual, min_decrease, sparsity))(Bs)
+
+
+def mp_batch(A, Bs, k: int, precision=None):
+    """Batched matching pursuit (dense solutions, (B, m)).
+
+    On TPU dispatches to the fused whole-solve MP kernel.
+    """
+    import jax.numpy as jnp
+
+    from cstpu.ops import fused_solve
+
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    use_fused = (
+        precision in (None, "bf16", "f32")
+        and A.dtype == jnp.float32
+        and Bs.ndim == 2
+        and jax.default_backend() == "tpu"
+        and fused_solve.supported(A, Bs, 1)
+    )
+    if use_fused:
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        x, _ = fused_solve.mp_fused_solve(A, Bs, int(k), corr_dtype=cdt)
+        return x
+    return jax.vmap(lambda bb: mp(A, bb, k))(Bs)
 
 
 def sp_batch(A, Bs, k, delta: float = 1e-12, maxiter=None):

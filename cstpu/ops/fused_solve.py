@@ -208,3 +208,266 @@ def supported(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
             + 2 * B * n * 4 + B * m * 4 * 2   # r, b, scores(+onehot)
             + B * k * k * 4)          # Ginv
     return vmem < 100 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Forward regression (OLS selection rule), whole-solve fused
+# ---------------------------------------------------------------------------
+
+def _fr_kernel(k: int, max_eps2: float, min_d2: float,
+               A_ref, Bs_ref, cn2_ref, idx_ref, coef_ref, r_ref, done_ref,
+               cols, Ginv, coefs, idxs, r, resc, amask):
+    """Forward-regression solve with the OLS rule, dictionary pinned in VMEM.
+
+    Selection: delta_j^2 = <a_j, r>^2 / rescaling_j with the energetic norm
+    rescaling_j = ||a_j||^2 - ||proj_active a_j||^2
+    (/root/reference/src/forward.jl:74-81,100-114). Instead of the
+    reference's per-step Q'A GEMM, the rescaling is maintained by the
+    order-recursive identity: appending the orthonormalized column
+    q = a_perp / ||a_perp|| subtracts (q'a_j)^2 = (a_perp'a_j)^2 / d from
+    every rescaling — one extra (B,n)x(n,m) MXU GEMM per step.
+    Dual stopping (max_residual / min_decrease,
+    /root/reference/src/forward.jl:56-72) is a per-instance done latch:
+    once an instance rejects a step it no-ops through the remaining trips.
+    """
+    B, n = Bs_ref.shape
+    m = A_ref.shape[1]
+    f32 = jnp.float32
+    cdt = A_ref.dtype
+
+    r[:, :] = Bs_ref[:, :]
+    cols[:, :, :] = jnp.zeros_like(cols)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, k, k), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (B, k, k), 2)
+    Ginv[:, :, :] = (ii == jj).astype(f32)
+    coefs[:, :] = jnp.zeros_like(coefs)
+    idxs[:, :] = jnp.full_like(idxs, m)
+    resc[:, :] = jnp.broadcast_to(cn2_ref[0:1, :], (B, m))
+    amask[:, :] = jnp.zeros_like(amask)
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, m), 1)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    NEG = jnp.float32(-jnp.inf)
+
+    def step(t, done):
+        # --- OLS selection rule -----------------------------------------
+        q = lax.dot_general(r[:, :].astype(cdt), A_ref[:, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)         # (B, m)
+        d2 = jnp.where(resc[:, :] > 0, q * q / resc[:, :], NEG)
+        d2 = jnp.where(amask[:, :] > 0, 0.0, d2)   # active atoms score 0
+        dmax = jnp.max(d2, axis=1, keepdims=True)               # (B, 1)
+        i = jnp.min(jnp.where(d2 == dmax, col_iota, INT_MAX),
+                    axis=1, keepdims=True)                      # (B, 1)
+
+        # --- stopping rules (src/forward.jl:56-72) -----------------------
+        rnorm2 = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
+        accept = (rnorm2 > max_eps2) & (dmax > min_d2)
+        ok = accept & (done < 0.5)
+        done2 = jnp.where(ok, done, 1.0)
+
+        # --- append (same engine as the OMP kernel) ----------------------
+        oh = (col_iota == i).astype(cdt)
+        acol = lax.dot_general(oh, A_ref[:, :],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)      # (B, n)
+        cols[:, pl.ds(t, 1), :] = acol[:, None, :]
+        gfull = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)
+        atb = jnp.sum(cols[:, :, :] * Bs_ref[:, :][:, None, :], axis=2)
+        et = (slot_iota == t).astype(f32)
+        ata = jnp.sum(gfull * et, axis=1, keepdims=True)
+        beta = jnp.sum(atb * et, axis=1, keepdims=True)
+        g = gfull * (1.0 - et)
+        u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)
+        d = ata - jnp.sum(g * u, axis=1, keepdims=True)
+        dup = jnp.sum((idxs[:, :] == i).astype(f32), axis=1,
+                      keepdims=True) > 0
+        okb = ok & (~dup) & (d > 1e-12 * ata)
+        okf = okb.astype(f32)
+        dinv = okf / jnp.where(d > 0, d, 1.0)
+        s = dinv * (beta - jnp.sum(g * coefs[:, :], axis=1, keepdims=True))
+
+        w = u - et
+        Ginv[:, :, :] = Ginv[:, :, :] \
+            + dinv[:, :, None] * w[:, :, None] * w[:, None, :] \
+            - okf[:, :, None] * et[None, :, :] * et[:, :, None]
+        coefs[:, :] = coefs[:, :] - s * w
+        idxs[:, :] = jnp.where((et > 0) & okb,
+                               jnp.broadcast_to(i, (B, k)), idxs[:, :])
+
+        # --- order-recursive rescaling update ----------------------------
+        aperp = acol - jnp.sum(cols[:, :, :] * u[:, :, None], axis=1)
+        z = lax.dot_general(aperp.astype(cdt), A_ref[:, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)         # (B, m)
+        resc[:, :] = resc[:, :] - (okf / jnp.where(d > 0, d, 1.0)) * z * z
+        amask[:, :] = amask[:, :] + oh.astype(f32) * okf
+
+        cols[:, pl.ds(t, 1), :] = (acol * okf)[:, None, :]
+        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
+        r[:, :] = Bs_ref[:, :] - fitted
+        return jnp.where(okb, done2, 1.0)  # failed append also latches
+
+    done = lax.fori_loop(0, k, step, jnp.zeros((B, 1), f32))
+
+    idx_ref[:, :] = idxs[:, :]
+    coef_ref[:, :] = coefs[:, :]
+    r_ref[:, :] = r[:, :]
+    done_ref[:, :] = done
+
+
+@partial(jax.jit, static_argnames=("k", "max_eps2", "min_d2", "corr_dtype",
+                                   "interpret"))
+def _fr_fused_call(A, Bs, k: int, max_eps2: float, min_d2: float,
+                   corr_dtype, interpret: bool = False):
+    n, m = A.shape
+    B = Bs.shape[0]
+    f32 = jnp.float32
+    Ac = A.astype(corr_dtype)
+    Bs = Bs.astype(f32)
+    cn2 = jnp.sum(A.astype(f32) * A.astype(f32), axis=0)[None, :]
+
+    idx, coef, r, done = pl.pallas_call(
+        partial(_fr_kernel, k, max_eps2, min_d2),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, k), f32),
+            jax.ShapeDtypeStruct((B, n), f32),
+            jax.ShapeDtypeStruct((B, 1), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, k, n), f32),        # cols
+            pltpu.VMEM((B, k, k), f32),        # Ginv
+            pltpu.VMEM((B, k), f32),           # coef
+            pltpu.VMEM((B, k), jnp.int32),     # idx
+            pltpu.VMEM((B, n), f32),           # r
+            pltpu.VMEM((B, m), f32),           # rescaling
+            pltpu.VMEM((B, m), f32),           # active mask
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n * m * 3 * k,
+            bytes_accessed=n * m * Ac.dtype.itemsize + 2 * B * n * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Ac, Bs, cn2)
+    return idx, coef, r, done
+
+
+def fr_fused_solve(A, Bs, k: int, max_residual: float = 0.0,
+                   min_decrease: float = 0.0, corr_dtype=jnp.bfloat16,
+                   interpret: bool = False):
+    """Batched forward regression via the whole-solve fused kernel.
+
+    Equivalent to `vmap(cstpu.fr)` with sparsity=k and the same
+    max_residual/min_decrease stopping (parity: src/forward.jl:33-51).
+    Returns (SparseSolution, residuals (B, n)).
+    """
+    from cstpu.utils.sparse import SparseSolution
+
+    n, m = A.shape
+    k = int(min(k, n, m))
+    idx, coef, r, _ = _fr_fused_call(
+        jnp.asarray(A), jnp.asarray(Bs), k,
+        float(max_residual) ** 2, float(min_decrease) ** 2,
+        corr_dtype, interpret)
+    mask = idx < m
+    key = jnp.where(mask, idx, INT_MAX)
+    order = jnp.argsort(key, axis=1)
+    take = jnp.take_along_axis
+    sol = SparseSolution(
+        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
+        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
+        mask=take(mask, order, 1),
+        m=int(m),
+    )
+    return sol, r
+
+
+def supported_fr(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
+    """VMEM gate for the fused FR kernel (adds two (B, m) f32 buffers)."""
+    n, m = A.shape
+    B = Bs.shape[0]
+    k = int(min(k, n, m))
+    if n % 8 or m % 128 or B % 8:
+        return False
+    itemsize = jnp.dtype(corr_dtype).itemsize
+    vmem = (n * m * itemsize + B * k * n * 4
+            + 2 * B * n * 4 + B * m * 4 * 4 + B * k * k * 4)
+    return vmem < 100 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Plain matching pursuit, whole-solve fused
+# ---------------------------------------------------------------------------
+
+def _mp_kernel(k: int, A_ref, Bs_ref, x_ref, r_ref, r, x):
+    """MP: x[i] += <a_i, r>, r -= <a_i, r> a_i — no refit, dense x.
+
+    Parity: /root/reference/src/matchingpursuit.jl:10-40 (unit-norm columns
+    assumed, as the reference warns at :9).
+    """
+    B, n = Bs_ref.shape
+    m = A_ref.shape[1]
+    f32 = jnp.float32
+    cdt = A_ref.dtype
+
+    r[:, :] = Bs_ref[:, :]
+    x[:, :] = jnp.zeros_like(x)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, m), 1)
+
+    def step(t, _):
+        s = lax.dot_general(r[:, :].astype(cdt), A_ref[:, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)         # (B, m)
+        a = jnp.abs(s)
+        amax = jnp.max(a, axis=1, keepdims=True)
+        i = jnp.min(jnp.where(a == amax, col_iota, INT_MAX),
+                    axis=1, keepdims=True)
+        oh = (col_iota == i)
+        v = jnp.sum(jnp.where(oh, s, 0.0), axis=1, keepdims=True)  # (B, 1)
+        acol = lax.dot_general(oh.astype(cdt), A_ref[:, :],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)      # (B, n)
+        x[:, :] = x[:, :] + v * oh.astype(f32)
+        r[:, :] = r[:, :] - v * acol
+        return 0
+
+    lax.fori_loop(0, k, step, 0)
+    x_ref[:, :] = x[:, :]
+    r_ref[:, :] = r[:, :]
+
+
+@partial(jax.jit, static_argnames=("k", "corr_dtype", "interpret"))
+def mp_fused_solve(A, Bs, k: int, corr_dtype=jnp.bfloat16,
+                   interpret: bool = False):
+    """Batched matching pursuit (k coefficient updates); returns (x, r)."""
+    n, m = A.shape
+    B = Bs.shape[0]
+    f32 = jnp.float32
+    Ac = jnp.asarray(A).astype(corr_dtype)
+    Bs = jnp.asarray(Bs).astype(f32)
+
+    x, r = pl.pallas_call(
+        partial(_mp_kernel, int(k)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, m), f32),
+            jax.ShapeDtypeStruct((B, n), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, n), f32),
+            pltpu.VMEM((B, m), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Ac, Bs)
+    return x, r

@@ -61,3 +61,46 @@ def test_omp_batch_fallback_cpu_matches_plain():
     np.testing.assert_array_equal(np.asarray(sol.idx), np.asarray(ref.idx))
     np.testing.assert_allclose(np.asarray(sol.val), np.asarray(ref.val),
                                rtol=1e-12)
+
+
+def test_fr_fused_matches_xla_path():
+    from cstpu import fr
+    from cstpu.ops.fused_solve import fr_fused_solve
+
+    A, x, b, y = _problem(300)
+    Bs = jnp.stack([b, y, 0.5 * b + 0.5 * y, -b])
+    sol, r = fr_fused_solve(A, Bs, 3, corr_dtype=jnp.float32,
+                            interpret=True)
+    ref = jax.vmap(lambda bb: fr(A, bb, sparsity=3))(Bs)
+    np.testing.assert_array_equal(np.asarray(sol.idx), np.asarray(ref.idx))
+    np.testing.assert_allclose(np.asarray(sol.val), np.asarray(ref.val),
+                               atol=1e-4)
+
+
+def test_fr_fused_min_decrease_stops_early():
+    from cstpu import fr, support
+    from cstpu.ops.fused_solve import fr_fused_solve
+
+    A, x, b, y = _problem(301)
+    # a generous min_decrease halts after the informative atoms; compare
+    # against the XLA path under the same rule
+    sol, _ = fr_fused_solve(A, y[None, :], 8, min_decrease=1e-3,
+                            corr_dtype=jnp.float32, interpret=True)
+    ref = fr(A, y, min_decrease=1e-3, sparsity=8)
+    got = np.asarray(sol.idx[0])[np.asarray(sol.mask[0])]
+    want = np.asarray(ref.idx)[np.asarray(ref.mask)]
+    np.testing.assert_array_equal(np.sort(got), np.sort(want))
+
+
+def test_mp_fused_matches_xla_path():
+    from cstpu import mp
+    from cstpu.ops.fused_solve import mp_fused_solve
+
+    A, x, b, y = _problem(302)
+    Bs = jnp.stack([b, y])
+    xs, r = mp_fused_solve(A, Bs, 12, corr_dtype=jnp.float32,
+                           interpret=True)
+    ref = jax.vmap(lambda bb: mp(A, bb, 12))(Bs)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Bs - xs @ A.T), np.asarray(r),
+                               atol=1e-5)
