@@ -127,8 +127,31 @@ def sp_batch(A, Bs, k, delta: float = 1e-12, maxiter=None):
     return jax.vmap(lambda bb: sp(A, bb, k, delta, maxiter))(Bs)
 
 
-def gomp_batch(A, Bs, l, k=None, max_residual: float = 0.0):
-    """Batched generalized OMP over measurement rows Bs (B, n)."""
+def gomp_batch(A, Bs, l, k=None, max_residual: float = 0.0, precision=None):
+    """Batched generalized OMP over measurement rows Bs (B, n).
+
+    On TPU dispatches to the whole-solve fused GOMP kernel (top-l
+    acquisitions per iteration in VMEM). `precision` as in omp_batch.
+    """
+    import jax.numpy as jnp
+
+    from cstpu.ops import fused_solve
+
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    kk = int(min(k if k is not None else A.shape[1], A.shape[1]))
+    use_fused = (
+        precision in (None, "bf16", "f32")
+        and A.dtype == jnp.float32
+        and Bs.ndim == 2
+        and jax.default_backend() == "tpu"
+        and fused_solve.supported(A, Bs, kk)
+    )
+    if use_fused:
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        sol, _ = fused_solve.gomp_fused_solve(A, Bs, int(l), kk,
+                                              max_residual, corr_dtype=cdt)
+        return sol
     return jax.vmap(lambda bb: gomp(A, bb, l, k, max_residual))(Bs)
 
 

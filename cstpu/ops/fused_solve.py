@@ -84,13 +84,12 @@ def _solve_kernel(k: int, A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
                                preferred_element_type=f32)      # (B, n)
 
         # --- cross-Gram / quality scalars (all lane reductions) ---------
-        cols[:, pl.ds(t, 1), :] = acol[:, None, :]              # provisional
-        gfull = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)  # (B, k)
-        atb = jnp.sum(cols[:, :, :] * Bs_ref[:, :][:, None, :], axis=2)
+        # slot t of cols is still zero, so g picks up only the OLD active
+        # set; ata/beta come straight off the extracted column
+        ata = jnp.sum(acol * acol, axis=1, keepdims=True)       # (B, 1)
+        beta = jnp.sum(acol * Bs_ref[:, :], axis=1, keepdims=True)
+        g = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)   # (B, k)
         et = (slot_iota == t).astype(f32)                       # (1, k)
-        ata = jnp.sum(gfull * et, axis=1, keepdims=True)        # (B, 1)
-        beta = jnp.sum(atb * et, axis=1, keepdims=True)         # (B, 1)
-        g = gfull * (1.0 - et)                                  # (B, k)
 
         u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)      # (B, k)
         d = ata - jnp.sum(g * u, axis=1, keepdims=True)         # (B, 1)
@@ -271,13 +270,10 @@ def _fr_kernel(k: int, max_eps2: float, min_d2: float,
         acol = lax.dot_general(oh, A_ref[:, :],
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=f32)      # (B, n)
-        cols[:, pl.ds(t, 1), :] = acol[:, None, :]
-        gfull = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)
-        atb = jnp.sum(cols[:, :, :] * Bs_ref[:, :][:, None, :], axis=2)
+        ata = jnp.sum(acol * acol, axis=1, keepdims=True)
+        beta = jnp.sum(acol * Bs_ref[:, :], axis=1, keepdims=True)
+        g = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)   # slot t = 0
         et = (slot_iota == t).astype(f32)
-        ata = jnp.sum(gfull * et, axis=1, keepdims=True)
-        beta = jnp.sum(atb * et, axis=1, keepdims=True)
-        g = gfull * (1.0 - et)
         u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)
         d = ata - jnp.sum(g * u, axis=1, keepdims=True)
         dup = jnp.sum((idxs[:, :] == i).astype(f32), axis=1,
@@ -294,6 +290,7 @@ def _fr_kernel(k: int, max_eps2: float, min_d2: float,
         coefs[:, :] = coefs[:, :] - s * w
         idxs[:, :] = jnp.where((et > 0) & okb,
                                jnp.broadcast_to(i, (B, k)), idxs[:, :])
+        cols[:, pl.ds(t, 1), :] = (acol * okf)[:, None, :]
 
         # --- order-recursive rescaling update ----------------------------
         aperp = acol - jnp.sum(cols[:, :, :] * u[:, :, None], axis=1)
@@ -302,8 +299,6 @@ def _fr_kernel(k: int, max_eps2: float, min_d2: float,
                             preferred_element_type=f32)         # (B, m)
         resc[:, :] = resc[:, :] - (okf / jnp.where(d > 0, d, 1.0)) * z * z
         amask[:, :] = amask[:, :] + oh.astype(f32) * okf
-
-        cols[:, pl.ds(t, 1), :] = (acol * okf)[:, None, :]
         fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
         r[:, :] = Bs_ref[:, :] - fitted
         return jnp.where(okb, done2, 1.0)  # failed append also latches
@@ -400,6 +395,170 @@ def supported_fr(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
     vmem = (n * m * itemsize + B * k * n * 4
             + 2 * B * n * 4 + B * m * 4 * 4 + B * k * k * 4)
     return vmem < 100 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Generalized OMP (top-l acquisitions per iteration), whole-solve fused
+# ---------------------------------------------------------------------------
+
+def _gomp_kernel(k: int, l: int, rem: int, eps2: float,
+                 A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
+                 cols, Ginv, coefs, idxs, r, kcnt):
+    """GOMP: add the top-l correlated atoms per iteration, one LS refit.
+
+    Parity: /root/reference/src/matchingpursuit.jl:95-148 — floor(k/l)
+    l-atom iterations with epsilon stopping, plus one unconditional
+    remainder step; already-active atoms in the top-l are skipped without
+    consuming a slot (src/util.jl:129-134), so the write position is a
+    per-instance one-hot at the running count rather than the OMP kernel's
+    static step index. The l appends within an iteration all select from
+    the SAME score vector (iteratively masked argmax = top-l), and the
+    closed-form coefficient update after each append leaves exactly the
+    reference's single post-iteration LS refit.
+    """
+    B, n = Bs_ref.shape
+    m = A_ref.shape[1]
+    f32 = jnp.float32
+    cdt = A_ref.dtype
+    cap = min(n, k)
+
+    r[:, :] = Bs_ref[:, :]
+    cols[:, :, :] = jnp.zeros_like(cols)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, k, k), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (B, k, k), 2)
+    Ginv[:, :, :] = (ii == jj).astype(f32)
+    coefs[:, :] = jnp.zeros_like(coefs)
+    idxs[:, :] = jnp.full_like(idxs, m)
+    kcnt[:, :] = jnp.zeros_like(kcnt)
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, m), 1)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    def append_one(scores, done):
+        """Select the current best from `scores`, append it at the
+        per-instance slot, and return the masked scores."""
+        smax = jnp.max(scores, axis=1, keepdims=True)
+        i = jnp.min(jnp.where(scores == smax, col_iota, INT_MAX),
+                    axis=1, keepdims=True)                      # (B, 1)
+        scores = jnp.where(col_iota == i, -jnp.inf, scores)
+
+        oh = (col_iota == i).astype(cdt)
+        acol = lax.dot_general(oh, A_ref[:, :],
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)      # (B, n)
+        et = (slot_iota == kcnt[:, :]).astype(f32)              # (B, k)
+        dup = jnp.sum((idxs[:, :] == i).astype(f32), axis=1,
+                      keepdims=True) > 0
+        pre = (~dup) & (kcnt[:, :] < cap) & (done < 0.5)        # (B, 1)
+
+        ata = jnp.sum(acol * acol, axis=1, keepdims=True)
+        beta = jnp.sum(acol * Bs_ref[:, :], axis=1, keepdims=True)
+        g = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)  # slot free
+        u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)
+        d = ata - jnp.sum(g * u, axis=1, keepdims=True)
+        ok = pre & (d > 1e-12 * ata)
+        okf = ok.astype(f32)
+        dinv = okf / jnp.where(d > 0, d, 1.0)
+        s = dinv * (beta - jnp.sum(g * coefs[:, :], axis=1, keepdims=True))
+
+        w = u - et
+        Ginv[:, :, :] = Ginv[:, :, :] \
+            + dinv[:, :, None] * w[:, :, None] * w[:, None, :] \
+            - okf[:, :, None] * et[:, :, None] * et[:, None, :]
+        coefs[:, :] = coefs[:, :] - s * w
+        idxs[:, :] = jnp.where((et > 0) & ok,
+                               jnp.broadcast_to(i, (B, k)), idxs[:, :])
+        cols[:, :, :] = cols[:, :, :] \
+            + (acol * okf)[:, None, :] * et[:, :, None]
+        kcnt[:, :] = kcnt[:, :] + ok.astype(jnp.int32)
+        return scores
+
+    def iteration(count: int, done):
+        scores = jnp.abs(
+            lax.dot_general(r[:, :].astype(cdt), A_ref[:, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32))        # (B, m)
+        for _ in range(count):
+            scores = append_one(scores, done)
+        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
+        r[:, :] = Bs_ref[:, :] - fitted
+        rnorm2 = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
+        full = kcnt[:, :].astype(f32) >= float(n)
+        return jnp.where((rnorm2 < eps2) | full, 1.0, done)
+
+    def outer(t, done):
+        return iteration(l, done)
+
+    done = lax.fori_loop(0, k // l, outer, jnp.zeros((B, 1), f32))
+    if rem > 0:  # unconditional remainder step (src/matchingpursuit.jl:136)
+        iteration(rem, jnp.zeros((B, 1), f32))
+
+    idx_ref[:, :] = idxs[:, :]
+    coef_ref[:, :] = coefs[:, :]
+    r_ref[:, :] = r[:, :]
+
+
+@partial(jax.jit, static_argnames=("l", "k", "eps2", "corr_dtype",
+                                   "interpret"))
+def _gomp_fused_call(A, Bs, l: int, k: int, eps2: float, corr_dtype,
+                     interpret: bool = False):
+    n, m = A.shape
+    B = Bs.shape[0]
+    f32 = jnp.float32
+    Ac = A.astype(corr_dtype)
+    Bs = Bs.astype(f32)
+
+    idx, coef, r = pl.pallas_call(
+        partial(_gomp_kernel, k, l, k % l, eps2),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, k), f32),
+            jax.ShapeDtypeStruct((B, n), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, k, n), f32),        # cols
+            pltpu.VMEM((B, k, k), f32),        # Ginv
+            pltpu.VMEM((B, k), f32),           # coef
+            pltpu.VMEM((B, k), jnp.int32),     # idx
+            pltpu.VMEM((B, n), f32),           # r
+            pltpu.VMEM((B, 1), jnp.int32),     # kcnt
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Ac, Bs)
+    return idx, coef, r
+
+
+def gomp_fused_solve(A, Bs, l: int, k: int, max_residual: float = 0.0,
+                     corr_dtype=jnp.bfloat16, interpret: bool = False):
+    """Batched generalized OMP via the whole-solve fused kernel.
+
+    Returns (SparseSolution, residuals). Parity:
+    src/matchingpursuit.jl:95-148 (fixed k atoms, l per iteration,
+    epsilon stopping between iterations, unconditional remainder step).
+    """
+    from cstpu.utils.sparse import SparseSolution
+
+    n, m = A.shape
+    k = int(min(k, m))
+    idx, coef, r = _gomp_fused_call(jnp.asarray(A), jnp.asarray(Bs),
+                                    int(l), k, float(max_residual) ** 2,
+                                    corr_dtype, interpret)
+    mask = idx < m
+    key = jnp.where(mask, idx, INT_MAX)
+    order = jnp.argsort(key, axis=1)
+    take = jnp.take_along_axis
+    sol = SparseSolution(
+        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
+        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
+        mask=take(mask, order, 1),
+        m=int(m),
+    )
+    return sol, r
 
 
 # ---------------------------------------------------------------------------

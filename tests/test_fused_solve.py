@@ -104,3 +104,21 @@ def test_mp_fused_matches_xla_path():
     np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(Bs - xs @ A.T), np.asarray(r),
                                atol=1e-5)
+
+
+def test_gomp_fused_matches_xla_path():
+    from cstpu import gomp
+    from cstpu.ops.fused_solve import gomp_fused_solve
+
+    A, x, b, y = _problem(400, n=32, m=128, k=4)
+    Bs = jnp.stack([b, y, 2.0 * b, b - y])
+    # l=2 divides k=4; also exercise the remainder path with k=5, l=2
+    for k_, l_ in ((4, 2), (5, 2), (3, 1)):
+        sol, r = gomp_fused_solve(A, Bs, l_, k_, corr_dtype=jnp.float32,
+                                  interpret=True)
+        ref = jax.vmap(lambda bb: gomp(A, bb, l_, k_))(Bs)
+        np.testing.assert_array_equal(np.asarray(sol.idx),
+                                      np.asarray(ref.idx),
+                                      err_msg=f"k={k_} l={l_}")
+        np.testing.assert_allclose(np.asarray(sol.val), np.asarray(ref.val),
+                                   atol=1e-4, err_msg=f"k={k_} l={l_}")
