@@ -37,7 +37,11 @@ def forward_deltas(A, b, st, colnorm2, m: int):
     r = aset.residual(st, b)
     q = r @ A  # == A'r without transposing the dictionary
     resc = aset.ols_rescaling(A, st, colnorm2)
-    d2 = jnp.where(resc > 0, q * q / resc, -jnp.inf)
+    # dtype-realistic version of the reference's `rescaling > 0`: below
+    # ~8n ulps of the column norm the energetic norm is numerical noise
+    # (an f32 Gram cannot distinguish such an atom from the active span)
+    rtol = 8.0 * A.shape[0] * jnp.finfo(A.dtype).eps
+    d2 = jnp.where(resc > rtol * colnorm2, q * q / resc, -jnp.inf)
     act = aset.active_marker(st, m)
     return jnp.where(act, 0.0, d2), jnp.linalg.norm(r)
 

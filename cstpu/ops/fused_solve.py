@@ -48,6 +48,17 @@ from jax.experimental.pallas import tpu as pltpu
 INT_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _degeneracy_rtol(n: int) -> float:
+    """Relative threshold below which an atom's orthogonal component is
+    numerical noise in f32-accumulated Gram arithmetic (~8n ulps). Appends
+    with d < rtol * ||a||^2 are rejected (the batched analog of the
+    reference's instability guard, /root/reference/src/backward.jl:169-173)
+    and FR treats rescalings below rtol * ||a_j||^2 as "inside the active
+    span" (a dtype-realistic version of src/forward.jl's `rescaling > 0`).
+    """
+    return 8.0 * n * 1.1920929e-07
+
+
 def _solve_kernel(k: int, A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
                   cols, Ginv, coefs, idxs, r):
     B, n = Bs_ref.shape
@@ -95,7 +106,7 @@ def _solve_kernel(k: int, A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
         d = ata - jnp.sum(g * u, axis=1, keepdims=True)         # (B, 1)
         dup = jnp.sum((idxs[:, :] == i).astype(f32), axis=1,
                       keepdims=True) > 0                        # (B, 1)
-        ok = (~dup) & (d > 1e-12 * ata)                         # (B, 1)
+        ok = (~dup) & (d > _degeneracy_rtol(n) * ata)           # (B, 1)
         okf = ok.astype(f32)
         dinv = okf / jnp.where(d > 0, d, 1.0)                   # (B, 1)
         s = dinv * (beta - jnp.sum(g * coefs[:, :], axis=1,
@@ -253,7 +264,8 @@ def _fr_kernel(k: int, max_eps2: float, min_d2: float,
         q = lax.dot_general(r[:, :].astype(cdt), A_ref[:, :],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=f32)         # (B, m)
-        d2 = jnp.where(resc[:, :] > 0, q * q / resc[:, :], NEG)
+        rmin = _degeneracy_rtol(n) * cn2_ref[0:1, :]
+        d2 = jnp.where(resc[:, :] > rmin, q * q / resc[:, :], NEG)
         d2 = jnp.where(amask[:, :] > 0, 0.0, d2)   # active atoms score 0
         dmax = jnp.max(d2, axis=1, keepdims=True)               # (B, 1)
         i = jnp.min(jnp.where(d2 == dmax, col_iota, INT_MAX),
@@ -278,7 +290,7 @@ def _fr_kernel(k: int, max_eps2: float, min_d2: float,
         d = ata - jnp.sum(g * u, axis=1, keepdims=True)
         dup = jnp.sum((idxs[:, :] == i).astype(f32), axis=1,
                       keepdims=True) > 0
-        okb = ok & (~dup) & (d > 1e-12 * ata)
+        okb = ok & (~dup) & (d > _degeneracy_rtol(n) * ata)
         okf = okb.astype(f32)
         dinv = okf / jnp.where(d > 0, d, 1.0)
         s = dinv * (beta - jnp.sum(g * coefs[:, :], axis=1, keepdims=True))
@@ -456,7 +468,7 @@ def _gomp_kernel(k: int, l: int, rem: int, eps2: float,
         g = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)  # slot free
         u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)
         d = ata - jnp.sum(g * u, axis=1, keepdims=True)
-        ok = pre & (d > 1e-12 * ata)
+        ok = pre & (d > _degeneracy_rtol(n) * ata)
         okf = ok.astype(f32)
         dinv = okf / jnp.where(d > 0, d, 1.0)
         s = dinv * (beta - jnp.sum(g * coefs[:, :], axis=1, keepdims=True))

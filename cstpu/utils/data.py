@@ -61,16 +61,22 @@ gaussian_data = sparse_data
 
 
 def correlated_data(key, n: int, m: int, k: int, normalized: bool = True,
-                    dtype=None):
-    """Ill-conditioned dictionary A = U diag(1/i^2) V with correlated
+                    dtype=None, decay: float = 2.0):
+    """Ill-conditioned dictionary A = U diag(1/i^decay) V with correlated
     columns — the hard benchmark family of the reference
-    (/root/reference/src/util.jl:34-47). Returns (A, x, b).
+    (/root/reference/src/util.jl:34-47; decay=2 is the reference's
+    spectrum). Returns (A, x, b).
+
+    At the reference's test sizes (n=32) decay=2 gives condition ~1e3; at
+    large n it collapses the numerical rank entirely (sigma_i = i^-2), so
+    large-scale benchmarks pass a gentler decay to keep recovery
+    well-posed while remaining strongly correlated.
     """
     dtype = dtype or _default_dtype()
     k_u, k_v, k_x = jax.random.split(key, 3)
     U = jax.random.normal(k_u, (n, n), dtype=dtype)
     V = jax.random.normal(k_v, (n, m), dtype=dtype)
-    s = 1.0 / jnp.arange(1, n + 1, dtype=dtype) ** 2
+    s = 1.0 / jnp.arange(1, n + 1, dtype=dtype) ** decay
     A = (U * s[None, :]) @ V
     if normalized:
         A = A / jnp.sqrt(jnp.sum(A * A, axis=0, keepdims=True))
