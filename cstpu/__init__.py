@@ -65,6 +65,7 @@ from cstpu.models.batched import (
 )
 from cstpu.utils.diagnostics import omp_traced, SolveTrace
 from cstpu.utils.checkpoint import save_state, load_state
+from cstpu.utils.profiling import solve_cost, roofline_report
 
 __version__ = "0.1.0"
 
@@ -86,4 +87,5 @@ __all__ = [
     "batch", "omp_batch", "fr_batch", "mp_batch", "sp_batch",
     "gomp_batch", "rmps_batch",
     "omp_traced", "SolveTrace", "save_state", "load_state",
+    "solve_cost", "roofline_report",
 ]

@@ -122,8 +122,31 @@ def mp_batch(A, Bs, k: int, precision=None):
     return jax.vmap(lambda bb: mp(A, bb, k))(Bs)
 
 
-def sp_batch(A, Bs, k, delta: float = 1e-12, maxiter=None):
-    """Batched subspace pursuit over measurement rows Bs (B, n)."""
+def sp_batch(A, Bs, k, delta: float = 1e-12, maxiter=None, precision=None):
+    """Batched subspace pursuit over measurement rows Bs (B, n).
+
+    On TPU dispatches to the whole-solve fused SP kernel (2k-slot add/
+    delete engine in VMEM: bordered block-inverse appends, rank-one Schur
+    deletion downdates). `precision` as in omp_batch.
+    """
+    import jax.numpy as jnp
+
+    from cstpu.ops import fused_twostage
+
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    use_fused = (
+        precision in (None, "bf16", "f32")
+        and A.dtype == jnp.float32
+        and Bs.ndim == 2
+        and jax.default_backend() == "tpu"
+        and fused_twostage.supported_sp(A, Bs, int(k))
+    )
+    if use_fused:
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        sol, _ = fused_twostage.sp_fused_solve(A, Bs, int(k), delta,
+                                               maxiter, corr_dtype=cdt)
+        return sol
     return jax.vmap(lambda bb: sp(A, bb, k, delta, maxiter))(Bs)
 
 

@@ -67,11 +67,18 @@ def _backward_stage(A, b, st, max_eps, max_delta, m, min_k=0):
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
-def _rmp_delta(A, b, delta, maxiter: int):
+def _rmp_delta(A, b, delta, maxiter: int, idx0=None, mask0=None):
     n, m = A.shape
     kmax = min(n, m)
     colnorm2 = jnp.sum(A * A, axis=0)
-    st0 = aset.refit(aset.empty(n, kmax, m, A.dtype))
+    if idx0 is None:
+        st0 = aset.refit(aset.empty(n, kmax, m, A.dtype))
+    else:  # warm start from a given support (src/stepwise.jl:5-6's x arg)
+        pad = jnp.full((kmax - idx0.shape[0],), m, jnp.int32)
+        padm = jnp.zeros((kmax - idx0.shape[0],), bool)
+        st0 = aset.refit(aset.rebuild(
+            A, b, jnp.concatenate([idx0.astype(jnp.int32), pad]),
+            jnp.concatenate([mask0, padm])))
     zero = jnp.asarray(0.0, A.dtype)
     inf = jnp.asarray(jnp.inf, A.dtype)
 
@@ -109,7 +116,7 @@ def _rmp_k(A, b, k: int):
 
 
 def rmp(A, b, k: int | None = None, delta: float | None = None,
-        maxiter: int = 1) -> SparseSolution:
+        maxiter: int = 1, x0=None) -> SparseSolution:
     """Relevance matching pursuit (zero-noise limit).
 
     Two calling conventions, matching the reference's dispatch
@@ -118,11 +125,24 @@ def rmp(A, b, k: int | None = None, delta: float | None = None,
         marginal tolerance d, backward stage at d, iterated with
         stationarity detection;
       * rmp(A, b, k=s) — forward to exhaustion, backward down to s atoms.
+    `x0` warm-starts the delta variant from a given solution's support — a
+    SparseSolution or an index array (the reference's initial-x argument,
+    src/stepwise.jl:5-6).
     """
     if (k is None) == (delta is None):
         raise ValueError("specify exactly one of k or delta")
     if delta is not None:
-        return _rmp_delta(A, b, jnp.asarray(delta, A.dtype), int(maxiter))
+        idx0 = mask0 = None
+        if x0 is not None:
+            from cstpu.utils.sparse import SparseSolution as _SS
+
+            if isinstance(x0, _SS):
+                idx0, mask0 = x0.idx, x0.mask
+            else:
+                idx0 = jnp.asarray(x0, jnp.int32)
+                mask0 = jnp.ones(idx0.shape, bool)
+        return _rmp_delta(A, b, jnp.asarray(delta, A.dtype), int(maxiter),
+                          idx0, mask0)
     return _rmp_k(A, b, int(k))
 
 

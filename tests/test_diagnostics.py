@@ -47,3 +47,14 @@ def test_checkpoint_roundtrip(tmp_path):
     st2 = load_state(path, st)
     for a, c in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_roofline_report_consistency():
+    from cstpu import solve_cost, roofline_report
+
+    cost = solve_cost(B=64, n=1024, m=8192, k=32)
+    rep = roofline_report(1e-3, cost, peak_tflops=100.0, peak_gbps=800.0)
+    assert rep["atom_selections_per_sec"] == 64 * 32 / 1e-3
+    assert 0 < rep["frac_of_peak_flops"] < 100
+    # loop-traffic roof must exceed fused traffic by ~k
+    assert rep["hbm_gbps_if_loop"] > 10 * rep["hbm_gbps_if_fused"]

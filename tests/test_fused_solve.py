@@ -122,3 +122,36 @@ def test_gomp_fused_matches_xla_path():
                                       err_msg=f"k={k_} l={l_}")
         np.testing.assert_allclose(np.asarray(sol.val), np.asarray(ref.val),
                                    atol=1e-4, err_msg=f"k={k_} l={l_}")
+
+
+def test_sp_fused_matches_xla_path():
+    from cstpu import sp
+    from cstpu.ops.fused_twostage import sp_fused_solve
+
+    A, x, b, y = _problem(500, n=32, m=128, k=3)
+    Bs = jnp.stack([b, y, -2.0 * b, b + y])
+    sol, r = sp_fused_solve(A, Bs, 3, maxiter=8, corr_dtype=jnp.float32,
+                            interpret=True)
+    ref = jax.vmap(lambda bb: sp(A, bb, 3, maxiter=8))(Bs)
+    # supports must agree exactly; coefficients to LS accuracy
+    def active(idxs, masks):
+        return [np.sort(np.asarray(idxs[i])[np.asarray(masks[i])])
+                for i in range(idxs.shape[0])]
+    got, want = active(sol.idx, sol.mask), active(ref.idx, ref.mask)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    dense_f = jax.vmap(lambda s: s.todense())(sol)
+    dense_r = jax.vmap(lambda s: s.todense())(ref)
+    np.testing.assert_allclose(np.asarray(dense_f), np.asarray(dense_r),
+                               atol=1e-4)
+
+
+def test_sp_fused_exact_recovery_noisy():
+    from cstpu import support
+    from cstpu.ops.fused_twostage import sp_fused_solve
+
+    A, x, b, y = _problem(501, n=32, m=128, k=3)
+    sol, _ = sp_fused_solve(A, y[None, :], 3, corr_dtype=jnp.float32,
+                            interpret=True)
+    got = np.asarray(sol.idx[0])[np.asarray(sol.mask[0])]
+    np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))

@@ -99,3 +99,29 @@ def test_bp_ard_sharded_recovers(mesh):
     A, x, b, _ = _problem(76, n=32, m=48)
     sol = np.asarray(bp_ard_sharded(A, b, mesh))
     assert list(np.flatnonzero(np.abs(sol) > 1e-5)) == list(support(x))
+
+
+def test_distributed_mesh_and_shard_global():
+    # single-process path over the 8 virtual devices
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from cstpu.parallel import distributed as dist
+
+    mesh = dist.initialize_and_mesh(batch_shards=2, atoms_shards=4)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "batch": 2, "atoms": 4}
+
+    # array form
+    A = jnp.arange(32.0).reshape(4, 8)
+    As = dist.shard_global(A, mesh, P(None, "atoms"))
+    np.testing.assert_array_equal(np.asarray(As), np.asarray(A))
+
+    # callback form: each shard built only from its index slice
+    def cb(index):
+        return np.asarray(A)[index]
+
+    Ac = dist.shard_global(cb, mesh, P(None, "atoms"), global_shape=(4, 8))
+    np.testing.assert_array_equal(np.asarray(Ac), np.asarray(A))

@@ -54,3 +54,18 @@ def test_foba_noisy():
     assert list(sol.nzind) == list(support(x))
     np.testing.assert_allclose(sol.nzval, np.asarray(x)[support(x)],
                                atol=2 * DELTA)
+
+
+def test_rmp_warm_start_support():
+    # warm-starting from the true support must keep it (stationary point)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cstpu import rmp, sparse_data, support
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(77))
+    A, x, b = sparse_data(kd, n=32, m=64, k=3)
+    sol = rmp(A, b, delta=1e-8, x0=jnp.asarray(support(x)))
+    got = np.asarray(sol.idx)[np.asarray(sol.mask)]
+    np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
