@@ -77,19 +77,33 @@ def _recovery(sol, sup, m):
                           for i in range(len(planted))]))
 
 
-def _chain(solver, k):
+def _chain(solver, k, A=None):
+    """Chained-rep timing closure. Pass `A` to thread the dictionary
+    through the jit boundary as an argument — a closure-captured array is
+    baked into the program as a constant, which breaks the remote-compile
+    tunnel beyond ~100 MB and bloats every compile below that."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    if A is None:
+        @partial(jax.jit, static_argnames=("reps",))
+        def chain(Bs, reps: int):
+            def body(i, acc):
+                sol = solver(Bs + i.astype(jnp.float32) * 1e-30)
+                return acc + jnp.sum(sol.val)
+            return lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        return chain
+
     @partial(jax.jit, static_argnames=("reps",))
-    def chain(Bs, reps: int):
+    def chain_a(A_, Bs, reps: int):
         def body(i, acc):
-            sol = solver(Bs + i.astype(jnp.float32) * 1e-30)
+            sol = solver(A_, Bs + i.astype(jnp.float32) * 1e-30)
             return acc + jnp.sum(sol.val)
         return lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    return chain
+    return lambda Bs, reps: chain_a(A, Bs, reps)
 
 
 def _emit(name, atoms_per_sec, extra):
@@ -243,6 +257,28 @@ def config5():
     print(json.dumps({"config": f"5:bp_ard_sharded_{ndev}dev_m{m}",
                       "recovery": rec, "s_per_solve": round(dt, 2),
                       "devices": ndev}))
+
+    # 5b: single-chip streaming OMP at beyond-VMEM dictionary scale — the
+    # per-shard compute pattern of the 1M-atom config (each host/chip runs
+    # this kernel on its local atom columns)
+    import jax.numpy as jnp
+
+    from cstpu.models.batched import omp_batch
+
+    if jax.default_backend() != "tpu":
+        return
+    B2, n2, m2, k2 = 64, 1024, 131072, 32
+    A2, X2, Bs2, sup2 = _planted(jax.random.PRNGKey(6), B2, n2, m2, k2)
+    solver = lambda A_, Bs_: omp_batch(A_, Bs_, k2)
+    rec = _recovery(solver(A2, Bs2), sup2, m2)
+    per_rep = _timers()
+    t = per_rep(_chain(solver, k2, A2), Bs2, 1, 5)
+    gbps = k2 * n2 * m2 * 2 / t / 1e9
+    print(json.dumps({"config": "5b:omp_stream_1024x131072_k32",
+                      "atom_selections_per_sec": round(B2 * k2 / t, 1),
+                      "ms_per_solve": round(t * 1e3, 2),
+                      "dict_stream_GBps": round(gbps, 1),
+                      "recovery": rec}))
 
 
 if __name__ == "__main__":

@@ -50,18 +50,22 @@ def omp_batch(A, Bs, k=None, max_residual: float = 0.0, precision=None):
     A = jnp.asarray(A)
     Bs = jnp.asarray(Bs)
     kk = int(min(k if k is not None else A.shape[0], *A.shape))
-    use_fused = (
+    fused_ok = (
         precision in (None, "bf16", "f32")
         and float(max_residual) == 0.0
         and A.dtype == jnp.float32
         and Bs.ndim == 2
         and jax.default_backend() == "tpu"
-        and fused_solve.supported(A, Bs, kk)
     )
-    if use_fused:
+    if fused_ok:
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
-        sol, _ = fused_solve.omp_fused_solve(A, Bs, kk, corr_dtype=cdt)
-        return sol
+        if fused_solve.supported(A, Bs, kk, cdt):
+            sol, _ = fused_solve.omp_fused_solve(A, Bs, kk, corr_dtype=cdt)
+            return sol
+        if fused_solve.supported_stream(A, Bs, kk, cdt):
+            # dictionary beyond VMEM scale: stream it from HBM per step
+            sol, _ = fused_solve.omp_stream_solve(A, Bs, kk, corr_dtype=cdt)
+            return sol
     return jax.vmap(lambda bb: omp(A, bb, k, max_residual))(Bs)
 
 

@@ -221,6 +221,211 @@ def supported(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Streaming whole-solve OMP: dictionaries beyond VMEM scale
+# ---------------------------------------------------------------------------
+
+def _stream_kernel(k: int, T: int, tm: int, A_ref, Bs_ref,
+                   idx_ref, coef_ref, r_ref,
+                   cols, Ginv, coefs, idxs, r, vmax, vidx, vcol):
+    """OMP with the dictionary STREAMED tile-by-tile from HBM.
+
+    Grid = (k steps) x (T atom tiles); Pallas double-buffers the next A
+    tile while the current one is in compute, so each step costs exactly
+    one HBM read of A — the roofline for dictionaries that cannot be
+    VMEM-pinned (BASELINE's 1M-atom config). Solver state persists in VMEM
+    scratch across grid iterations (TPU grids execute sequentially).
+
+    Selection runs as a running (max, argmax, best column) over tiles: the
+    per-tile best column is extracted while its tile is resident (one-hot
+    GEMM) so no second sweep is needed. The append at the end of each
+    sweep is the same lean bordered block-inverse update as _solve_kernel.
+    """
+    B, n = Bs_ref.shape
+    f32 = jnp.float32
+    cdt = A_ref.dtype
+    m = T * tm
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((t == 0) & (j == 0))
+    def _init():
+        r[:, :] = Bs_ref[:, :]
+        cols[:, :, :] = jnp.zeros_like(cols)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (B, k, k), 1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (B, k, k), 2)
+        Ginv[:, :, :] = (ii == jj).astype(f32)
+        coefs[:, :] = jnp.zeros_like(coefs)
+        idxs[:, :] = jnp.full_like(idxs, m)
+
+    @pl.when(j == 0)
+    def _reset():
+        vmax[:, :] = jnp.full_like(vmax, -jnp.inf)
+        vidx[:, :] = jnp.zeros_like(vidx)
+
+    # --- tile: correlate, tile-argmax, extract tile-best column ----------
+    tile_iota = jax.lax.broadcasted_iota(jnp.int32, (B, tm), 1)
+    scores = jnp.abs(
+        lax.dot_general(r[:, :].astype(cdt), A_ref[:, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32))            # (B, tm)
+    tmax = jnp.max(scores, axis=1, keepdims=True)
+    tloc = jnp.min(jnp.where(scores == tmax, tile_iota, INT_MAX),
+                   axis=1, keepdims=True)                       # (B, 1)
+    toh = (tile_iota == tloc).astype(cdt)
+    tcol = lax.dot_general(toh, A_ref[:, :], (((1,), (1,)), ((), ())),
+                           preferred_element_type=f32)          # (B, n)
+    better = tmax > vmax[:, :]                                  # (B, 1)
+    vidx[:, :] = jnp.where(better, tloc + j * tm, vidx[:, :])
+    vmax[:, :] = jnp.where(better, tmax, vmax[:, :])
+    vcol[:, :] = jnp.where(better, tcol, vcol[:, :])
+
+    # --- sweep end: append the global winner ------------------------------
+    @pl.when(j == T - 1)
+    def _append():
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        acol = vcol[:, :]
+        i = vidx[:, :]
+        ata = jnp.sum(acol * acol, axis=1, keepdims=True)
+        beta = jnp.sum(acol * Bs_ref[:, :], axis=1, keepdims=True)
+        g = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)
+        et = (slot_iota == t).astype(f32)
+        u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)
+        d = ata - jnp.sum(g * u, axis=1, keepdims=True)
+        dup = jnp.sum((idxs[:, :] == i).astype(f32), axis=1,
+                      keepdims=True) > 0
+        ok = (~dup) & (d > _degeneracy_rtol(n) * ata)
+        okf = ok.astype(f32)
+        dinv = okf / jnp.where(d > 0, d, 1.0)
+        s = dinv * (beta - jnp.sum(g * coefs[:, :], axis=1, keepdims=True))
+
+        w = u - et
+        Ginv[:, :, :] = Ginv[:, :, :] \
+            + dinv[:, :, None] * w[:, :, None] * w[:, None, :] \
+            - okf[:, :, None] * et[None, :, :] * et[:, :, None]
+        coefs[:, :] = coefs[:, :] - s * w
+        idxs[:, :] = jnp.where((et > 0) & ok,
+                               jnp.broadcast_to(i, (B, k)), idxs[:, :])
+        cols[:, pl.ds(t, 1), :] = (acol * okf)[:, None, :]
+        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
+        r[:, :] = Bs_ref[:, :] - fitted
+
+    @pl.when((t == k - 1) & (j == T - 1))
+    def _out():
+        idx_ref[:, :] = idxs[:, :]
+        coef_ref[:, :] = coefs[:, :]
+        r_ref[:, :] = r[:, :]
+
+
+def _stream_tile(m: int, n: int, itemsize: int, target_bytes: int) -> int:
+    """Largest 128-multiple divisor of m whose tile fits the VMEM budget."""
+    best = 0
+    tm = 128
+    while tm * n * itemsize <= target_bytes and tm <= m:
+        if m % tm == 0:
+            best = tm
+        tm += 128
+    return best
+
+
+@partial(jax.jit, static_argnames=("k", "corr_dtype", "interpret"))
+def _omp_stream_call(A, Bs, k: int, corr_dtype, interpret: bool = False):
+    n, m = A.shape
+    B = Bs.shape[0]
+    f32 = jnp.float32
+    Ac = A.astype(corr_dtype)
+    Bs = Bs.astype(f32)
+    tm = _stream_tile(m, n, jnp.dtype(corr_dtype).itemsize,
+                      8 * 1024 * 1024)
+    T = m // tm
+
+    idx, coef, r = pl.pallas_call(
+        partial(_stream_kernel, k, T, tm),
+        grid=(k, T),
+        in_specs=[
+            pl.BlockSpec((n, tm), lambda t, j: (0, j),
+                         memory_space=pltpu.VMEM),               # A tile
+            pl.BlockSpec((B, n), lambda t, j: (0, 0),
+                         memory_space=pltpu.VMEM),               # Bs
+        ],
+        out_specs=[
+            pl.BlockSpec((B, k), lambda t, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), lambda t, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, n), lambda t, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, k), f32),
+            jax.ShapeDtypeStruct((B, n), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, k, n), f32),        # cols
+            pltpu.VMEM((B, k, k), f32),        # Ginv
+            pltpu.VMEM((B, k), f32),           # coef
+            pltpu.VMEM((B, k), jnp.int32),     # idx
+            pltpu.VMEM((B, n), f32),           # r
+            pltpu.VMEM((B, 1), f32),           # running max
+            pltpu.VMEM((B, 1), jnp.int32),     # running argmax
+            pltpu.VMEM((B, n), f32),           # running best column
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * n * m * k,
+            bytes_accessed=k * n * m * Ac.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(Ac, Bs)
+    return idx, coef, r
+
+
+def omp_stream_solve(A, Bs, k: int, corr_dtype=jnp.bfloat16,
+                     interpret: bool = False):
+    """Batched OMP for dictionaries beyond VMEM scale (streamed from HBM).
+
+    Semantics identical to omp_fused_solve; per-step cost is one HBM read
+    of the dictionary, overlapped with compute by the tile pipeline.
+    """
+    from cstpu.utils.sparse import SparseSolution
+
+    n, m = A.shape
+    k = int(min(k, n, m))
+    idx, coef, r = _omp_stream_call(jnp.asarray(A), jnp.asarray(Bs), k,
+                                    corr_dtype, interpret)
+    mask = idx < m
+    key = jnp.where(mask, idx, INT_MAX)
+    order = jnp.argsort(key, axis=1)
+    take = jnp.take_along_axis
+    sol = SparseSolution(
+        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
+        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
+        mask=take(mask, order, 1),
+        m=int(m),
+    )
+    return sol, r
+
+
+def supported_stream(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
+    """Gate: solver STATE must fit VMEM; the dictionary need not."""
+    n, m = A.shape
+    B = Bs.shape[0]
+    k = int(min(k, n, m))
+    if n % 8 or B % 8:
+        return False
+    itemsize = jnp.dtype(corr_dtype).itemsize
+    if _stream_tile(m, n, itemsize, 8 * 1024 * 1024) == 0:
+        return False
+    state = (B * k * n * 4 + 4 * B * n * 4 + B * k * k * 4
+             + 2 * 8 * 1024 * 1024)  # state + double-buffered tiles
+    return state < 100 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
 # Forward regression (OLS selection rule), whole-solve fused
 # ---------------------------------------------------------------------------
 

@@ -155,3 +155,19 @@ def test_sp_fused_exact_recovery_noisy():
                             interpret=True)
     got = np.asarray(sol.idx[0])[np.asarray(sol.mask[0])]
     np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
+
+
+def test_stream_matches_fused_solve():
+    from cstpu.ops.fused_solve import omp_fused_solve, omp_stream_solve
+
+    A, x, b, y = _problem(600, n=32, m=512, k=3)
+    Bs = jnp.stack([b, y, -b, 0.3 * b + y])
+    sol_s, r_s = omp_stream_solve(A, Bs, 3, corr_dtype=jnp.float32,
+                                  interpret=True)
+    sol_f, r_f = omp_fused_solve(A, Bs, 3, corr_dtype=jnp.float32,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(sol_s.idx),
+                                  np.asarray(sol_f.idx))
+    np.testing.assert_allclose(np.asarray(sol_s.val), np.asarray(sol_f.val),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_s), np.asarray(r_f), atol=1e-5)
