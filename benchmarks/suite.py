@@ -178,8 +178,9 @@ def config3():
     _emit("3a:fr_correlated025_1024x8192_k16", B * k / t,
           {"ms_per_solve": round(t * 1e3, 4), "recovery": rec, "batch": B})
 
-    ssolver = lambda Bs_: jax.vmap(
-        lambda bb: srr(A, bb, k, 1e-12, maxiter=4))(Bs_)
+    from cstpu.models.batched import srr_batch
+
+    ssolver = lambda Bs_: srr_batch(A, Bs_, k, 1e-12, maxiter=4)
     rec = _recovery(ssolver(Bs), sup, m)
     t = per_rep(_chain(ssolver, k), Bs, 1, 3)
     _emit("3b:srr_correlated025_1024x8192_k16", B * k / t,

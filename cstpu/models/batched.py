@@ -185,3 +185,36 @@ def gomp_batch(A, Bs, l, k=None, max_residual: float = 0.0, precision=None):
 def rmps_batch(A, Bs, sigma, **kw):
     """Batched RMPS over measurement rows Bs (B, n)."""
     return jax.vmap(lambda bb: rmps(A, bb, sigma, **kw))(Bs)
+
+
+def srr_batch(A, Bs, k: int, delta: float = 1e-12, maxiter=None,
+              l: int = 1, initialization: int = 1, precision=None):
+    """Batched SRR over measurement rows Bs (B, n).
+
+    On TPU with the default oblivious initialization this dispatches to
+    the whole-solve fused SRR kernel (forward OLS steps + backward
+    deletions with order-recursive rescaling, all in VMEM). Other
+    initializations take the vmapped XLA path.
+    """
+    import jax.numpy as jnp
+
+    from cstpu.ops import fused_twostage
+
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    use_fused = (
+        precision in (None, "bf16", "f32")
+        and initialization == 1
+        and A.dtype == jnp.float32
+        and Bs.ndim == 2
+        and jax.default_backend() == "tpu"
+        and fused_twostage.supported_srr(A, Bs, int(k), int(l))
+    )
+    if use_fused:
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        sol, _ = fused_twostage.srr_fused_solve(A, Bs, int(k), delta,
+                                                maxiter, int(l),
+                                                corr_dtype=cdt)
+        return sol
+    return jax.vmap(lambda bb: srr(A, bb, k, delta, maxiter,
+                                   initialization, l))(Bs)

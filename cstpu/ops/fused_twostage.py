@@ -180,6 +180,280 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     r_ref[:, :] = r[:, :]
 
 
+# ---------------------------------------------------------------------------
+# Stepwise Regression with Replacement (SRR), whole-solve fused
+# ---------------------------------------------------------------------------
+
+def _srr_kernel(k: int, l: int, maxiter: int, delta2: float,
+                A_ref, Bs_ref, cn2_ref, idx_ref, coef_ref, r_ref,
+                cols, Ginv, Atbs, coefs, idxs, r, resc, amask):
+    """SRR (parity /root/reference/src/twostage.jl:3-33), fused whole-solve.
+
+    Oblivious k-atom init, then alternate: up to l forward-regression steps
+    (OLS rule, order-recursive rescaling — see _fr_kernel) and backward
+    deletions back to k atoms (min coef^2/gamma with gamma = diag(Ginv),
+    parity src/backward.jl:69-83). Deletion updates the rescaling with the
+    dual identity: removing atom p frees the direction v = A_S Ginv e_p
+    (the only span(S) vector orthogonal to S\\{p}), so
+    rescaling_j += (v'a_j)^2 / gamma_pp — one MXU GEMM, symmetric to the
+    append update. Outer while exits when every instance's residual stops
+    improving (the final iterate is kept, as in src/twostage.jl:19-31).
+    """
+    B, n = Bs_ref.shape
+    m = A_ref.shape[1]
+    K = k + l
+    f32 = jnp.float32
+    cdt = A_ref.dtype
+    deg = _degeneracy_rtol(n)
+
+    r[:, :] = Bs_ref[:, :]
+    cols[:, :, :] = jnp.zeros_like(cols)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, K, K), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (B, K, K), 2)
+    eye = (ii == jj).astype(f32)
+    Ginv[:, :, :] = eye
+    Atbs[:, :] = jnp.zeros_like(Atbs)
+    coefs[:, :] = jnp.zeros_like(coefs)
+    idxs[:, :] = jnp.full_like(idxs, m)
+    resc[:, :] = jnp.broadcast_to(cn2_ref[0:1, :], (B, m))
+    amask[:, :] = jnp.zeros_like(amask)
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, m), 1)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    BIG = jnp.int32(K + 1)
+    NEG = jnp.float32(-jnp.inf)
+
+    def append(i, gate):
+        """FR-engine append of atom i (B,1) at the first free slot, with
+        order-recursive rescaling/active-mask maintenance."""
+        oh = (col_iota == i).astype(cdt)
+        acol = lax.dot_general(oh, A_ref[:, :], (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+        fs = jnp.min(jnp.where(idxs[:, :] >= m, slot_iota, BIG), axis=1,
+                     keepdims=True)
+        dup = jnp.sum((idxs[:, :] == i).astype(f32), axis=1,
+                      keepdims=True) > 0
+        ata = jnp.sum(acol * acol, axis=1, keepdims=True)
+        beta = jnp.sum(acol * Bs_ref[:, :], axis=1, keepdims=True)
+        g = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)
+        u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)
+        d = ata - jnp.sum(g * u, axis=1, keepdims=True)
+        ok = gate & (~dup) & (fs < BIG) & (d > deg * ata)
+        okf = ok.astype(f32)
+        et = (slot_iota == fs).astype(f32) * okf
+        dinv = okf / jnp.where(d > 0, d, 1.0)
+        s = dinv * (beta - jnp.sum(g * coefs[:, :], axis=1, keepdims=True))
+
+        w = u - et
+        Ginv[:, :, :] = Ginv[:, :, :] \
+            + dinv[:, :, None] * w[:, :, None] * w[:, None, :] \
+            - et[:, :, None] * et[:, None, :] * okf[:, :, None]
+        Atbs[:, :] = Atbs[:, :] + beta * et
+        idxs[:, :] = jnp.where(et > 0, jnp.broadcast_to(i, (B, K)),
+                               idxs[:, :])
+        cols[:, :, :] = cols[:, :, :] + acol[:, None, :] * et[:, :, None]
+
+        aperp = acol - jnp.sum(cols[:, :, :] * u[:, :, None], axis=1)
+        z = lax.dot_general(aperp.astype(cdt), A_ref[:, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+        resc[:, :] = resc[:, :] - dinv * z * z
+        amask[:, :] = amask[:, :] + oh.astype(f32) * okf
+        return ok
+
+    def refit_residual():
+        coefs[:, :] = jnp.sum(Ginv[:, :, :] * Atbs[:, :][:, None, :],
+                              axis=2)
+        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
+        r[:, :] = Bs_ref[:, :] - fitted
+
+    def forward_step(gate):
+        """One OLS-rule forward step; returns per-instance accept."""
+        q = lax.dot_general(r[:, :].astype(cdt), A_ref[:, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+        rmin = deg * cn2_ref[0:1, :]
+        d2 = jnp.where(resc[:, :] > rmin, q * q / resc[:, :], NEG)
+        d2 = jnp.where(amask[:, :] > 0, 0.0, d2)
+        dmax = jnp.max(d2, axis=1, keepdims=True)
+        i = jnp.min(jnp.where(d2 == dmax, col_iota, INT_MAX),
+                    axis=1, keepdims=True)
+        rnorm2 = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
+        ok = append(i, gate & (rnorm2 > 0) & (dmax > 0))
+        refit_residual()
+        return ok
+
+    def backward_step(gate):
+        """Delete the min coef^2/gamma active slot (when gated)."""
+        diag = jnp.sum(Ginv[:, :, :] * eye, axis=2)              # (B, K)
+        act = idxs[:, :] < m
+        d2 = jnp.where(act, coefs[:, :] * coefs[:, :]
+                       / jnp.maximum(diag, 1e-30), jnp.inf)
+        dmin = jnp.min(d2, axis=1, keepdims=True)
+        p = jnp.min(jnp.where(d2 == dmin, slot_iota, BIG), axis=1,
+                    keepdims=True)
+        has = gate & (dmin < jnp.inf)
+        hasf = has.astype(f32)
+        ep = (slot_iota == p).astype(f32) * hasf                  # (B, K)
+
+        wcol = jnp.sum(Ginv[:, :, :] * ep[:, None, :], axis=2)   # Ginv e_p
+        gpp = jnp.sum(wcol * ep, axis=1, keepdims=True)
+        inv = hasf / jnp.where(gpp > 0, gpp, 1.0)
+
+        # dual rescaling update before the state changes
+        v = jnp.sum(cols[:, :, :] * wcol[:, :, None], axis=1)    # (B, n)
+        z = lax.dot_general(v.astype(cdt), A_ref[:, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+        resc[:, :] = resc[:, :] + inv * z * z
+        di = jnp.sum(idxs[:, :] * (ep > 0).astype(jnp.int32), axis=1,
+                     keepdims=True)                              # (B, 1)
+        amask[:, :] = jnp.maximum(
+            amask[:, :] - (col_iota == di).astype(f32) * hasf, 0.0)
+
+        Ginv[:, :, :] = Ginv[:, :, :] \
+            - inv[:, :, None] * wcol[:, :, None] * wcol[:, None, :] \
+            + ep[:, :, None] * ep[:, None, :]
+        idxs[:, :] = jnp.where(ep > 0, m, idxs[:, :])
+        Atbs[:, :] = Atbs[:, :] * (1.0 - ep)
+        cols[:, :, :] = cols[:, :, :] * (1.0 - ep)[:, :, None]
+        refit_residual()
+
+    # --- init: oblivious top-k (src/twostage.jl via :8-17 init mode 1) ---
+    sc0 = jnp.abs(lax.dot_general(Bs_ref[:, :].astype(cdt), A_ref[:, :],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32))
+
+    def init_one(_, sc):
+        smax = jnp.max(sc, axis=1, keepdims=True)
+        i = jnp.min(jnp.where(sc == smax, col_iota, INT_MAX),
+                    axis=1, keepdims=True)
+        sc = jnp.where(col_iota == i, -jnp.inf, sc)
+        append(i, smax > -jnp.inf)
+        return sc
+
+    lax.fori_loop(0, k, init_one, sc0)
+    refit_residual()
+    prev0 = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
+
+    def body(carry):
+        t, prev, done = carry
+        gate = done < 0.5
+
+        def fwd(_, fgate):
+            ok = forward_step(fgate > 0.5)
+            return fgate * ok.astype(f32)
+
+        lax.fori_loop(0, l, fwd, gate.astype(f32))
+
+        def bwd(_, __):
+            over = jnp.sum((idxs[:, :] < m).astype(f32), axis=1,
+                           keepdims=True) > float(k)
+            backward_step(gate & over)
+            return 0
+
+        lax.fori_loop(0, l, bwd, 0)
+
+        res = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
+        res = jnp.where(gate, res, prev)
+        done2 = jnp.where((res <= delta2) | (prev <= res), 1.0, done)
+        return t + 1, res, done2
+
+    def cond(carry):
+        t, prev, done = carry
+        return (t < maxiter) & (jnp.min(done) < 0.5)
+
+    lax.while_loop(cond, body,
+                   (jnp.int32(0), prev0, jnp.zeros((B, 1), f32)))
+
+    idx_ref[:, :] = idxs[:, :]
+    coef_ref[:, :] = coefs[:, :]
+    r_ref[:, :] = r[:, :]
+
+
+@partial(jax.jit, static_argnames=("k", "l", "maxiter", "delta2",
+                                   "corr_dtype", "interpret"))
+def _srr_fused_call(A, Bs, k: int, l: int, maxiter: int, delta2: float,
+                    corr_dtype, interpret: bool = False):
+    n, m = A.shape
+    B = Bs.shape[0]
+    f32 = jnp.float32
+    Ac = A.astype(corr_dtype)
+    Bs = Bs.astype(f32)
+    cn2 = jnp.sum(A.astype(f32) * A.astype(f32), axis=0)[None, :]
+    K = k + l
+
+    idx, coef, r = pl.pallas_call(
+        partial(_srr_kernel, k, l, maxiter, delta2),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, K), f32),
+            jax.ShapeDtypeStruct((B, n), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, K, n), f32),        # cols
+            pltpu.VMEM((B, K, K), f32),        # Ginv
+            pltpu.VMEM((B, K), f32),           # Atb
+            pltpu.VMEM((B, K), f32),           # coef
+            pltpu.VMEM((B, K), jnp.int32),     # idx
+            pltpu.VMEM((B, n), f32),           # r
+            pltpu.VMEM((B, m), f32),           # rescaling
+            pltpu.VMEM((B, m), f32),           # active mask
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Ac, Bs, cn2)
+    return idx, coef, r
+
+
+def srr_fused_solve(A, Bs, k: int, delta: float = 1e-12,
+                    maxiter: int | None = None, l: int = 1,
+                    corr_dtype=jnp.bfloat16, interpret: bool = False):
+    """Batched SRR via the whole-solve fused kernel (oblivious init).
+
+    Parity: src/twostage.jl:3-33 with initialization=1; other init modes
+    take the XLA path. Returns (SparseSolution, residuals).
+    """
+    from cstpu.utils.sparse import SparseSolution
+
+    n, m = A.shape
+    k = int(k)
+    l = int(l)
+    maxiter = int(maxiter if maxiter is not None else 4 * k)
+    idx, coef, r = _srr_fused_call(jnp.asarray(A), jnp.asarray(Bs), k, l,
+                                   maxiter, float(delta) ** 2, corr_dtype,
+                                   interpret)
+    mask = idx < m
+    key = jnp.where(mask, idx, INT_MAX)
+    order = jnp.argsort(key, axis=1)
+    take = jnp.take_along_axis
+    sol = SparseSolution(
+        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
+        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
+        mask=take(mask, order, 1),
+        m=int(m),
+    )
+    return sol, r
+
+
+def supported_srr(A, Bs, k: int, l: int = 1,
+                  corr_dtype=jnp.bfloat16) -> bool:
+    """VMEM gate for the fused SRR kernel ((k+l)-slot state + 2 (B,m))."""
+    n, m = A.shape
+    B = Bs.shape[0]
+    K = int(k) + int(l)
+    if n % 8 or m % 128 or B % 8:
+        return False
+    itemsize = jnp.dtype(corr_dtype).itemsize
+    vmem = (n * m * itemsize + B * K * n * 4
+            + 2 * B * n * 4 + B * m * 4 * 4 + B * K * K * 4)
+    return vmem < 100 * 1024 * 1024
+
+
 @partial(jax.jit, static_argnames=("k", "maxiter", "delta2", "corr_dtype",
                                    "interpret"))
 def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,

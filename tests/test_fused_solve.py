@@ -171,3 +171,26 @@ def test_stream_matches_fused_solve():
     np.testing.assert_allclose(np.asarray(sol_s.val), np.asarray(sol_f.val),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(r_s), np.asarray(r_f), atol=1e-5)
+
+
+def test_srr_fused_matches_xla_path():
+    from cstpu import srr
+    from cstpu.ops.fused_twostage import srr_fused_solve
+
+    A, x, b, y = _problem(700, n=32, m=128, k=3)
+    Bs = jnp.stack([b, y, -b, b + 0.5 * y])
+    for l_ in (1, 2):
+        sol, r = srr_fused_solve(A, Bs, 3, l=l_, corr_dtype=jnp.float32,
+                                 interpret=True)
+        ref = jax.vmap(lambda bb: srr(A, bb, 3, l=l_))(Bs)
+
+        def active(idxs, masks):
+            return [np.sort(np.asarray(idxs[i])[np.asarray(masks[i])])
+                    for i in range(idxs.shape[0])]
+        for g, w in zip(active(sol.idx, sol.mask),
+                        active(ref.idx, ref.mask)):
+            np.testing.assert_array_equal(g, w, err_msg=f"l={l_}")
+        dense_f = jax.vmap(lambda s: s.todense())(sol)
+        dense_r = jax.vmap(lambda s: s.todense())(ref)
+        np.testing.assert_allclose(np.asarray(dense_f),
+                                   np.asarray(dense_r), atol=1e-4)
