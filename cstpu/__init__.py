@@ -61,7 +61,7 @@ from cstpu.models.basis_pursuit import (
 from cstpu.models.exhaustive import exhaustive
 from cstpu.models.batched import (
     batch, omp_batch, fr_batch, mp_batch, sp_batch, gomp_batch,
-    srr_batch, rmps_batch,
+    srr_batch, ompr_batch, rmps_batch,
 )
 from cstpu.utils.diagnostics import omp_traced, SolveTrace
 from cstpu.utils.checkpoint import save_state, load_state
@@ -85,7 +85,7 @@ __all__ = [
     "ista", "fista",
     "exhaustive",
     "batch", "omp_batch", "fr_batch", "mp_batch", "sp_batch",
-    "gomp_batch", "srr_batch", "rmps_batch",
+    "gomp_batch", "srr_batch", "ompr_batch", "rmps_batch",
     "omp_traced", "SolveTrace", "save_state", "load_state",
     "solve_cost", "roofline_report",
 ]

@@ -218,3 +218,31 @@ def srr_batch(A, Bs, k: int, delta: float = 1e-12, maxiter=None,
         return sol
     return jax.vmap(lambda bb: srr(A, bb, k, delta, maxiter,
                                    initialization, l))(Bs)
+
+
+def ompr_batch(A, Bs, k: int, delta: float, eta: float = 1.0,
+               maxiter=None, precision=None):
+    """Batched OMP-with-replacement over measurement rows Bs (B, n).
+
+    On TPU dispatches to the whole-solve fused OMPR kernel (passive-atom
+    gradient selection, gradient coefficient step, Schur-downdate delete).
+    """
+    import jax.numpy as jnp
+
+    from cstpu.ops import fused_twostage
+
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    use_fused = (
+        precision in (None, "bf16", "f32")
+        and A.dtype == jnp.float32
+        and Bs.ndim == 2
+        and jax.default_backend() == "tpu"
+        and fused_twostage.supported_ompr(A, Bs, int(k))
+    )
+    if use_fused:
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        sol, _ = fused_twostage.ompr_fused_solve(A, Bs, int(k), delta, eta,
+                                                 maxiter, corr_dtype=cdt)
+        return sol
+    return jax.vmap(lambda bb: ompr(A, bb, k, delta, eta, maxiter))(Bs)

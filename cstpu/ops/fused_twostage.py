@@ -181,6 +181,238 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
 
 
 # ---------------------------------------------------------------------------
+# OMP with Replacement (OMPR), whole-solve fused
+# ---------------------------------------------------------------------------
+
+def _ompr_kernel(k: int, maxiter: int, delta2: float, eta: float,
+                 A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
+                 cols, Ginv, Atbs, coefs, idxs, r, amask):
+    """OMPR (parity /root/reference/src/twostage.jl:110-202), fused.
+
+    Per iteration: select the best PASSIVE atom by |eta A'r| (for passive
+    atoms the reference's gradient score x + eta A'r reduces to eta A'r —
+    no dense scatter needed), append it, gradient-step every active
+    coefficient (coef += eta a_s'r, a lane reduction over the cached
+    columns — no gathers), delete the min-|coefficient| slot by Schur
+    downdate, LS-refit. Stops on no-passive-atom, residual <= delta, or
+    no improvement (per-instance done latch; in-kernel while exits when
+    the whole batch is done).
+    """
+    B, n = Bs_ref.shape
+    m = A_ref.shape[1]
+    K = k + 1
+    f32 = jnp.float32
+    cdt = A_ref.dtype
+    deg = _degeneracy_rtol(n)
+
+    r[:, :] = Bs_ref[:, :]
+    cols[:, :, :] = jnp.zeros_like(cols)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, K, K), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (B, K, K), 2)
+    eye = (ii == jj).astype(f32)
+    Ginv[:, :, :] = eye
+    Atbs[:, :] = jnp.zeros_like(Atbs)
+    coefs[:, :] = jnp.zeros_like(coefs)
+    idxs[:, :] = jnp.full_like(idxs, m)
+    amask[:, :] = jnp.zeros_like(amask)
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, m), 1)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    BIG = jnp.int32(K + 1)
+
+    def append(i, gate):
+        oh = (col_iota == i).astype(cdt)
+        acol = lax.dot_general(oh, A_ref[:, :], (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+        fs = jnp.min(jnp.where(idxs[:, :] >= m, slot_iota, BIG), axis=1,
+                     keepdims=True)
+        dup = jnp.sum((idxs[:, :] == i).astype(f32), axis=1,
+                      keepdims=True) > 0
+        ata = jnp.sum(acol * acol, axis=1, keepdims=True)
+        beta = jnp.sum(acol * Bs_ref[:, :], axis=1, keepdims=True)
+        g = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)
+        u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)
+        d = ata - jnp.sum(g * u, axis=1, keepdims=True)
+        ok = gate & (~dup) & (fs < BIG) & (d > deg * ata)
+        okf = ok.astype(f32)
+        et = (slot_iota == fs).astype(f32) * okf
+        dinv = okf / jnp.where(d > 0, d, 1.0)
+        s = dinv * (beta - jnp.sum(g * coefs[:, :], axis=1, keepdims=True))
+
+        w = u - et
+        Ginv[:, :, :] = Ginv[:, :, :] \
+            + dinv[:, :, None] * w[:, :, None] * w[:, None, :] \
+            - et[:, :, None] * et[:, None, :] * okf[:, :, None]
+        Atbs[:, :] = Atbs[:, :] + beta * et
+        idxs[:, :] = jnp.where(et > 0, jnp.broadcast_to(i, (B, K)),
+                               idxs[:, :])
+        cols[:, :, :] = cols[:, :, :] + acol[:, None, :] * et[:, :, None]
+        amask[:, :] = amask[:, :] + oh.astype(f32) * okf
+        return ok
+
+    def refit_residual():
+        coefs[:, :] = jnp.sum(Ginv[:, :, :] * Atbs[:, :][:, None, :],
+                              axis=2)
+        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
+        r[:, :] = Bs_ref[:, :] - fitted
+
+    # --- init: oblivious top-k ------------------------------------------
+    sc0 = jnp.abs(lax.dot_general(Bs_ref[:, :].astype(cdt), A_ref[:, :],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=f32))
+
+    def init_one(_, sc):
+        smax = jnp.max(sc, axis=1, keepdims=True)
+        i = jnp.min(jnp.where(sc == smax, col_iota, INT_MAX),
+                    axis=1, keepdims=True)
+        sc = jnp.where(col_iota == i, -jnp.inf, sc)
+        append(i, smax > -jnp.inf)
+        return sc
+
+    lax.fori_loop(0, k, init_one, sc0)
+    refit_residual()
+    prev0 = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
+
+    def body(carry):
+        t, prev, done = carry
+        gate = done < 0.5
+
+        q = lax.dot_general(r[:, :].astype(cdt), A_ref[:, :],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)          # (B, m)
+        sc = jnp.where(amask[:, :] > 0, -jnp.inf, jnp.abs(eta * q))
+        best = jnp.max(sc, axis=1, keepdims=True)
+        i = jnp.min(jnp.where(sc == best, col_iota, INT_MAX),
+                    axis=1, keepdims=True)
+        change = best > 0                       # twostage.jl:153 bail-out
+        ok = append(i, gate & change)
+        okf = ok.astype(f32)
+
+        # gradient step on all active slots: coef += eta * (a_s' r)
+        act = (idxs[:, :] < m).astype(f32)
+        gr = jnp.sum(cols[:, :, :] * r[:, :][:, None, :], axis=2)
+        gcoef = jnp.where(ok, (coefs[:, :] + eta * gr) * act, coefs[:, :])
+
+        # delete the min-|gradient-coefficient| slot (Schur downdate)
+        d2 = jnp.where((idxs[:, :] < m) & (okf > 0), jnp.abs(gcoef),
+                       jnp.inf)
+        dmin = jnp.min(d2, axis=1, keepdims=True)
+        p = jnp.min(jnp.where(d2 == dmin, slot_iota, BIG), axis=1,
+                    keepdims=True)
+        hasf = (ok & (dmin < jnp.inf)).astype(f32)
+        ep = (slot_iota == p).astype(f32) * hasf
+        wcol = jnp.sum(Ginv[:, :, :] * ep[:, None, :], axis=2)
+        gpp = jnp.sum(wcol * ep, axis=1, keepdims=True)
+        inv = hasf / jnp.where(gpp > 0, gpp, 1.0)
+        di = jnp.sum(idxs[:, :] * (ep > 0).astype(jnp.int32), axis=1,
+                     keepdims=True)
+        amask[:, :] = jnp.maximum(
+            amask[:, :] - (col_iota == di).astype(f32) * hasf, 0.0)
+        Ginv[:, :, :] = Ginv[:, :, :] \
+            - inv[:, :, None] * wcol[:, :, None] * wcol[:, None, :] \
+            + ep[:, :, None] * ep[:, None, :]
+        idxs[:, :] = jnp.where(ep > 0, m, idxs[:, :])
+        Atbs[:, :] = Atbs[:, :] * (1.0 - ep)
+        cols[:, :, :] = cols[:, :, :] * (1.0 - ep)[:, :, None]
+        refit_residual()
+
+        res = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
+        res = jnp.where(gate & ok, res, prev)
+        done2 = jnp.where((~change) | (res <= delta2) | (prev <= res),
+                          1.0, done)
+        return t + 1, res, done2
+
+    def cond(carry):
+        t, prev, done = carry
+        return (t < maxiter) & (jnp.min(done) < 0.5)
+
+    lax.while_loop(cond, body,
+                   (jnp.int32(0), prev0, jnp.zeros((B, 1), f32)))
+
+    idx_ref[:, :] = idxs[:, :]
+    coef_ref[:, :] = coefs[:, :]
+    r_ref[:, :] = r[:, :]
+
+
+@partial(jax.jit, static_argnames=("k", "maxiter", "delta2", "eta",
+                                   "corr_dtype", "interpret"))
+def _ompr_fused_call(A, Bs, k: int, maxiter: int, delta2: float, eta: float,
+                     corr_dtype, interpret: bool = False):
+    n, m = A.shape
+    B = Bs.shape[0]
+    f32 = jnp.float32
+    Ac = A.astype(corr_dtype)
+    Bs = Bs.astype(f32)
+    K = k + 1
+
+    idx, coef, r = pl.pallas_call(
+        partial(_ompr_kernel, k, maxiter, delta2, eta),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, K), f32),
+            jax.ShapeDtypeStruct((B, n), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, K, n), f32),
+            pltpu.VMEM((B, K, K), f32),
+            pltpu.VMEM((B, K), f32),
+            pltpu.VMEM((B, K), f32),
+            pltpu.VMEM((B, K), jnp.int32),
+            pltpu.VMEM((B, n), f32),
+            pltpu.VMEM((B, m), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Ac, Bs)
+    return idx, coef, r
+
+
+def ompr_fused_solve(A, Bs, k: int, delta: float, eta: float = 1.0,
+                     maxiter: int | None = None, corr_dtype=jnp.bfloat16,
+                     interpret: bool = False):
+    """Batched OMPR via the whole-solve fused kernel.
+
+    Parity: src/twostage.jl:110-202. Returns (SparseSolution, residuals).
+    """
+    from cstpu.utils.sparse import SparseSolution
+
+    n, m = A.shape
+    k = int(k)
+    maxiter = int(maxiter if maxiter is not None else n)
+    idx, coef, r = _ompr_fused_call(jnp.asarray(A), jnp.asarray(Bs), k,
+                                    maxiter, float(delta) ** 2, float(eta),
+                                    corr_dtype, interpret)
+    mask = idx < m
+    key = jnp.where(mask, idx, INT_MAX)
+    order = jnp.argsort(key, axis=1)
+    take = jnp.take_along_axis
+    sol = SparseSolution(
+        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
+        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
+        mask=take(mask, order, 1),
+        m=int(m),
+    )
+    return sol, r
+
+
+def supported_ompr(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
+    """VMEM gate for the fused OMPR kernel ((k+1)-slot state + (B,m))."""
+    n, m = A.shape
+    B = Bs.shape[0]
+    K = int(k) + 1
+    if n % 8 or m % 128 or B % 8:
+        return False
+    itemsize = jnp.dtype(corr_dtype).itemsize
+    vmem = (n * m * itemsize + B * K * n * 4
+            + 2 * B * n * 4 + B * m * 4 * 3 + B * K * K * 4)
+    return vmem < 100 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
 # Stepwise Regression with Replacement (SRR), whole-solve fused
 # ---------------------------------------------------------------------------
 

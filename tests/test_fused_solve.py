@@ -194,3 +194,24 @@ def test_srr_fused_matches_xla_path():
         dense_r = jax.vmap(lambda s: s.todense())(ref)
         np.testing.assert_allclose(np.asarray(dense_f),
                                    np.asarray(dense_r), atol=1e-4)
+
+
+def test_ompr_fused_matches_xla_path():
+    from cstpu import ompr
+    from cstpu.ops.fused_twostage import ompr_fused_solve
+
+    A, x, b, y = _problem(800, n=32, m=128, k=3)
+    Bs = jnp.stack([b, y, -b, 2.0 * y])
+    sol, r = ompr_fused_solve(A, Bs, 3, delta=1e-10, maxiter=16,
+                              corr_dtype=jnp.float32, interpret=True)
+    ref = jax.vmap(lambda bb: ompr(A, bb, 3, 1e-10, maxiter=16))(Bs)
+
+    def active(idxs, masks):
+        return [np.sort(np.asarray(idxs[i])[np.asarray(masks[i])])
+                for i in range(idxs.shape[0])]
+    for g, w in zip(active(sol.idx, sol.mask), active(ref.idx, ref.mask)):
+        np.testing.assert_array_equal(g, w)
+    dense_f = jax.vmap(lambda s: s.todense())(sol)
+    dense_r = jax.vmap(lambda s: s.todense())(ref)
+    np.testing.assert_allclose(np.asarray(dense_f), np.asarray(dense_r),
+                               atol=1e-4)
