@@ -59,6 +59,24 @@ def _degeneracy_rtol(n: int) -> float:
     return 8.0 * n * 1.1920929e-07
 
 
+
+def _to_solution(idx, coef, m: int):
+    """Batched (B,K) padded support/coefficients -> SparseSolution sorted
+    by atom index (the reference's sorted-nzind invariant)."""
+    from cstpu.utils.sparse import SparseSolution
+
+    mask = idx < m
+    key = jnp.where(mask, idx, INT_MAX)
+    order = jnp.argsort(key, axis=1)
+    take = jnp.take_along_axis
+    return SparseSolution(
+        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
+        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
+        mask=take(mask, order, 1),
+        m=int(m),
+    )
+
+
 def _solve_kernel(k: int, A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
                   cols, Ginv, coefs, idxs, r):
     B, n = Bs_ref.shape
@@ -186,23 +204,11 @@ def omp_fused_solve(A, Bs, k: int, corr_dtype=jnp.bfloat16,
     (stalled instances no-op, mirroring src/matchingpursuit.jl:66).
     Returns a batched SparseSolution plus the final residuals (B, n).
     """
-    from cstpu.utils.sparse import SparseSolution
-
     n, m = A.shape
     k = int(min(k, n, m))
     idx, coef, r = _omp_fused_call(jnp.asarray(A), jnp.asarray(Bs), k,
                                    corr_dtype, interpret)
-    mask = idx < m
-    key = jnp.where(mask, idx, INT_MAX)
-    order = jnp.argsort(key, axis=1)
-    take = jnp.take_along_axis
-    sol = SparseSolution(
-        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
-        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
-        mask=take(mask, order, 1),
-        m=int(m),
-    )
-    return sol, r
+    return _to_solution(idx, coef, m), r
 
 
 def supported(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
@@ -391,23 +397,11 @@ def omp_stream_solve(A, Bs, k: int, corr_dtype=jnp.bfloat16,
     Semantics identical to omp_fused_solve; per-step cost is one HBM read
     of the dictionary, overlapped with compute by the tile pipeline.
     """
-    from cstpu.utils.sparse import SparseSolution
-
     n, m = A.shape
     k = int(min(k, n, m))
     idx, coef, r = _omp_stream_call(jnp.asarray(A), jnp.asarray(Bs), k,
                                     corr_dtype, interpret)
-    mask = idx < m
-    key = jnp.where(mask, idx, INT_MAX)
-    order = jnp.argsort(key, axis=1)
-    take = jnp.take_along_axis
-    sol = SparseSolution(
-        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
-        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
-        mask=take(mask, order, 1),
-        m=int(m),
-    )
-    return sol, r
+    return _to_solution(idx, coef, m), r
 
 
 def supported_stream(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
@@ -580,25 +574,13 @@ def fr_fused_solve(A, Bs, k: int, max_residual: float = 0.0,
     max_residual/min_decrease stopping (parity: src/forward.jl:33-51).
     Returns (SparseSolution, residuals (B, n)).
     """
-    from cstpu.utils.sparse import SparseSolution
-
     n, m = A.shape
     k = int(min(k, n, m))
     idx, coef, r, _ = _fr_fused_call(
         jnp.asarray(A), jnp.asarray(Bs), k,
         float(max_residual) ** 2, float(min_decrease) ** 2,
         corr_dtype, interpret)
-    mask = idx < m
-    key = jnp.where(mask, idx, INT_MAX)
-    order = jnp.argsort(key, axis=1)
-    take = jnp.take_along_axis
-    sol = SparseSolution(
-        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
-        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
-        mask=take(mask, order, 1),
-        m=int(m),
-    )
-    return sol, r
+    return _to_solution(idx, coef, m), r
 
 
 def supported_fr(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
@@ -765,17 +747,7 @@ def gomp_fused_solve(A, Bs, l: int, k: int, max_residual: float = 0.0,
     idx, coef, r = _gomp_fused_call(jnp.asarray(A), jnp.asarray(Bs),
                                     int(l), k, float(max_residual) ** 2,
                                     corr_dtype, interpret)
-    mask = idx < m
-    key = jnp.where(mask, idx, INT_MAX)
-    order = jnp.argsort(key, axis=1)
-    take = jnp.take_along_axis
-    sol = SparseSolution(
-        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
-        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
-        mask=take(mask, order, 1),
-        m=int(m),
-    )
-    return sol, r
+    return _to_solution(idx, coef, m), r
 
 
 # ---------------------------------------------------------------------------

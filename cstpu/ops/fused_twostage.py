@@ -1,30 +1,25 @@
 """Whole-solve fused two-stage pursuit kernels (Pallas TPU).
 
-Subspace Pursuit needs what the greedy kernels in cstpu.ops.fused_solve do
-not: support DELETION. With the inverse-Gram representation a deletion is a
-rank-one Schur downdate — with q = Ginv e_p and qpp = q_p,
+The two-stage/replacement algorithms need what the greedy kernels in
+cstpu.ops.fused_solve do not: support DELETION. With the inverse-Gram
+representation a deletion is a rank-one Schur downdate — with q = Ginv e_p
+and qpp = q_p,
 
     Ginv'  =  Ginv - q q' / qpp   (+ e_p e_p' to restore the identity pad)
 
 zeroes row/column p exactly and leaves the inverse of the remaining active
-Gram, all in (B, 2k, 2k)-shaped broadcasts: no solves, no data-dependent
+Gram, all in (B, K, K)-shaped broadcasts: no solves, no data-dependent
 shapes. Appends go to the first free slot (a per-instance one-hot), so the
-support can develop holes and refill them.
+support can develop holes and refill them. `_Engine` packages this
+add/delete/refit machinery as closures over a kernel's VMEM refs; the
+SP / SRR / OMPR kernels are thin drivers over it, exactly as the
+reference's two-stage algorithms are thin drivers over the forward/
+backward step machinery (src/twostage.jl:19-31, :75-83, :134-180).
 
-The SP iteration (parity /root/reference/src/twostage.jl:42-107) then runs
-entirely in VMEM with the dictionary pinned:
-
-  acquisition   top-k of |A'r| by iteratively-masked argmax, appended
-                sequentially with the bordered block-inverse update
-                (sp_acquisition!, src/twostage.jl:67-72)
-  refit         coef = Ginv Atb (one broadcast-reduce)
-  prune         keep the k largest |coef|; the dropped slots are removed by
-                sequential rank-one downdates (Ginv only — cheap), then one
-                bulk masked pass zeroes their columns (src/twostage.jl:75-83)
-  stop          residual <= delta, or no improvement over the previous
-                iteration; the final pruned iterate is kept either way
-                (src/twostage.jl:92-99). Converged instances no-op through
-                the remaining trips (per-instance done latch).
+Per-instance convergence is a done latch; every outer loop is an in-kernel
+while_loop that exits as soon as the whole batch is done, so the
+reference's generous maxiter defaults (16k for SP, n for OMPR) cost
+nothing.
 """
 
 from __future__ import annotations
@@ -37,289 +32,180 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cstpu.ops.fused_solve import _degeneracy_rtol
+from cstpu.ops.fused_solve import _degeneracy_rtol, _to_solution
 
 INT_MAX = jnp.iinfo(jnp.int32).max
+F32 = jnp.float32
 
 
-def _sp_kernel(k: int, maxiter: int, delta2: float,
-               A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
-               cols, Ginv, Atbs, coefs, idxs, r):
-    B, n = Bs_ref.shape
-    m = A_ref.shape[1]
-    K2 = 2 * k
-    f32 = jnp.float32
-    cdt = A_ref.dtype
-    deg = _degeneracy_rtol(n)
+class _Engine:
+    """In-kernel slot engine over VMEM refs (see module docstring).
 
-    r[:, :] = Bs_ref[:, :]
-    cols[:, :, :] = jnp.zeros_like(cols)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (B, K2, K2), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (B, K2, K2), 2)
-    Ginv[:, :, :] = (ii == jj).astype(f32)
-    Atbs[:, :] = jnp.zeros_like(Atbs)
-    coefs[:, :] = jnp.zeros_like(coefs)
-    idxs[:, :] = jnp.full_like(idxs, m)
-
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, m), 1)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K2), 1)
-    BIG = jnp.int32(K2 + 1)
-
-    def append(i, gate):
-        """Append atom i (B,1) at each instance's first free slot."""
-        oh = (col_iota == i).astype(cdt)
-        acol = lax.dot_general(oh, A_ref[:, :], (((1,), (1,)), ((), ())),
-                               preferred_element_type=f32)      # (B, n)
-        free = jnp.where(idxs[:, :] >= m, slot_iota, BIG)
-        fs = jnp.min(free, axis=1, keepdims=True)               # (B, 1)
-        dup = jnp.sum((idxs[:, :] == i).astype(f32), axis=1,
-                      keepdims=True) > 0
-        ata = jnp.sum(acol * acol, axis=1, keepdims=True)
-        beta = jnp.sum(acol * Bs_ref[:, :], axis=1, keepdims=True)
-        g = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)   # (B, K2)
-        u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)
-        d = ata - jnp.sum(g * u, axis=1, keepdims=True)
-        ok = gate & (~dup) & (fs < BIG) & (d > deg * ata)
-        okf = ok.astype(f32)
-        et = (slot_iota == fs).astype(f32) * okf                # (B, K2)
-        dinv = okf / jnp.where(d > 0, d, 1.0)
-
-        w = u - et
-        Ginv[:, :, :] = Ginv[:, :, :] \
-            + dinv[:, :, None] * w[:, :, None] * w[:, None, :] \
-            - et[:, :, None] * et[:, None, :] * okf[:, :, None]
-        Atbs[:, :] = Atbs[:, :] + beta * et
-        idxs[:, :] = jnp.where(et > 0, jnp.broadcast_to(i, (B, K2)),
-                               idxs[:, :])
-        cols[:, :, :] = cols[:, :, :] + acol[:, None, :] * et[:, :, None]
-
-    def topk_append(sc, gate):
-        def one(_, sc):
-            smax = jnp.max(sc, axis=1, keepdims=True)
-            i = jnp.min(jnp.where(sc == smax, col_iota, INT_MAX),
-                        axis=1, keepdims=True)
-            sc = jnp.where(col_iota == i, -jnp.inf, sc)
-            append(i, smax > -jnp.inf if gate is None else gate)
-            return sc
-
-        lax.fori_loop(0, k, one, sc)
-
-    def refit_residual():
-        coefs[:, :] = jnp.sum(Ginv[:, :, :] * Atbs[:, :][:, None, :],
-                              axis=2)
-        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
-        r[:, :] = Bs_ref[:, :] - fitted
-
-    # --- init: oblivious acquisition (src/twostage.jl + :190) ------------
-    sc0 = jnp.abs(lax.dot_general(Bs_ref[:, :].astype(cdt), A_ref[:, :],
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=f32))
-    topk_append(sc0, None)
-    refit_residual()
-    prev0 = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
-
-    def body(carry):
-        t, prev, done = carry
-        gate = done < 0.5
-
-        sc = jnp.abs(lax.dot_general(r[:, :].astype(cdt), A_ref[:, :],
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=f32))
-        topk_append(sc, gate)
-        refit_residual()
-
-        # --- prune to the k largest |coef| among active slots ------------
-        def pick(_, carry):
-            cscore, keep = carry
-            cmax = jnp.max(cscore, axis=1, keepdims=True)
-            p = jnp.min(jnp.where(cscore == cmax, slot_iota, BIG),
-                        axis=1, keepdims=True)
-            sel = (slot_iota == p) & (cmax > -jnp.inf)
-            return jnp.where(sel, -jnp.inf, cscore), keep + sel.astype(f32)
-
-        cscore = jnp.where(idxs[:, :] < m, jnp.abs(coefs[:, :]), -jnp.inf)
-        _, keep = lax.fori_loop(0, k, pick,
-                                (cscore, jnp.zeros((B, K2), f32)))
-        drop0 = ((idxs[:, :] < m) & (keep < 0.5) & gate).astype(f32)
-
-        def drop_one(_, drop):  # at most k slots get dropped
-            ds = jnp.min(jnp.where(drop > 0.5, slot_iota, BIG), axis=1,
-                         keepdims=True)                          # (B, 1)
-            has = (ds < BIG).astype(f32)
-            ep = (slot_iota == ds).astype(f32) * has             # (B, K2)
-            qv = jnp.sum(Ginv[:, :, :] * ep[:, None, :], axis=2)  # column p
-            qpp = jnp.sum(qv * ep, axis=1, keepdims=True)
-            inv = has / jnp.where(qpp > 0, qpp, 1.0)
-            Ginv[:, :, :] = Ginv[:, :, :] \
-                - inv[:, :, None] * qv[:, :, None] * qv[:, None, :] \
-                + ep[:, :, None] * ep[:, None, :]
-            idxs[:, :] = jnp.where(ep > 0, m, idxs[:, :])
-            Atbs[:, :] = Atbs[:, :] * (1.0 - ep)
-            return drop * (1.0 - ep)
-
-        lax.fori_loop(0, k, drop_one, drop0)
-
-        act = (idxs[:, :] < m).astype(f32)
-        cols[:, :, :] = cols[:, :, :] * act[:, :, None]
-        refit_residual()
-
-        res = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
-        res = jnp.where(gate, res, prev)
-        done2 = jnp.where((res <= delta2) | (prev <= res), 1.0, done)
-        return t + 1, res, done2
-
-    def cond(carry):  # early exit once every instance has converged
-        t, prev, done = carry
-        return (t < maxiter) & (jnp.min(done) < 0.5)
-
-    lax.while_loop(cond, body,
-                   (jnp.int32(0), prev0, jnp.zeros((B, 1), f32)))
-
-    idx_ref[:, :] = idxs[:, :]
-    coef_ref[:, :] = coefs[:, :]
-    r_ref[:, :] = r[:, :]
-
-
-# ---------------------------------------------------------------------------
-# OMP with Replacement (OMPR), whole-solve fused
-# ---------------------------------------------------------------------------
-
-def _ompr_kernel(k: int, maxiter: int, delta2: float, eta: float,
-                 A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
-                 cols, Ginv, Atbs, coefs, idxs, r, amask):
-    """OMPR (parity /root/reference/src/twostage.jl:110-202), fused.
-
-    Per iteration: select the best PASSIVE atom by |eta A'r| (for passive
-    atoms the reference's gradient score x + eta A'r reduces to eta A'r —
-    no dense scatter needed), append it, gradient-step every active
-    coefficient (coef += eta a_s'r, a lane reduction over the cached
-    columns — no gathers), delete the min-|coefficient| slot by Schur
-    downdate, LS-refit. Stops on no-passive-atom, residual <= delta, or
-    no improvement (per-instance done latch; in-kernel while exits when
-    the whole batch is done).
+    Required refs: A (n,m), Bs (B,n), cols (B,K,n), Ginv (B,K,K),
+    idxs (B,K) i32 (m = inactive sentinel), coefs (B,K), Atbs (B,K),
+    r (B,n). Optional tracked state:
+      * amask (B,m): dense active-atom marker (selection masking)
+      * resc (B,m) + cn2 (1,m): forward-regression rescaling, maintained
+        through appends AND deletions by the order-recursive identities
+        (see cstpu.ops.fused_solve._fr_kernel and _srr driver below).
     """
-    B, n = Bs_ref.shape
-    m = A_ref.shape[1]
-    K = k + 1
-    f32 = jnp.float32
-    cdt = A_ref.dtype
-    deg = _degeneracy_rtol(n)
 
-    r[:, :] = Bs_ref[:, :]
-    cols[:, :, :] = jnp.zeros_like(cols)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (B, K, K), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (B, K, K), 2)
-    eye = (ii == jj).astype(f32)
-    Ginv[:, :, :] = eye
-    Atbs[:, :] = jnp.zeros_like(Atbs)
-    coefs[:, :] = jnp.zeros_like(coefs)
-    idxs[:, :] = jnp.full_like(idxs, m)
-    amask[:, :] = jnp.zeros_like(amask)
+    def __init__(self, A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r,
+                 amask=None, resc=None, cn2_ref=None):
+        self.A, self.Bs = A_ref, Bs_ref
+        self.cols, self.Ginv = cols, Ginv
+        self.idxs, self.coefs, self.Atbs, self.r = idxs, coefs, Atbs, r
+        self.amask, self.resc, self.cn2 = amask, resc, cn2_ref
+        self.B, self.n = Bs_ref.shape
+        self.m = A_ref.shape[1]
+        self.K = idxs.shape[1]
+        self.cdt = A_ref.dtype
+        self.deg = _degeneracy_rtol(self.n)
+        self.col_iota = lax.broadcasted_iota(jnp.int32, (self.B, self.m), 1)
+        self.slot_iota = lax.broadcasted_iota(jnp.int32, (1, self.K), 1)
+        self.BIG = jnp.int32(self.K + 1)
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, m), 1)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    BIG = jnp.int32(K + 1)
+    def init(self):
+        B, K = self.B, self.K
+        self.r[:, :] = self.Bs[:, :]
+        self.cols[:, :, :] = jnp.zeros_like(self.cols)
+        ii = lax.broadcasted_iota(jnp.int32, (B, K, K), 1)
+        jj = lax.broadcasted_iota(jnp.int32, (B, K, K), 2)
+        self.Ginv[:, :, :] = (ii == jj).astype(F32)
+        self.Atbs[:, :] = jnp.zeros_like(self.Atbs)
+        self.coefs[:, :] = jnp.zeros_like(self.coefs)
+        self.idxs[:, :] = jnp.full_like(self.idxs, self.m)
+        if self.amask is not None:
+            self.amask[:, :] = jnp.zeros_like(self.amask)
+        if self.resc is not None:
+            self.resc[:, :] = jnp.broadcast_to(self.cn2[0:1, :],
+                                               (B, self.m))
 
-    def append(i, gate):
-        oh = (col_iota == i).astype(cdt)
-        acol = lax.dot_general(oh, A_ref[:, :], (((1,), (1,)), ((), ())),
-                               preferred_element_type=f32)
-        fs = jnp.min(jnp.where(idxs[:, :] >= m, slot_iota, BIG), axis=1,
-                     keepdims=True)
-        dup = jnp.sum((idxs[:, :] == i).astype(f32), axis=1,
+    def corr(self, x):
+        """(x @ A) with f32 accumulation — the workhorse MXU GEMM."""
+        return lax.dot_general(x.astype(self.cdt), self.A[:, :],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=F32)
+
+    def gram_diag(self):
+        ii = lax.broadcasted_iota(jnp.int32, (1, self.K, self.K), 1)
+        jj = lax.broadcasted_iota(jnp.int32, (1, self.K, self.K), 2)
+        return jnp.sum(self.Ginv[:, :, :] * (ii == jj).astype(F32), axis=2)
+
+    def rnorm2(self):
+        return jnp.sum(self.r[:, :] * self.r[:, :], axis=1, keepdims=True)
+
+    def argmax_masked(self, sc):
+        """(i, max) of sc (B, m), lowest index on ties."""
+        smax = jnp.max(sc, axis=1, keepdims=True)
+        i = jnp.min(jnp.where(sc == smax, self.col_iota, INT_MAX),
+                    axis=1, keepdims=True)
+        return i, smax
+
+    def append(self, i, gate):
+        """Append atom i (B,1) at each instance's first free slot; exact
+        no-op where `gate` is False, the atom is already active, capacity
+        is exhausted, or the atom is numerically inside the active span.
+        Returns the per-instance accept mask (B,1) bool."""
+        oh = (self.col_iota == i).astype(self.cdt)
+        acol = lax.dot_general(oh, self.A[:, :], (((1,), (1,)), ((), ())),
+                               preferred_element_type=F32)       # (B, n)
+        fs = jnp.min(jnp.where(self.idxs[:, :] >= self.m, self.slot_iota,
+                               self.BIG), axis=1, keepdims=True)
+        dup = jnp.sum((self.idxs[:, :] == i).astype(F32), axis=1,
                       keepdims=True) > 0
         ata = jnp.sum(acol * acol, axis=1, keepdims=True)
-        beta = jnp.sum(acol * Bs_ref[:, :], axis=1, keepdims=True)
-        g = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)
-        u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)
+        beta = jnp.sum(acol * self.Bs[:, :], axis=1, keepdims=True)
+        g = jnp.sum(self.cols[:, :, :] * acol[:, None, :], axis=2)
+        u = jnp.sum(self.Ginv[:, :, :] * g[:, None, :], axis=2)
         d = ata - jnp.sum(g * u, axis=1, keepdims=True)
-        ok = gate & (~dup) & (fs < BIG) & (d > deg * ata)
-        okf = ok.astype(f32)
-        et = (slot_iota == fs).astype(f32) * okf
+        ok = gate & (~dup) & (fs < self.BIG) & (d > self.deg * ata)
+        okf = ok.astype(F32)
+        et = (self.slot_iota == fs).astype(F32) * okf            # (B, K)
         dinv = okf / jnp.where(d > 0, d, 1.0)
-        s = dinv * (beta - jnp.sum(g * coefs[:, :], axis=1, keepdims=True))
+        s = dinv * (beta - jnp.sum(g * self.coefs[:, :], axis=1,
+                                   keepdims=True))
 
         w = u - et
-        Ginv[:, :, :] = Ginv[:, :, :] \
+        self.Ginv[:, :, :] = self.Ginv[:, :, :] \
             + dinv[:, :, None] * w[:, :, None] * w[:, None, :] \
             - et[:, :, None] * et[:, None, :] * okf[:, :, None]
-        Atbs[:, :] = Atbs[:, :] + beta * et
-        idxs[:, :] = jnp.where(et > 0, jnp.broadcast_to(i, (B, K)),
-                               idxs[:, :])
-        cols[:, :, :] = cols[:, :, :] + acol[:, None, :] * et[:, :, None]
-        amask[:, :] = amask[:, :] + oh.astype(f32) * okf
+        self.coefs[:, :] = self.coefs[:, :] - s * w
+        self.Atbs[:, :] = self.Atbs[:, :] + beta * et
+        self.idxs[:, :] = jnp.where(et > 0,
+                                    jnp.broadcast_to(i, (self.B, self.K)),
+                                    self.idxs[:, :])
+        self.cols[:, :, :] = self.cols[:, :, :] \
+            + acol[:, None, :] * et[:, :, None]
+        if self.amask is not None:
+            self.amask[:, :] = self.amask[:, :] + oh.astype(F32) * okf
+        if self.resc is not None:
+            # order-recursive OLS rescaling: the appended orthonormal
+            # direction q = a_perp/sqrt(d) removes (q'a_j)^2 from every
+            # energetic norm (src/forward.jl:100-114 semantics)
+            aperp = acol - jnp.sum(self.cols[:, :, :] * u[:, :, None],
+                                   axis=1)
+            z = self.corr(aperp)
+            self.resc[:, :] = self.resc[:, :] - dinv * z * z
         return ok
 
-    def refit_residual():
-        coefs[:, :] = jnp.sum(Ginv[:, :, :] * Atbs[:, :][:, None, :],
-                              axis=2)
-        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
-        r[:, :] = Bs_ref[:, :] - fitted
+    def delete_ep(self, ep, hasf):
+        """Remove the slots marked by the one-hot `ep` (B,K) f32 (gated by
+        hasf (B,1) f32): Schur downdate + state clears; the dual
+        rescaling identity runs first when rescaling is tracked."""
+        qv = jnp.sum(self.Ginv[:, :, :] * ep[:, None, :], axis=2)
+        qpp = jnp.sum(qv * ep, axis=1, keepdims=True)
+        inv = hasf / jnp.where(qpp > 0, qpp, 1.0)
+        if self.resc is not None:
+            # deleting atom p frees v = A_S Ginv e_p, the unique span(S)
+            # direction orthogonal to S\{p}: resc_j += (v'a_j)^2/gamma_pp
+            v = jnp.sum(self.cols[:, :, :] * qv[:, :, None], axis=1)
+            z = self.corr(v)
+            self.resc[:, :] = self.resc[:, :] + inv * z * z
+        if self.amask is not None:
+            di = jnp.sum(self.idxs[:, :] * (ep > 0).astype(jnp.int32),
+                         axis=1, keepdims=True)
+            self.amask[:, :] = jnp.maximum(
+                self.amask[:, :] - (self.col_iota == di).astype(F32) * hasf,
+                0.0)
+        self.Ginv[:, :, :] = self.Ginv[:, :, :] \
+            - inv[:, :, None] * qv[:, :, None] * qv[:, None, :] \
+            + ep[:, :, None] * ep[:, None, :]
+        self.idxs[:, :] = jnp.where(ep > 0, self.m, self.idxs[:, :])
+        self.Atbs[:, :] = self.Atbs[:, :] * (1.0 - ep)
+        self.cols[:, :, :] = self.cols[:, :, :] * (1.0 - ep)[:, :, None]
 
-    # --- init: oblivious top-k ------------------------------------------
-    sc0 = jnp.abs(lax.dot_general(Bs_ref[:, :].astype(cdt), A_ref[:, :],
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=f32))
+    def refit_residual(self):
+        self.coefs[:, :] = jnp.sum(
+            self.Ginv[:, :, :] * self.Atbs[:, :][:, None, :], axis=2)
+        fitted = jnp.sum(self.cols[:, :, :] * self.coefs[:, :][:, :, None],
+                         axis=1)
+        self.r[:, :] = self.Bs[:, :] - fitted
 
-    def init_one(_, sc):
-        smax = jnp.max(sc, axis=1, keepdims=True)
-        i = jnp.min(jnp.where(sc == smax, col_iota, INT_MAX),
-                    axis=1, keepdims=True)
-        sc = jnp.where(col_iota == i, -jnp.inf, sc)
-        append(i, smax > -jnp.inf)
-        return sc
+    def oblivious_init(self, k: int):
+        """Top-k |A'b| acquisition (oblivious_acquisition!,
+        src/matchingpursuit.jl:207-216) + refit."""
+        self.init()
+        sc0 = jnp.abs(self.corr(self.Bs[:, :]))
 
-    lax.fori_loop(0, k, init_one, sc0)
-    refit_residual()
-    prev0 = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
+        def one(_, sc):
+            i, smax = self.argmax_masked(sc)
+            sc = jnp.where(self.col_iota == i, -jnp.inf, sc)
+            self.append(i, smax > -jnp.inf)
+            return sc
+
+        lax.fori_loop(0, k, one, sc0)
+        self.refit_residual()
+
+
+def _outer_while(eng, maxiter: int, body_inner):
+    """Run `body_inner(gate) -> done_update (B,1)` until every instance is
+    done or maxiter; carries (t, prev_rnorm2, done)."""
+    prev0 = eng.rnorm2()
 
     def body(carry):
         t, prev, done = carry
-        gate = done < 0.5
-
-        q = lax.dot_general(r[:, :].astype(cdt), A_ref[:, :],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)          # (B, m)
-        sc = jnp.where(amask[:, :] > 0, -jnp.inf, jnp.abs(eta * q))
-        best = jnp.max(sc, axis=1, keepdims=True)
-        i = jnp.min(jnp.where(sc == best, col_iota, INT_MAX),
-                    axis=1, keepdims=True)
-        change = best > 0                       # twostage.jl:153 bail-out
-        ok = append(i, gate & change)
-        okf = ok.astype(f32)
-
-        # gradient step on all active slots: coef += eta * (a_s' r)
-        act = (idxs[:, :] < m).astype(f32)
-        gr = jnp.sum(cols[:, :, :] * r[:, :][:, None, :], axis=2)
-        gcoef = jnp.where(ok, (coefs[:, :] + eta * gr) * act, coefs[:, :])
-
-        # delete the min-|gradient-coefficient| slot (Schur downdate)
-        d2 = jnp.where((idxs[:, :] < m) & (okf > 0), jnp.abs(gcoef),
-                       jnp.inf)
-        dmin = jnp.min(d2, axis=1, keepdims=True)
-        p = jnp.min(jnp.where(d2 == dmin, slot_iota, BIG), axis=1,
-                    keepdims=True)
-        hasf = (ok & (dmin < jnp.inf)).astype(f32)
-        ep = (slot_iota == p).astype(f32) * hasf
-        wcol = jnp.sum(Ginv[:, :, :] * ep[:, None, :], axis=2)
-        gpp = jnp.sum(wcol * ep, axis=1, keepdims=True)
-        inv = hasf / jnp.where(gpp > 0, gpp, 1.0)
-        di = jnp.sum(idxs[:, :] * (ep > 0).astype(jnp.int32), axis=1,
-                     keepdims=True)
-        amask[:, :] = jnp.maximum(
-            amask[:, :] - (col_iota == di).astype(f32) * hasf, 0.0)
-        Ginv[:, :, :] = Ginv[:, :, :] \
-            - inv[:, :, None] * wcol[:, :, None] * wcol[:, None, :] \
-            + ep[:, :, None] * ep[:, None, :]
-        idxs[:, :] = jnp.where(ep > 0, m, idxs[:, :])
-        Atbs[:, :] = Atbs[:, :] * (1.0 - ep)
-        cols[:, :, :] = cols[:, :, :] * (1.0 - ep)[:, :, None]
-        refit_residual()
-
-        res = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
-        res = jnp.where(gate & ok, res, prev)
-        done2 = jnp.where((~change) | (res <= delta2) | (prev <= res),
-                          1.0, done)
+        res, done2 = body_inner(done < 0.5, prev, done)
         return t + 1, res, done2
 
     def cond(carry):
@@ -327,7 +213,193 @@ def _ompr_kernel(k: int, maxiter: int, delta2: float, eta: float,
         return (t < maxiter) & (jnp.min(done) < 0.5)
 
     lax.while_loop(cond, body,
-                   (jnp.int32(0), prev0, jnp.zeros((B, 1), f32)))
+                   (jnp.int32(0), prev0, jnp.zeros((eng.B, 1), F32)))
+
+
+# ---------------------------------------------------------------------------
+# Subspace Pursuit (parity src/twostage.jl:42-107)
+# ---------------------------------------------------------------------------
+
+def _sp_kernel(k: int, maxiter: int, delta2: float,
+               A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
+               cols, Ginv, Atbs, coefs, idxs, r):
+    """SP: expand by the top-k residual correlations, LS-refit on <= 2k
+    atoms, prune to the k largest |coefficients|, iterate while the
+    residual improves (the final pruned iterate is kept either way,
+    src/twostage.jl:92-99)."""
+    eng = _Engine(A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r)
+    B, m, K2 = eng.B, eng.m, eng.K
+    slot_iota = eng.slot_iota
+    BIG = eng.BIG
+
+    def topk_append(sc, gate):
+        def one(_, sc):
+            i, smax = eng.argmax_masked(sc)
+            sc = jnp.where(eng.col_iota == i, -jnp.inf, sc)
+            eng.append(i, smax > -jnp.inf if gate is None else gate)
+            return sc
+
+        lax.fori_loop(0, k, one, sc)
+
+    eng.oblivious_init(k)
+
+    def body_inner(gate, prev, done):
+        topk_append(jnp.abs(eng.corr(r[:, :])), gate)
+        eng.refit_residual()
+
+        # prune to the k largest |coef| among active slots
+        def pick(_, carry):
+            cscore, keep = carry
+            cmax = jnp.max(cscore, axis=1, keepdims=True)
+            p = jnp.min(jnp.where(cscore == cmax, slot_iota, BIG),
+                        axis=1, keepdims=True)
+            sel = (slot_iota == p) & (cmax > -jnp.inf)
+            return jnp.where(sel, -jnp.inf, cscore), keep + sel.astype(F32)
+
+        cscore = jnp.where(idxs[:, :] < m, jnp.abs(coefs[:, :]), -jnp.inf)
+        _, keep = lax.fori_loop(0, k, pick,
+                                (cscore, jnp.zeros((B, K2), F32)))
+        drop0 = ((idxs[:, :] < m) & (keep < 0.5) & gate).astype(F32)
+
+        def drop_one(_, drop):  # at most k slots get dropped
+            ds = jnp.min(jnp.where(drop > 0.5, slot_iota, BIG), axis=1,
+                         keepdims=True)
+            hasf = (ds < BIG).astype(F32)
+            ep = (slot_iota == ds).astype(F32) * hasf
+            eng.delete_ep(ep, hasf)
+            return drop * (1.0 - ep)
+
+        lax.fori_loop(0, k, drop_one, drop0)
+        eng.refit_residual()
+
+        res = jnp.where(gate, eng.rnorm2(), prev)
+        return res, jnp.where((res <= delta2) | (prev <= res), 1.0, done)
+
+    _outer_while(eng, maxiter, body_inner)
+
+    idx_ref[:, :] = idxs[:, :]
+    coef_ref[:, :] = coefs[:, :]
+    r_ref[:, :] = r[:, :]
+
+
+@partial(jax.jit, static_argnames=("k", "maxiter", "delta2", "corr_dtype",
+                                   "interpret"))
+def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,
+                   interpret: bool = False):
+    n, m = A.shape
+    B = Bs.shape[0]
+    Ac = A.astype(corr_dtype)
+    Bs = Bs.astype(F32)
+    K2 = 2 * k
+
+    return pl.pallas_call(
+        partial(_sp_kernel, k, maxiter, delta2),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, K2), jnp.int32),
+            jax.ShapeDtypeStruct((B, K2), F32),
+            jax.ShapeDtypeStruct((B, n), F32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, K2, n), F32),       # cols
+            pltpu.VMEM((B, K2, K2), F32),      # Ginv
+            pltpu.VMEM((B, K2), F32),          # Atb
+            pltpu.VMEM((B, K2), F32),          # coef
+            pltpu.VMEM((B, K2), jnp.int32),    # idx
+            pltpu.VMEM((B, n), F32),           # r
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Ac, Bs)
+
+
+def sp_fused_solve(A, Bs, k: int, delta: float = 1e-12,
+                   maxiter: int | None = None, corr_dtype=jnp.bfloat16,
+                   interpret: bool = False):
+    """Batched subspace pursuit via the whole-solve fused kernel.
+
+    Parity: src/twostage.jl:42-107, including the 16k maxiter default —
+    the in-kernel while loop exits as soon as every instance in the batch
+    has converged, so the bound costs nothing. Returns
+    (SparseSolution, residuals).
+    """
+    n, m = A.shape
+    k = int(k)
+    if 2 * k > n:
+        raise ValueError(f"2k = {2*k} > {n} = len(b) is invalid for SP")
+    maxiter = int(maxiter if maxiter is not None else 16 * k)
+    idx, coef, r = _sp_fused_call(jnp.asarray(A), jnp.asarray(Bs), k,
+                                  maxiter, float(delta) ** 2, corr_dtype,
+                                  interpret)
+    return _to_solution(idx, coef, m), r
+
+
+def supported_sp(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
+    """VMEM gate for the fused SP kernel (2k-slot state)."""
+    n, m = A.shape
+    B = Bs.shape[0]
+    K2 = 2 * int(k)
+    if n % 8 or m % 128 or B % 8 or K2 > n:
+        return False
+    itemsize = jnp.dtype(corr_dtype).itemsize
+    vmem = (n * m * itemsize + B * K2 * n * 4
+            + 2 * B * n * 4 + B * m * 4 * 2 + B * K2 * K2 * 4)
+    return vmem < 100 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# OMP with Replacement (parity src/twostage.jl:110-202)
+# ---------------------------------------------------------------------------
+
+def _ompr_kernel(k: int, maxiter: int, delta2: float, eta: float,
+                 A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
+                 cols, Ginv, Atbs, coefs, idxs, r, amask):
+    """OMPR: select the best PASSIVE atom by |eta A'r| (for passive atoms
+    the reference's gradient score x + eta A'r reduces to eta A'r — no
+    dense scatter needed), append it, gradient-step every active
+    coefficient (coef += eta a_s'r, a lane reduction over the cached
+    columns — no gathers), delete the min-|coefficient| slot, LS-refit.
+    Stops on no-passive-atom, residual <= delta, or no improvement."""
+    eng = _Engine(A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r,
+                  amask=amask)
+    m = eng.m
+    slot_iota, BIG = eng.slot_iota, eng.BIG
+
+    eng.oblivious_init(k)
+
+    def body_inner(gate, prev, done):
+        q = eng.corr(r[:, :])
+        sc = jnp.where(amask[:, :] > 0, -jnp.inf, jnp.abs(eta * q))
+        i, best = eng.argmax_masked(sc)
+        change = best > 0                       # twostage.jl:153 bail-out
+        ok = eng.append(i, gate & change)
+        okf = ok.astype(F32)
+
+        # gradient step on all active slots: coef += eta * (a_s' r)
+        act = (idxs[:, :] < m).astype(F32)
+        gr = jnp.sum(cols[:, :, :] * r[:, :][:, None, :], axis=2)
+        gcoef = jnp.where(ok, (coefs[:, :] + eta * gr) * act, coefs[:, :])
+
+        # delete the min-|gradient-coefficient| slot
+        d2 = jnp.where((idxs[:, :] < m) & (okf > 0), jnp.abs(gcoef),
+                       jnp.inf)
+        dmin = jnp.min(d2, axis=1, keepdims=True)
+        p = jnp.min(jnp.where(d2 == dmin, slot_iota, BIG), axis=1,
+                    keepdims=True)
+        hasf = (ok & (dmin < jnp.inf)).astype(F32)
+        ep = (slot_iota == p).astype(F32) * hasf
+        eng.delete_ep(ep, hasf)
+        eng.refit_residual()
+
+        res = jnp.where(gate & ok, eng.rnorm2(), prev)
+        done2 = jnp.where((~change) | (res <= delta2) | (prev <= res),
+                          1.0, done)
+        return res, done2
+
+    _outer_while(eng, maxiter, body_inner)
 
     idx_ref[:, :] = idxs[:, :]
     coef_ref[:, :] = coefs[:, :]
@@ -340,35 +412,33 @@ def _ompr_fused_call(A, Bs, k: int, maxiter: int, delta2: float, eta: float,
                      corr_dtype, interpret: bool = False):
     n, m = A.shape
     B = Bs.shape[0]
-    f32 = jnp.float32
     Ac = A.astype(corr_dtype)
-    Bs = Bs.astype(f32)
+    Bs = Bs.astype(F32)
     K = k + 1
 
-    idx, coef, r = pl.pallas_call(
+    return pl.pallas_call(
         partial(_ompr_kernel, k, maxiter, delta2, eta),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((B, K), jnp.int32),
-            jax.ShapeDtypeStruct((B, K), f32),
-            jax.ShapeDtypeStruct((B, n), f32),
+            jax.ShapeDtypeStruct((B, K), F32),
+            jax.ShapeDtypeStruct((B, n), F32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, K, n), f32),
-            pltpu.VMEM((B, K, K), f32),
-            pltpu.VMEM((B, K), f32),
-            pltpu.VMEM((B, K), f32),
+            pltpu.VMEM((B, K, n), F32),
+            pltpu.VMEM((B, K, K), F32),
+            pltpu.VMEM((B, K), F32),
+            pltpu.VMEM((B, K), F32),
             pltpu.VMEM((B, K), jnp.int32),
-            pltpu.VMEM((B, n), f32),
-            pltpu.VMEM((B, m), f32),
+            pltpu.VMEM((B, n), F32),
+            pltpu.VMEM((B, m), F32),           # active mask
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(Ac, Bs)
-    return idx, coef, r
 
 
 def ompr_fused_solve(A, Bs, k: int, delta: float, eta: float = 1.0,
@@ -378,25 +448,13 @@ def ompr_fused_solve(A, Bs, k: int, delta: float, eta: float = 1.0,
 
     Parity: src/twostage.jl:110-202. Returns (SparseSolution, residuals).
     """
-    from cstpu.utils.sparse import SparseSolution
-
     n, m = A.shape
     k = int(k)
     maxiter = int(maxiter if maxiter is not None else n)
     idx, coef, r = _ompr_fused_call(jnp.asarray(A), jnp.asarray(Bs), k,
                                     maxiter, float(delta) ** 2, float(eta),
                                     corr_dtype, interpret)
-    mask = idx < m
-    key = jnp.where(mask, idx, INT_MAX)
-    order = jnp.argsort(key, axis=1)
-    take = jnp.take_along_axis
-    sol = SparseSolution(
-        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
-        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
-        mask=take(mask, order, 1),
-        m=int(m),
-    )
-    return sol, r
+    return _to_solution(idx, coef, m), r
 
 
 def supported_ompr(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
@@ -413,190 +471,70 @@ def supported_ompr(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Stepwise Regression with Replacement (SRR), whole-solve fused
+# Stepwise Regression with Replacement (parity src/twostage.jl:3-33)
 # ---------------------------------------------------------------------------
 
 def _srr_kernel(k: int, l: int, maxiter: int, delta2: float,
                 A_ref, Bs_ref, cn2_ref, idx_ref, coef_ref, r_ref,
                 cols, Ginv, Atbs, coefs, idxs, r, resc, amask):
-    """SRR (parity /root/reference/src/twostage.jl:3-33), fused whole-solve.
-
-    Oblivious k-atom init, then alternate: up to l forward-regression steps
-    (OLS rule, order-recursive rescaling — see _fr_kernel) and backward
-    deletions back to k atoms (min coef^2/gamma with gamma = diag(Ginv),
-    parity src/backward.jl:69-83). Deletion updates the rescaling with the
-    dual identity: removing atom p frees the direction v = A_S Ginv e_p
-    (the only span(S) vector orthogonal to S\\{p}), so
-    rescaling_j += (v'a_j)^2 / gamma_pp — one MXU GEMM, symmetric to the
-    append update. Outer while exits when every instance's residual stops
-    improving (the final iterate is kept, as in src/twostage.jl:19-31).
-    """
-    B, n = Bs_ref.shape
-    m = A_ref.shape[1]
-    K = k + l
-    f32 = jnp.float32
-    cdt = A_ref.dtype
-    deg = _degeneracy_rtol(n)
-
-    r[:, :] = Bs_ref[:, :]
-    cols[:, :, :] = jnp.zeros_like(cols)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (B, K, K), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (B, K, K), 2)
-    eye = (ii == jj).astype(f32)
-    Ginv[:, :, :] = eye
-    Atbs[:, :] = jnp.zeros_like(Atbs)
-    coefs[:, :] = jnp.zeros_like(coefs)
-    idxs[:, :] = jnp.full_like(idxs, m)
-    resc[:, :] = jnp.broadcast_to(cn2_ref[0:1, :], (B, m))
-    amask[:, :] = jnp.zeros_like(amask)
-
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, m), 1)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-    BIG = jnp.int32(K + 1)
+    """SRR: oblivious k-atom init, then alternate up to l forward-
+    regression steps (OLS rule with order-recursive rescaling, see
+    cstpu.ops.fused_solve._fr_kernel) and backward deletions back to k
+    atoms (min coef^2/gamma with gamma = diag(Ginv), parity
+    src/backward.jl:69-83); the rescaling survives deletions via the dual
+    identity implemented in _Engine.delete_ep. Outer while exits when
+    every instance's residual stops improving (final iterate kept, as in
+    src/twostage.jl:19-31)."""
+    eng = _Engine(A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r,
+                  amask=amask, resc=resc, cn2_ref=cn2_ref)
+    m = eng.m
+    slot_iota, BIG = eng.slot_iota, eng.BIG
+    deg = eng.deg
     NEG = jnp.float32(-jnp.inf)
 
-    def append(i, gate):
-        """FR-engine append of atom i (B,1) at the first free slot, with
-        order-recursive rescaling/active-mask maintenance."""
-        oh = (col_iota == i).astype(cdt)
-        acol = lax.dot_general(oh, A_ref[:, :], (((1,), (1,)), ((), ())),
-                               preferred_element_type=f32)
-        fs = jnp.min(jnp.where(idxs[:, :] >= m, slot_iota, BIG), axis=1,
-                     keepdims=True)
-        dup = jnp.sum((idxs[:, :] == i).astype(f32), axis=1,
-                      keepdims=True) > 0
-        ata = jnp.sum(acol * acol, axis=1, keepdims=True)
-        beta = jnp.sum(acol * Bs_ref[:, :], axis=1, keepdims=True)
-        g = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)
-        u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)
-        d = ata - jnp.sum(g * u, axis=1, keepdims=True)
-        ok = gate & (~dup) & (fs < BIG) & (d > deg * ata)
-        okf = ok.astype(f32)
-        et = (slot_iota == fs).astype(f32) * okf
-        dinv = okf / jnp.where(d > 0, d, 1.0)
-        s = dinv * (beta - jnp.sum(g * coefs[:, :], axis=1, keepdims=True))
-
-        w = u - et
-        Ginv[:, :, :] = Ginv[:, :, :] \
-            + dinv[:, :, None] * w[:, :, None] * w[:, None, :] \
-            - et[:, :, None] * et[:, None, :] * okf[:, :, None]
-        Atbs[:, :] = Atbs[:, :] + beta * et
-        idxs[:, :] = jnp.where(et > 0, jnp.broadcast_to(i, (B, K)),
-                               idxs[:, :])
-        cols[:, :, :] = cols[:, :, :] + acol[:, None, :] * et[:, :, None]
-
-        aperp = acol - jnp.sum(cols[:, :, :] * u[:, :, None], axis=1)
-        z = lax.dot_general(aperp.astype(cdt), A_ref[:, :],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)
-        resc[:, :] = resc[:, :] - dinv * z * z
-        amask[:, :] = amask[:, :] + oh.astype(f32) * okf
-        return ok
-
-    def refit_residual():
-        coefs[:, :] = jnp.sum(Ginv[:, :, :] * Atbs[:, :][:, None, :],
-                              axis=2)
-        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
-        r[:, :] = Bs_ref[:, :] - fitted
-
     def forward_step(gate):
-        """One OLS-rule forward step; returns per-instance accept."""
-        q = lax.dot_general(r[:, :].astype(cdt), A_ref[:, :],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)
+        q = eng.corr(r[:, :])
         rmin = deg * cn2_ref[0:1, :]
         d2 = jnp.where(resc[:, :] > rmin, q * q / resc[:, :], NEG)
         d2 = jnp.where(amask[:, :] > 0, 0.0, d2)
-        dmax = jnp.max(d2, axis=1, keepdims=True)
-        i = jnp.min(jnp.where(d2 == dmax, col_iota, INT_MAX),
-                    axis=1, keepdims=True)
-        rnorm2 = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
-        ok = append(i, gate & (rnorm2 > 0) & (dmax > 0))
-        refit_residual()
+        i, dmax = eng.argmax_masked(d2)
+        ok = eng.append(i, gate & (eng.rnorm2() > 0) & (dmax > 0))
+        eng.refit_residual()
         return ok
 
     def backward_step(gate):
-        """Delete the min coef^2/gamma active slot (when gated)."""
-        diag = jnp.sum(Ginv[:, :, :] * eye, axis=2)              # (B, K)
         act = idxs[:, :] < m
         d2 = jnp.where(act, coefs[:, :] * coefs[:, :]
-                       / jnp.maximum(diag, 1e-30), jnp.inf)
+                       / jnp.maximum(eng.gram_diag(), 1e-30), jnp.inf)
         dmin = jnp.min(d2, axis=1, keepdims=True)
         p = jnp.min(jnp.where(d2 == dmin, slot_iota, BIG), axis=1,
                     keepdims=True)
-        has = gate & (dmin < jnp.inf)
-        hasf = has.astype(f32)
-        ep = (slot_iota == p).astype(f32) * hasf                  # (B, K)
+        hasf = (gate & (dmin < jnp.inf)).astype(F32)
+        ep = (slot_iota == p).astype(F32) * hasf
+        eng.delete_ep(ep, hasf)
+        eng.refit_residual()
 
-        wcol = jnp.sum(Ginv[:, :, :] * ep[:, None, :], axis=2)   # Ginv e_p
-        gpp = jnp.sum(wcol * ep, axis=1, keepdims=True)
-        inv = hasf / jnp.where(gpp > 0, gpp, 1.0)
+    eng.oblivious_init(k)
 
-        # dual rescaling update before the state changes
-        v = jnp.sum(cols[:, :, :] * wcol[:, :, None], axis=1)    # (B, n)
-        z = lax.dot_general(v.astype(cdt), A_ref[:, :],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)
-        resc[:, :] = resc[:, :] + inv * z * z
-        di = jnp.sum(idxs[:, :] * (ep > 0).astype(jnp.int32), axis=1,
-                     keepdims=True)                              # (B, 1)
-        amask[:, :] = jnp.maximum(
-            amask[:, :] - (col_iota == di).astype(f32) * hasf, 0.0)
-
-        Ginv[:, :, :] = Ginv[:, :, :] \
-            - inv[:, :, None] * wcol[:, :, None] * wcol[:, None, :] \
-            + ep[:, :, None] * ep[:, None, :]
-        idxs[:, :] = jnp.where(ep > 0, m, idxs[:, :])
-        Atbs[:, :] = Atbs[:, :] * (1.0 - ep)
-        cols[:, :, :] = cols[:, :, :] * (1.0 - ep)[:, :, None]
-        refit_residual()
-
-    # --- init: oblivious top-k (src/twostage.jl via :8-17 init mode 1) ---
-    sc0 = jnp.abs(lax.dot_general(Bs_ref[:, :].astype(cdt), A_ref[:, :],
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=f32))
-
-    def init_one(_, sc):
-        smax = jnp.max(sc, axis=1, keepdims=True)
-        i = jnp.min(jnp.where(sc == smax, col_iota, INT_MAX),
-                    axis=1, keepdims=True)
-        sc = jnp.where(col_iota == i, -jnp.inf, sc)
-        append(i, smax > -jnp.inf)
-        return sc
-
-    lax.fori_loop(0, k, init_one, sc0)
-    refit_residual()
-    prev0 = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
-
-    def body(carry):
-        t, prev, done = carry
-        gate = done < 0.5
-
+    def body_inner(gate, prev, done):
         def fwd(_, fgate):
             ok = forward_step(fgate > 0.5)
-            return fgate * ok.astype(f32)
+            return fgate * ok.astype(F32)
 
-        lax.fori_loop(0, l, fwd, gate.astype(f32))
+        lax.fori_loop(0, l, fwd, gate.astype(F32))
 
         def bwd(_, __):
-            over = jnp.sum((idxs[:, :] < m).astype(f32), axis=1,
+            over = jnp.sum((idxs[:, :] < m).astype(F32), axis=1,
                            keepdims=True) > float(k)
             backward_step(gate & over)
             return 0
 
         lax.fori_loop(0, l, bwd, 0)
 
-        res = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
-        res = jnp.where(gate, res, prev)
-        done2 = jnp.where((res <= delta2) | (prev <= res), 1.0, done)
-        return t + 1, res, done2
+        res = jnp.where(gate, eng.rnorm2(), prev)
+        return res, jnp.where((res <= delta2) | (prev <= res), 1.0, done)
 
-    def cond(carry):
-        t, prev, done = carry
-        return (t < maxiter) & (jnp.min(done) < 0.5)
-
-    lax.while_loop(cond, body,
-                   (jnp.int32(0), prev0, jnp.zeros((B, 1), f32)))
+    _outer_while(eng, maxiter, body_inner)
 
     idx_ref[:, :] = idxs[:, :]
     coef_ref[:, :] = coefs[:, :]
@@ -609,37 +547,35 @@ def _srr_fused_call(A, Bs, k: int, l: int, maxiter: int, delta2: float,
                     corr_dtype, interpret: bool = False):
     n, m = A.shape
     B = Bs.shape[0]
-    f32 = jnp.float32
     Ac = A.astype(corr_dtype)
-    Bs = Bs.astype(f32)
-    cn2 = jnp.sum(A.astype(f32) * A.astype(f32), axis=0)[None, :]
+    Bs = Bs.astype(F32)
+    cn2 = jnp.sum(A.astype(F32) * A.astype(F32), axis=0)[None, :]
     K = k + l
 
-    idx, coef, r = pl.pallas_call(
+    return pl.pallas_call(
         partial(_srr_kernel, k, l, maxiter, delta2),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((B, K), jnp.int32),
-            jax.ShapeDtypeStruct((B, K), f32),
-            jax.ShapeDtypeStruct((B, n), f32),
+            jax.ShapeDtypeStruct((B, K), F32),
+            jax.ShapeDtypeStruct((B, n), F32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, K, n), f32),        # cols
-            pltpu.VMEM((B, K, K), f32),        # Ginv
-            pltpu.VMEM((B, K), f32),           # Atb
-            pltpu.VMEM((B, K), f32),           # coef
+            pltpu.VMEM((B, K, n), F32),        # cols
+            pltpu.VMEM((B, K, K), F32),        # Ginv
+            pltpu.VMEM((B, K), F32),           # Atb
+            pltpu.VMEM((B, K), F32),           # coef
             pltpu.VMEM((B, K), jnp.int32),     # idx
-            pltpu.VMEM((B, n), f32),           # r
-            pltpu.VMEM((B, m), f32),           # rescaling
-            pltpu.VMEM((B, m), f32),           # active mask
+            pltpu.VMEM((B, n), F32),           # r
+            pltpu.VMEM((B, m), F32),           # rescaling
+            pltpu.VMEM((B, m), F32),           # active mask
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(Ac, Bs, cn2)
-    return idx, coef, r
 
 
 def srr_fused_solve(A, Bs, k: int, delta: float = 1e-12,
@@ -650,8 +586,6 @@ def srr_fused_solve(A, Bs, k: int, delta: float = 1e-12,
     Parity: src/twostage.jl:3-33 with initialization=1; other init modes
     take the XLA path. Returns (SparseSolution, residuals).
     """
-    from cstpu.utils.sparse import SparseSolution
-
     n, m = A.shape
     k = int(k)
     l = int(l)
@@ -659,17 +593,7 @@ def srr_fused_solve(A, Bs, k: int, delta: float = 1e-12,
     idx, coef, r = _srr_fused_call(jnp.asarray(A), jnp.asarray(Bs), k, l,
                                    maxiter, float(delta) ** 2, corr_dtype,
                                    interpret)
-    mask = idx < m
-    key = jnp.where(mask, idx, INT_MAX)
-    order = jnp.argsort(key, axis=1)
-    take = jnp.take_along_axis
-    sol = SparseSolution(
-        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
-        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
-        mask=take(mask, order, 1),
-        m=int(m),
-    )
-    return sol, r
+    return _to_solution(idx, coef, m), r
 
 
 def supported_srr(A, Bs, k: int, l: int = 1,
@@ -683,86 +607,4 @@ def supported_srr(A, Bs, k: int, l: int = 1,
     itemsize = jnp.dtype(corr_dtype).itemsize
     vmem = (n * m * itemsize + B * K * n * 4
             + 2 * B * n * 4 + B * m * 4 * 4 + B * K * K * 4)
-    return vmem < 100 * 1024 * 1024
-
-
-@partial(jax.jit, static_argnames=("k", "maxiter", "delta2", "corr_dtype",
-                                   "interpret"))
-def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,
-                   interpret: bool = False):
-    n, m = A.shape
-    B = Bs.shape[0]
-    f32 = jnp.float32
-    Ac = A.astype(corr_dtype)
-    Bs = Bs.astype(f32)
-    K2 = 2 * k
-
-    idx, coef, r = pl.pallas_call(
-        partial(_sp_kernel, k, maxiter, delta2),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, K2), jnp.int32),
-            jax.ShapeDtypeStruct((B, K2), f32),
-            jax.ShapeDtypeStruct((B, n), f32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((B, K2, n), f32),       # cols
-            pltpu.VMEM((B, K2, K2), f32),      # Ginv
-            pltpu.VMEM((B, K2), f32),          # Atb
-            pltpu.VMEM((B, K2), f32),          # coef
-            pltpu.VMEM((B, K2), jnp.int32),    # idx
-            pltpu.VMEM((B, n), f32),           # r
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(Ac, Bs)
-    return idx, coef, r
-
-
-def sp_fused_solve(A, Bs, k: int, delta: float = 1e-12,
-                   maxiter: int | None = None, corr_dtype=jnp.bfloat16,
-                   interpret: bool = False):
-    """Batched subspace pursuit via the whole-solve fused kernel.
-
-    Parity: src/twostage.jl:42-107, including the 16k maxiter default —
-    the in-kernel while loop exits as soon as every instance in the batch
-    has converged, so the bound costs nothing. Returns
-    (SparseSolution, residuals).
-    """
-    from cstpu.utils.sparse import SparseSolution
-
-    n, m = A.shape
-    k = int(k)
-    if 2 * k > n:
-        raise ValueError(f"2k = {2*k} > {n} = len(b) is invalid for SP")
-    maxiter = int(maxiter if maxiter is not None else 16 * k)
-    idx, coef, r = _sp_fused_call(jnp.asarray(A), jnp.asarray(Bs), k,
-                                  maxiter, float(delta) ** 2, corr_dtype,
-                                  interpret)
-    mask = idx < m
-    key = jnp.where(mask, idx, INT_MAX)
-    order = jnp.argsort(key, axis=1)
-    take = jnp.take_along_axis
-    sol = SparseSolution(
-        idx=jnp.where(take(mask, order, 1), take(idx, order, 1), m),
-        val=jnp.where(take(mask, order, 1), take(coef, order, 1), 0.0),
-        mask=take(mask, order, 1),
-        m=int(m),
-    )
-    return sol, r
-
-
-def supported_sp(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
-    """VMEM gate for the fused SP kernel (2k-slot state)."""
-    n, m = A.shape
-    B = Bs.shape[0]
-    K2 = 2 * int(k)
-    if n % 8 or m % 128 or B % 8 or K2 > n:
-        return False
-    itemsize = jnp.dtype(corr_dtype).itemsize
-    vmem = (n * m * itemsize + B * K2 * n * 4
-            + 2 * B * n * 4 + B * m * 4 * 2 + B * K2 * K2 * 4)
     return vmem < 100 * 1024 * 1024
