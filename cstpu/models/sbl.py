@@ -32,6 +32,25 @@ from jax.scipy.linalg import cho_solve, solve_triangular
 from cstpu.ops.util import norm2
 
 
+def _f32_matmuls(fn):
+    """Trace the wrapped solver under float32 matmul precision.
+
+    The SBL family's sparsity/quality factors are long chains of rank-one
+    updates plus n x n inverse rebuilds; under TPU's default bf16 matmul
+    precision those chains lose the planted atoms at n ~ 1000 (observed:
+    recovery 0.75 -> 1.0 at 1024x8192 with this pin). The greedy-pursuit
+    kernels are precision-tolerant by design; the SBL path is not.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        with jax.default_matmul_precision("float32"):
+            return fn(*a, **kw)
+
+    return wrapped
+
+
 def _sigma_matrix(sigma, n, dtype):
     """Canonicalize a scalar noise variance or full covariance to (n, n)."""
     sigma = jnp.asarray(sigma, dtype)
@@ -54,6 +73,7 @@ def _weighted_gram(A, b, sigma):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("maxiter",))
+@_f32_matmuls
 def _sbl(A, b, sigma, maxiter: int, min_change):
     n, m = A.shape
     ASA, ASb = _weighted_gram(A, b, sigma)
@@ -102,6 +122,7 @@ class SQState(NamedTuple):
     Cinv: jax.Array   # f[n, n]
 
 
+@_f32_matmuls
 def _init_sq(A, b, sigma, alpha) -> SQState:
     """Build C = Sigma + A Gamma A' over the active set and derive
     S, Q, C^-1. Parity: the RMPS/FSBL constructors (src/sbl.jl:73-87,
@@ -159,6 +180,7 @@ def _update_sqc(A, st: SQState, i, gamma_change) -> SQState:
     return SQState(alpha=st.alpha, S=S, Q=Q, Cinv=Cinv)
 
 
+@_f32_matmuls
 def _posterior_mean(A, b, sigma, alpha):
     """Posterior mean restricted to active atoms (exact zeros elsewhere).
 
@@ -212,6 +234,7 @@ def _fsbl_step(A, st: SQState):
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
+@_f32_matmuls
 def _fsbl(A, b, sigma, maxiter: int, min_increase):
     m = A.shape[1]
     st0 = _init_sq(A, b, sigma, jnp.full((m,), jnp.inf, A.dtype))
@@ -313,6 +336,7 @@ def _deletion_update_stage(A, st: SQState, maxiter, min_increase, enabled):
 
 
 @partial(jax.jit, static_argnames=("maxiter", "maxiter_acq", "maxiter_del"))
+@_f32_matmuls
 def _rmps_optimize(A, b, sigma, alpha0, maxiter: int, maxiter_acq: int,
                    maxiter_del: int, min_increase):
     m = A.shape[1]
@@ -327,6 +351,12 @@ def _rmps_optimize(A, b, sigma, alpha0, maxiter: int, maxiter_acq: int,
 
     def body(c):
         st, old, t, _ = c
+        # refresh: rebuild S/Q/C^-1 exactly from the current alpha (the
+        # state is a pure function of alpha — src/sbl.jl:108-128). This
+        # bounds rank-one-update drift to one outer iteration; without it
+        # the f32 chains of hundreds of updates at n ~ 1000 accumulate
+        # enough error to stall deletions on junk atoms.
+        st = _init_sq(A, b, sigma, st.alpha)
         st = _acquisition_stage(A, st, maxiter_acq, jnp.bool_(True))
         done1 = jnp.all(st.alpha == old)
         old1 = st.alpha
