@@ -18,7 +18,7 @@ w_j = sqrt(a_j' K^-1 a_j) locally.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,9 @@ def _shrink(x, t):
 
 
 def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
-                        axis: str):
+                        axis: str, z0_local=None, u0_local=None):
+    rho = jnp.asarray(rho, A_local.dtype)
+    tol = jnp.asarray(tol, A_local.dtype)
     n, m_local = A_local.shape
     AAt = lax.psum(A_local @ A_local.T, axis)
     L = jnp.linalg.cholesky(AAt)
@@ -43,6 +45,7 @@ def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
 
     x0 = cho_solve((L, True), b) @ A_local  # min-norm feasible point (local)
     thresh = w_local / rho
+    relax = jnp.asarray(1.8, A_local.dtype)   # over-relaxation
 
     def gnorm(v_local):
         return jnp.sqrt(lax.psum(jnp.sum(v_local * v_local), axis))
@@ -54,26 +57,63 @@ def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
     def body(c):
         x, z, u, t, _ = c
         x = project(z - u)
-        z_new = _shrink(x + u, thresh)
-        u = u + x - z_new
+        xh = relax * x + (1.0 - relax) * z
+        z_new = _shrink(xh + u, thresh)
+        u = u + xh - z_new
         pri = gnorm(x - z_new)
         dua = rho * gnorm(z_new - z)
         scale = 1.0 + gnorm(z_new)
         done = (pri < tol * scale) & (dua < tol * scale)
         return x, z_new, u, t + 1, done
 
-    zeros = jnp.zeros((m_local,), A_local.dtype)
-    _, z, _, _, _ = lax.while_loop(
-        cond, body, (x0, x0, zeros, jnp.int32(0), jnp.bool_(False)))
-    return z
+    z_init = x0 if z0_local is None else z0_local
+    u_init = (jnp.zeros((m_local,), A_local.dtype)
+              if u0_local is None else u0_local)
+    _, z, u, _, _ = lax.while_loop(
+        cond, body, (x0, z_init, u_init, jnp.int32(0), jnp.bool_(False)))
+    return z, u
+
+
+@lru_cache(maxsize=64)
+def _bp_jit(mesh: Mesh, atoms_axis: str, maxiter: int, rho: float,
+            tol: float, warm: bool):
+    """Memoized jitted sharded-BP callable.
+
+    Rebuilding shard_map + jit per call costs ~1.3 s of retracing on every
+    solve (dwarfing the actual ADMM time); callables are cached per
+    (mesh, axis, maxiter, rho, tol, warm-start arity). Shape changes
+    retrace inside the cached jit as usual.
+    """
+    body = partial(_bp_admm_shard_body, rho=rho, maxiter=maxiter, tol=tol,
+                   axis=atoms_axis)
+    if not warm:
+        return jax.jit(jax.shard_map(
+            lambda A_l, b_l, w_l: body(A_l, b_l, w_l),
+            mesh=mesh,
+            in_specs=(P(None, atoms_axis), P(None), P(atoms_axis)),
+            out_specs=(P(atoms_axis), P(atoms_axis)),
+            check_vma=False,
+        ))
+    return jax.jit(jax.shard_map(
+        lambda A_l, b_l, w_l, z_l, u_l: body(A_l, b_l, w_l, z0_local=z_l,
+                                             u0_local=u_l),
+        mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(None), P(atoms_axis),
+                  P(atoms_axis), P(atoms_axis)),
+        out_specs=(P(atoms_axis), P(atoms_axis)),
+        check_vma=False,
+    ))
 
 
 def bp_sharded(A, b, w=None, mesh: Mesh = None, rho: float = 1.0,
                maxiter: int = 20000, tol: float = None,
-               atoms_axis: str = "atoms"):
+               atoms_axis: str = "atoms", warm=None):
     """(Weighted) basis pursuit with a column-sharded dictionary.
 
     Semantics match cstpu.bp (ADMM); x/z/u/w live sharded with the columns.
+    Returns (z, u) — pass `warm=(z, u)` to warm-start the next solve (the
+    reweighting driver does). NOTE: callers wanting just the solution take
+    element 0.
     """
     n, m = A.shape
     if tol is None:
@@ -85,21 +125,18 @@ def bp_sharded(A, b, w=None, mesh: Mesh = None, rho: float = 1.0,
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
 
-    body = partial(_bp_admm_shard_body,
-                   rho=jnp.asarray(rho, A.dtype), maxiter=int(maxiter),
-                   tol=jnp.asarray(tol, A.dtype), axis=atoms_axis)
-    fn = jax.shard_map(
-        lambda A_l, b_l, w_l: body(A_l, b_l, w_l),
-        mesh=mesh,
-        in_specs=(P(None, atoms_axis), P(None), P(atoms_axis)),
-        out_specs=P(atoms_axis),
-        check_vma=False,
-    )
-    return jax.jit(fn)(A, b, w)
+    rho = float(rho)
+    tol = float(tol)
+    if warm is None:
+        fn = _bp_jit(mesh, atoms_axis, int(maxiter), rho, tol, False)
+        return fn(A, b, w)
+    fn = _bp_jit(mesh, atoms_axis, int(maxiter), rho, tol, True)
+    return fn(A, b, w, warm[0], warm[1])
 
 
 def _ard_weights_shard_body(A_local, x_local, w_local, eps, iters: int,
                             axis: str):
+    eps = jnp.asarray(eps, A_local.dtype)
     n = A_local.shape[0]
 
     def body(_, w_l):
@@ -112,20 +149,23 @@ def _ard_weights_shard_body(A_local, x_local, w_local, eps, iters: int,
     return lax.fori_loop(0, iters, body, w_local)
 
 
-def ard_weights_sharded(A, x, w, mesh: Mesh, eps: float, iters: int = 8,
-                        atoms_axis: str = "atoms"):
-    """Column-sharded ARD weights (see module docstring)."""
-    body = partial(_ard_weights_shard_body,
-                   eps=jnp.asarray(eps, A.dtype), iters=int(iters),
+@lru_cache(maxsize=64)
+def _ard_jit(mesh: Mesh, atoms_axis: str, eps: float, iters: int):
+    body = partial(_ard_weights_shard_body, eps=eps, iters=iters,
                    axis=atoms_axis)
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         lambda A_l, x_l, w_l: body(A_l, x_l, w_l),
         mesh=mesh,
         in_specs=(P(None, atoms_axis), P(atoms_axis), P(atoms_axis)),
         out_specs=P(atoms_axis),
         check_vma=False,
-    )
-    return jax.jit(fn)(A, x, w)
+    ))
+
+
+def ard_weights_sharded(A, x, w, mesh: Mesh, eps: float, iters: int = 8,
+                        atoms_axis: str = "atoms"):
+    """Column-sharded ARD weights (see module docstring)."""
+    return _ard_jit(mesh, atoms_axis, float(eps), int(iters))(A, x, w)
 
 
 def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
@@ -138,11 +178,12 @@ def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
     iteration: one sharded BP solve + one sharded ARD weight fixed point.
     """
     m = A.shape[1]
-    x = bp_sharded(A, b, None, mesh, atoms_axis=atoms_axis, **bp_kwargs)
+    x, u = bp_sharded(A, b, None, mesh, atoms_axis=atoms_axis, **bp_kwargs)
     w = jnp.ones((m,), A.dtype)
     for _ in range(1, int(maxiter)):
         w = ard_weights_sharded(A, x, w, mesh, eps, atoms_axis=atoms_axis)
-        xs = bp_sharded(A, b, w, mesh, atoms_axis=atoms_axis, **bp_kwargs)
+        xs, u = bp_sharded(A, b, w, mesh, atoms_axis=atoms_axis,
+                           warm=(x, u), **bp_kwargs)
         if float(jnp.linalg.norm(xs - x)) < min_decrease:
             return xs
         x = xs

@@ -23,7 +23,7 @@ inside shard_map).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -105,6 +105,21 @@ def omp_sharded(A, b, k: int, mesh: Mesh, max_residual: float = 0.0,
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
 
     batched = b.ndim == 2
+    fn = _omp_sharded_jit(mesh, atoms_axis, batch_axis, k, m,
+                          float(max_residual), batched, A.dtype.name)
+    return fn(A, b)
+
+
+@lru_cache(maxsize=64)
+def _omp_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str, k: int,
+                     m: int, max_residual: float, batched: bool,
+                     dtype_name: str):
+    """Memoized jitted callable — rebuilding shard_map + jit per call
+    costs ~1 s of retracing per solve."""
+    import numpy as _np
+
+    dtype = jnp.dtype(dtype_name)
+    eps = jnp.asarray(max_residual, dtype)
     b_spec = P(batch_axis, None) if batched else P(None)
     out_leaf_spec = P(batch_axis) if batched else P()
 
@@ -115,26 +130,20 @@ def omp_sharded(A, b, k: int, mesh: Mesh, max_residual: float = 0.0,
             return jax.vmap(lambda bb: solve(bb))(b_local)
         return solve(b_local)
 
-    fn = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(None, atoms_axis), b_spec),
-        out_specs=jax.tree.map(lambda _: out_leaf_spec,
-                               _out_struct(A, b, k, m, batched)),
-        check_vma=False,
-    )
-    return jax.jit(fn)(A, b)
-
-
-def _out_struct(A, b, k, m, batched):
-    """Pytree structure template for shard_map out_specs."""
     from cstpu.utils.sparse import SparseSolution
-    lead = (b.shape[0],) if batched else ()
-    return SparseSolution(
-        idx=jax.ShapeDtypeStruct(lead + (k,), jnp.int32),
-        val=jax.ShapeDtypeStruct(lead + (k,), A.dtype),
-        mask=jax.ShapeDtypeStruct(lead + (k,), jnp.bool_),
+    out_struct = SparseSolution(
+        idx=jax.ShapeDtypeStruct((k,), jnp.int32),
+        val=jax.ShapeDtypeStruct((k,), dtype),
+        mask=jax.ShapeDtypeStruct((k,), jnp.bool_),
         m=m,
     )
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, atoms_axis), b_spec),
+        out_specs=jax.tree.map(lambda _: out_leaf_spec, out_struct),
+        check_vma=False,
+    ))
+
 
 
 # ---------------------------------------------------------------------------

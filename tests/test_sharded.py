@@ -87,7 +87,7 @@ def test_bp_sharded_matches_single_device(mesh):
     from cstpu.parallel.convex import bp_sharded
     A, x, b, _ = _problem(75, n=32, m=48)
     ref = np.asarray(bp(A, b))
-    sol = np.asarray(bp_sharded(A, b, mesh=mesh))
+    sol = np.asarray(bp_sharded(A, b, mesh=mesh)[0])
     sup_ref = np.flatnonzero(np.abs(ref) > 1e-5)
     sup_sol = np.flatnonzero(np.abs(sol) > 1e-5)
     assert list(sup_sol) == list(sup_ref) == list(support(x))
