@@ -3,9 +3,12 @@
 The hot op of every pursuit: correlate the dictionary with the residual and
 pick the best atom(s) — `argmaxinner!` in the reference
 (/root/reference/src/matchingpursuit.jl:181-193). The XLA path below is a
-single dot + abs + argmax/top_k, which XLA fuses; a Pallas kernel that keeps
-the scores in VMEM (never materializing them in HBM) lives in
-cstpu.ops.pallas_kernels and is used on TPU for large dictionaries.
+single dot + abs + argmax/top_k, which XLA fuses. On TPU the production
+batched solvers do not call this per step at all: selection happens inside
+the whole-solve fused kernels (cstpu.ops.fused_solve / fused_twostage,
+VMEM-pinned or streaming). The standalone fused correlate+argmax building
+block in cstpu.ops.pallas_kernels remains for composing custom solvers
+over dictionaries where only the selection op needs fusing.
 """
 
 from __future__ import annotations
