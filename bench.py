@@ -35,7 +35,6 @@ def main():
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from cstpu import omp
 
     dev = jax.devices()[0]
     on_cpu = "cpu" in dev.device_kind.lower()

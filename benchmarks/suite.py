@@ -165,7 +165,6 @@ def config3():
     import jax.numpy as jnp
 
     from cstpu.models.batched import fr_batch
-    from cstpu.models.twostage import srr
 
     per_rep = _timers()
     B, n, m, k = 64, 1024, 8192, 16

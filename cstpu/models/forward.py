@@ -23,7 +23,6 @@ from jax import lax
 
 from cstpu.ops import active_set as aset
 from cstpu.ops.select import top1
-from cstpu.ops.util import tree_where, norm2
 from cstpu.utils.sparse import SparseSolution
 
 

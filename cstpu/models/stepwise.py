@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from cstpu.ops import active_set as aset
-from cstpu.ops.util import norm2, tree_where
+from cstpu.ops.util import tree_where
 from cstpu.models.forward import forward_step
 from cstpu.models.backward import backward_step
 from cstpu.utils.sparse import SparseSolution

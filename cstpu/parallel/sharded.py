@@ -28,7 +28,7 @@ from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from cstpu.ops import active_set as aset
 from cstpu.ops.util import tree_where
@@ -116,8 +116,6 @@ def _omp_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str, k: int,
                      dtype_name: str):
     """Memoized jitted callable — rebuilding shard_map + jit per call
     costs ~1 s of retracing per solve."""
-    import numpy as _np
-
     dtype = jnp.dtype(dtype_name)
     eps = jnp.asarray(max_residual, dtype)
     b_spec = P(batch_axis, None) if batched else P(None)

@@ -18,8 +18,6 @@ from jax import lax
 
 from cstpu.ops import active_set as aset
 from cstpu.ops.select import abs_correlate, top1
-from cstpu.ops.util import tree_where
-from cstpu.utils.sparse import SparseSolution
 
 
 class SolveTrace(NamedTuple):

@@ -14,7 +14,6 @@ XLA program that keeps the MXU busy.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

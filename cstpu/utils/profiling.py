@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import contextlib
 import json
-from dataclasses import dataclass, asdict
+from dataclasses import dataclass
 
 
 @contextlib.contextmanager
