@@ -1,0 +1,119 @@
+"""Per-step streaming correlate+select kernel (Pallas TPU).
+
+The multi-chip building block: one OMP/greedy selection step over a
+dictionary (shard) streamed tile-by-tile from HBM. Computes, for a batch
+of residuals R (B, n) against A (n, m):
+
+    val[b] = max_j |<a_j, r_b>|        (f32 accumulate)
+    idx[b] = argmax (lowest index on ties — the reference's `argmax(P.Ar)`
+             semantics, /root/reference/src/matchingpursuit.jl:181-185)
+
+in a single pass over A at HBM-stream rate. The winning column itself is
+cheaper to fetch afterwards as an indexed XLA gather of the full-precision
+dictionary (n bytes-scale, vs the n*m sweep) — and exact, where an
+in-kernel one-hot extraction would return the correlation-dtype rounding. Unlike the whole-solve kernels
+(cstpu.ops.fused_solve) this leaves the append/refit to the caller, which
+is exactly what the column-sharded multi-chip path needs: the global
+selection is a cross-shard collective that cannot live inside a kernel, so
+each shard runs this kernel per step and XLA stitches the two-scalar
+argmax collective + rank-one active-set update between launches. The
+dictionary read — all the traffic — stays at kernel rate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _select_kernel(T: int, tm: int, A_ref, R_ref, val_ref, idx_ref):
+    B, n = R_ref.shape
+    f32 = jnp.float32
+    cdt = A_ref.dtype
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        val_ref[:, :] = jnp.full_like(val_ref, -jnp.inf)
+        idx_ref[:, :] = jnp.zeros_like(idx_ref)
+
+    tile_iota = lax.broadcasted_iota(jnp.int32, (B, tm), 1)
+    scores = jnp.abs(
+        lax.dot_general(R_ref[:, :].astype(cdt), A_ref[:, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32))              # (B, tm)
+    tmax = jnp.max(scores, axis=1, keepdims=True)
+    tloc = jnp.min(jnp.where(scores == tmax, tile_iota, INT_MAX),
+                   axis=1, keepdims=True)                         # (B, 1)
+    better = tmax > val_ref[:, :]                                 # (B, 1)
+    idx_ref[:, :] = jnp.where(better, tloc + j * tm, idx_ref[:, :])
+    val_ref[:, :] = jnp.where(better, tmax, val_ref[:, :])
+
+
+def _stream_tile(m: int, n: int, itemsize: int, target_bytes: int) -> int:
+    best = 0
+    tm = 128
+    while tm * n * itemsize <= target_bytes and tm <= m:
+        if m % tm == 0:
+            best = tm
+        tm += 128
+    return best
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def correlate_select_stream(A, R, interpret: bool = False):
+    """One selection sweep of A (n, m; pre-cast to the correlation dtype)
+    against residuals R (B, n) f32. Returns (val (B,), idx (B,)).
+    """
+    n, m = A.shape
+    B = R.shape[0]
+    R = R.astype(jnp.float32)
+    tm = _stream_tile(m, n, A.dtype.itemsize, 8 * 1024 * 1024)
+    T = m // tm
+
+    val, idx = pl.pallas_call(
+        partial(_select_kernel, T, tm),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((n, tm), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),                # A tile
+            pl.BlockSpec((B, n), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),                # R
+        ],
+        out_specs=[
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * n * m,
+            bytes_accessed=n * m * A.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A, R)
+    return val[:, 0], idx[:, 0]
+
+
+def supported_select(A, B: int) -> bool:
+    """Gate: batch/measurement tiling and a streamable tile size exist."""
+    n, m = A.shape
+    if n % 8 or B % 8 or m % 128:
+        return False
+    return _stream_tile(m, n, 2, 8 * 1024 * 1024) > 0

@@ -145,6 +145,120 @@ def _omp_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str, k: int,
 
 
 # ---------------------------------------------------------------------------
+# Fused hybrid: per-shard streaming select kernel + collective argmax
+# ---------------------------------------------------------------------------
+
+def _omp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, eps, m: int,
+                          axis: str, interpret: bool):
+    """Batched OMP over a column shard, selection via the Pallas streaming
+    correlate+select kernel (cstpu.ops.stream_select).
+
+    Per step, per shard: ONE kernel launch sweeps the local dictionary
+    shard from HBM at stream rate and returns (best |corr|, local argmax)
+    for every batch row; two elementwise collectives (pmax value / pmin
+    global index) resolve the global selection with lowest-index
+    tie-breaking, the owner shard gathers the winning column EXACTLY from
+    its full-precision shard (indexed read, n-scale traffic) and a masked
+    psum broadcasts it, and the rank-one active-set append + k x k refit
+    runs replicated (vmapped XLA — cheap next to the shard sweep).
+    Dictionary traffic — the whole cost at beyond-VMEM scale — rides the
+    kernel; semantics match cstpu.omp exactly.
+    """
+    from cstpu.ops.stream_select import correlate_select_stream
+
+    B, n = Bs_local.shape
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    st0 = jax.vmap(lambda _: aset.empty(n, k, m, A_local.dtype))(
+        jnp.arange(B))
+
+    def cond(carry):
+        st, t, done = carry
+        return (t < k) & ~jnp.all(done)
+
+    def body(carry):
+        st, t, done = carry
+        r = jax.vmap(aset.residual)(st, Bs_local)                  # (B, n)
+        lval, lidx = correlate_select_stream(
+            Ac_local, r, interpret=interpret)
+        gidx = shard * m_local + lidx.astype(jnp.int32)            # (B,)
+        gmax = lax.pmax(lval, axis)
+        cand = jnp.where(lval == gmax, gidx, INT_MAX)
+        gsel = lax.pmin(cand, axis)                                # (B,)
+        owner = (gsel // m_local) == shard
+        lcol = jnp.take(A_local, gsel % m_local, axis=1).T          # (B, n)
+        col = lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)  # (B, n)
+
+        present = jax.vmap(aset.contains)(st, gsel)
+        full = st.k >= jnp.minimum(n, k)
+        ok = ~present & ~full & ~done
+        st2 = jax.vmap(
+            lambda a, bb, s, i, o: aset.refit(
+                aset.append_col_gated(a, bb, s, i, o)))(
+            col, Bs_local, st, gsel, ok)
+        r2 = jax.vmap(aset.residual)(st2, Bs_local)
+        done2 = done | present | full \
+            | (jnp.linalg.norm(r2, axis=1) < eps)
+        return st2, t + 1, done2
+
+    st, _, _ = lax.while_loop(
+        cond, body, (st0, jnp.int32(0), jnp.zeros((B,), bool)))
+    return jax.vmap(lambda s: aset.finalize(s, m))(st)
+
+
+def omp_sharded_fused(A, Bs, k: int, mesh: Mesh, max_residual: float = 0.0,
+                      atoms_axis: str = "atoms", batch_axis: str = "batch",
+                      corr_dtype=jnp.bfloat16, interpret: bool = False):
+    """Column-sharded batched OMP with the per-shard Pallas streaming
+    selection kernel — the production multi-chip path for beyond-VMEM
+    dictionaries (BASELINE's 1M-atom config).
+
+    `Bs` must be batched (B, n) with B divisible by the batch-shard count
+    times 8 (kernel tiling). Falls back is the caller's job (see
+    cstpu.parallel.sharded.omp_sharded for the XLA path). Deterministic,
+    sharding-invariant selection, identical to cstpu.omp.
+    """
+    n, m = A.shape
+    k = int(min(k if k is not None else n, n, m))
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fn = _omp_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, m,
+                                float(max_residual), A.dtype.name,
+                                jnp.dtype(corr_dtype).name, bool(interpret))
+    return fn(A, jnp.asarray(A, corr_dtype), Bs)
+
+
+@lru_cache(maxsize=64)
+def _omp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
+                           k: int, m: int, max_residual: float,
+                           dtype_name: str, corr_dtype_name: str,
+                           interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    eps = jnp.asarray(max_residual, dtype)
+
+    def shard_fn(A_local, Ac_local, Bs_local):
+        return _omp_fused_shard_body(A_local, Ac_local, Bs_local, k=k,
+                                     eps=eps, m=m, axis=atoms_axis,
+                                     interpret=interpret)
+
+    from cstpu.utils.sparse import SparseSolution
+    out_struct = SparseSolution(
+        idx=jax.ShapeDtypeStruct((k,), jnp.int32),
+        val=jax.ShapeDtypeStruct((k,), dtype),
+        mask=jax.ShapeDtypeStruct((k,), jnp.bool_),
+        m=m,
+    )
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(None, atoms_axis),
+                  P(batch_axis, None)),
+        out_specs=jax.tree.map(lambda _: P(batch_axis), out_struct),
+        check_vma=False,
+    ))
+
+
+# ---------------------------------------------------------------------------
 # Row-sharded (measurement-axis) OMP — the long-measurement-axis strategy
 # ---------------------------------------------------------------------------
 

@@ -125,3 +125,22 @@ def test_distributed_mesh_and_shard_global():
 
     Ac = dist.shard_global(cb, mesh, P(None, "atoms"), global_shape=(4, 8))
     np.testing.assert_array_equal(np.asarray(Ac), np.asarray(A))
+
+
+def test_sharded_fused_omp_matches_single_device(mesh):
+    # fused hybrid: Pallas streaming select (interpret on CPU) per shard
+    from cstpu.parallel.sharded import omp_sharded_fused
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(73))
+    A, x, b = sparse_data(kd, n=64, m=1024, k=5, dtype=jnp.float32)
+    y = perturb(kn, b, DELTA / 2)
+    Bs = jnp.stack([b, y] * 4)
+    sols = omp_sharded_fused(A, Bs, 5, mesh, corr_dtype=jnp.float32,
+                             interpret=True)
+    ref_b = omp(A, b, 5)
+    ref_y = omp(A, y, 5)
+    for i in range(8):
+        ref = ref_b if i % 2 == 0 else ref_y
+        row = jax.tree.map(lambda l: l[i], sols)
+        assert list(row.nzind) == list(ref.nzind)
+        np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-5)
