@@ -50,9 +50,11 @@ from cstpu.models.stepwise import rmp, foba
 from cstpu.models.sbl import sbl, fsbl, rmps, rmps_estimate_noise
 from cstpu.models.basis_pursuit import (
     bp,
+    basispursuit,
     bp_candes,
     bp_ard,
     bpd,
+    basis_pursuit_denoising,
     bpd_candes,
     bpd_ard,
     ista,
@@ -61,7 +63,7 @@ from cstpu.models.basis_pursuit import (
 from cstpu.models.exhaustive import exhaustive
 from cstpu.models.batched import (
     batch, omp_batch, fr_batch, mp_batch, sp_batch, gomp_batch,
-    srr_batch, ompr_batch, rmps_batch,
+    srr_batch, ompr_batch, rmps_batch, fsbl_batch, rmp_batch, foba_batch,
 )
 from cstpu.utils.diagnostics import omp_traced, SolveTrace
 from cstpu.utils.checkpoint import save_state, load_state
@@ -81,11 +83,13 @@ __all__ = [
     "sp", "ompr", "srr",
     "rmp", "foba",
     "sbl", "fsbl", "rmps", "rmps_estimate_noise",
-    "bp", "bp_candes", "bp_ard", "bpd", "bpd_candes", "bpd_ard",
+    "bp", "basispursuit", "bp_candes", "bp_ard",
+    "bpd", "basis_pursuit_denoising", "bpd_candes", "bpd_ard",
     "ista", "fista",
     "exhaustive",
     "batch", "omp_batch", "fr_batch", "mp_batch", "sp_batch",
-    "gomp_batch", "srr_batch", "ompr_batch", "rmps_batch",
+    "gomp_batch", "srr_batch", "ompr_batch", "rmps_batch", "fsbl_batch",
+    "rmp_batch", "foba_batch",
     "omp_traced", "SolveTrace", "save_state", "load_state",
     "solve_cost", "roofline_report",
 ]

@@ -182,9 +182,145 @@ def gomp_batch(A, Bs, l, k=None, max_residual: float = 0.0, precision=None):
     return jax.vmap(lambda bb: gomp(A, bb, l, k, max_residual))(Bs)
 
 
+def _merge_solution_rows(sol, redo, rows, m: int):
+    """Overwrite `rows` of batched SparseSolution `sol` with `redo`'s rows,
+    padding slot widths to match (inactive slots: idx=m, val=0, mask=F)."""
+    import jax.numpy as jnp
+
+    def pad_to(s, w):
+        have = s.idx.shape[1]
+        if have >= w:
+            return s
+        return s._replace(
+            idx=jnp.pad(s.idx, ((0, 0), (0, w - have)), constant_values=m),
+            val=jnp.pad(s.val, ((0, 0), (0, w - have))),
+            mask=jnp.pad(s.mask, ((0, 0), (0, w - have))),
+        )
+
+    w = max(sol.idx.shape[1], redo.idx.shape[1])
+    sol, redo = pad_to(sol, w), pad_to(redo, w)
+    rows = jnp.asarray(rows)
+    return sol._replace(
+        idx=sol.idx.at[rows].set(redo.idx),
+        val=sol.val.at[rows].set(redo.val),
+        mask=sol.mask.at[rows].set(redo.mask),
+    )
+
+
+def rmp_batch(A, Bs, k=None, delta=None, maxiter: int = 1, kmax: int = 32,
+              precision=None):
+    """Batched RMP over measurement rows Bs (B, n).
+
+    The delta variant dispatches on TPU to the whole-solve fused RMP
+    kernel with a `kmax`-slot active-set cap; instances whose forward
+    stage outgrows the cap are reported by the kernel and re-solved on
+    the uncapped vmapped XLA path, so the cap is a pure performance knob.
+    The k variant always takes the XLA path (its forward stage runs to
+    ~min(n, m) atoms — beyond any sensible slot cap).
+    """
+    import jax.numpy as jnp
+
+    from cstpu.ops import fused_twostage
+
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    use_fused = (
+        precision in (None, "bf16", "f32")
+        and delta is not None
+        and A.dtype == jnp.float32
+        and Bs.ndim == 2
+        and jax.default_backend() == "tpu"
+        and fused_twostage.supported_rmp(A, Bs, int(kmax))
+    )
+    if use_fused:
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        sol, _, capped = fused_twostage.rmp_fused_solve(
+            A, Bs, delta=delta, maxiter=maxiter, kmax=int(kmax),
+            corr_dtype=cdt)
+        import numpy as np
+
+        capped_rows = np.flatnonzero(np.asarray(capped))
+        if capped_rows.size:
+            # exact fallback for the (rare) instances that outgrew kmax
+            redo = jax.vmap(lambda bb: rmp(A, bb, delta=delta,
+                                           maxiter=maxiter))(Bs[capped_rows])
+            sol = _merge_solution_rows(sol, redo, capped_rows, A.shape[1])
+        return sol
+    return jax.vmap(lambda bb: rmp(A, bb, k=k, delta=delta,
+                                   maxiter=maxiter))(Bs)
+
+
+def foba_batch(A, Bs, delta: float, kmax: int = 32, precision=None):
+    """Batched FoBa over measurement rows Bs (B, n).
+
+    On TPU dispatches to the whole-solve fused FoBa kernel (forward step +
+    half-gain-bounded backward deletions per iteration, all in VMEM), with
+    the same kmax-cap-and-fallback contract as rmp_batch.
+    """
+    import jax.numpy as jnp
+
+    from cstpu.ops import fused_twostage
+
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    use_fused = (
+        precision in (None, "bf16", "f32")
+        and A.dtype == jnp.float32
+        and Bs.ndim == 2
+        and jax.default_backend() == "tpu"
+        and fused_twostage.supported_rmp(A, Bs, int(kmax))
+    )
+    if use_fused:
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        sol, _, capped = fused_twostage.foba_fused_solve(
+            A, Bs, delta, kmax=int(kmax), corr_dtype=cdt)
+        import numpy as np
+
+        capped_rows = np.flatnonzero(np.asarray(capped))
+        if capped_rows.size:
+            redo = jax.vmap(lambda bb: foba(A, bb, delta))(Bs[capped_rows])
+            sol = _merge_solution_rows(sol, redo, capped_rows, A.shape[1])
+        return sol
+    return jax.vmap(lambda bb: foba(A, bb, delta))(Bs)
+
+
 def rmps_batch(A, Bs, sigma, **kw):
     """Batched RMPS over measurement rows Bs (B, n)."""
     return jax.vmap(lambda bb: rmps(A, bb, sigma, **kw))(Bs)
+
+
+def fsbl_batch(A, Bs, sigma, maxiter=None, min_increase: float = 1e-6,
+               fused: bool = False):
+    """Batched fast SBL over measurement rows Bs (B, n) — dense (B, m) out.
+
+    With `fused=True` (TPU, scalar noise, supported shapes) this runs the
+    whole-solve fused FSBL kernel (cstpu.ops.fused_sbl): the dictionary,
+    C^-1, and the S/Q factors stay pinned in VMEM across every
+    add/delete/re-estimate action, everything in f32 (the SBL family is
+    not precision-tolerant). The default stays on the vmapped XLA path:
+    measured at n=128 m=1024 B=8 the kernel is ~1.5x SLOWER (37.8 vs
+    25.4 ms — the per-action work is (B,n,n) VPU-bound, which XLA also
+    schedules well), and larger-shape compiles are currently impractical
+    through the compile tunnel. Opt in only where the kernel has been
+    measured to win.
+    """
+    import jax.numpy as jnp
+
+    from cstpu.ops import fused_sbl
+
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    use_fused = (
+        fused
+        and A.dtype == jnp.float32
+        and Bs.ndim == 2
+        and jax.default_backend() == "tpu"
+        and fused_sbl.supported_fsbl(A, Bs, sigma)
+    )
+    if use_fused:
+        return fused_sbl.fsbl_fused_solve(A, Bs, sigma, maxiter,
+                                          min_increase)
+    return jax.vmap(lambda bb: fsbl(A, bb, sigma, maxiter, min_increase))(Bs)
 
 
 def srr_batch(A, Bs, k: int, delta: float = 1e-12, maxiter=None,

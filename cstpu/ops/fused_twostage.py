@@ -608,3 +608,318 @@ def supported_srr(A, Bs, k: int, l: int = 1,
     vmem = (n * m * itemsize + B * K * n * 4
             + 2 * B * n * 4 + B * m * 4 * 4 + B * K * K * 4)
     return vmem < 100 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# RMP (zero-noise limit) and FoBa (parity src/stepwise.jl:5-56)
+# ---------------------------------------------------------------------------
+
+def _rmp_kernel(K: int, maxiter: int, delta2: float, kfinal: int,
+                A_ref, Bs_ref, cn2_ref,
+                idx_ref, coef_ref, r_ref, capped_ref,
+                cols, Ginv, Atbs, coefs, idxs, r, resc, amask):
+    """RMP with a K-slot cap: forward regression to exhaustion (accept
+    while the best squared decrease beats delta^2 — the reference's
+    min_decrease rule, src/forward.jl:56-72), then backward deletions
+    (accept while the squared increase stays below delta^2 for the delta
+    variant, or down to `kfinal` atoms for the k variant,
+    src/stepwise.jl:5-42), iterated up to maxiter outer passes with a
+    no-step-accepted stationarity latch (the fused analog of the
+    reference's isapprox(x_prev, x) detection). `capped_ref` reports
+    instances whose forward stage wanted an atom beyond the K slots — the
+    caller re-solves those on the uncapped XLA path, so the cap never
+    changes semantics."""
+    eng = _Engine(A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r,
+                  amask=amask, resc=resc, cn2_ref=cn2_ref)
+    B, m = eng.B, eng.m
+    slot_iota, BIG = eng.slot_iota, eng.BIG
+    deg = eng.deg
+    NEG = jnp.float32(-jnp.inf)
+    delta2 = jnp.float32(delta2)
+
+    eng.init()
+    capped_ref[:, :] = jnp.zeros_like(capped_ref)
+
+    def nactive():
+        return jnp.sum((idxs[:, :] < m).astype(F32), axis=1, keepdims=True)
+
+    def forward_step(gate):
+        """One gated forward step; returns (still-advancing, capped)."""
+        q = eng.corr(r[:, :])
+        rmin = deg * cn2_ref[0:1, :]
+        d2 = jnp.where(resc[:, :] > rmin, q * q / resc[:, :], NEG)
+        d2 = jnp.where(amask[:, :] > 0, 0.0, d2)
+        i, dmax = eng.argmax_masked(d2)
+        nat = nactive()
+        # the XLA accept rule also stops at min(n, m) atoms
+        # (src/forward.jl:60: nnz < n and capacity); only a rejection
+        # caused purely by the K-slot cap counts as capped
+        wanted = gate & (eng.rnorm2() > 0) & (dmax > delta2) \
+            & (nat < float(min(eng.n, m)))
+        full = nat >= float(K)
+        ok = eng.append(i, wanted & ~full)
+        eng.refit_residual()
+        return ok, wanted & full
+
+    def backward_step(gate):
+        """One gated backward deletion; returns accepted mask (B,1)."""
+        act = idxs[:, :] < m
+        d2 = jnp.where(act, coefs[:, :] * coefs[:, :]
+                       / jnp.maximum(eng.gram_diag(), 1e-30), jnp.inf)
+        dmin = jnp.min(d2, axis=1, keepdims=True)
+        p = jnp.min(jnp.where(d2 == dmin, slot_iota, BIG), axis=1,
+                    keepdims=True)
+        if kfinal >= 0:      # k variant: delete down to kfinal atoms
+            acc = gate & (nactive() > float(kfinal)) & (dmin < jnp.inf)
+        else:                # delta variant: while increase < delta^2
+            acc = gate & (dmin < delta2)
+        hasf = acc.astype(F32)
+        ep = (slot_iota == p).astype(F32) * hasf
+        eng.delete_ep(ep, hasf)
+        eng.refit_residual()
+        return acc
+
+    def stage(step, gate0):
+        """Run gated `step` until the whole batch rejects; returns 1.0
+        where an instance accepted at least one step (f32 — bool vector
+        loop carries fail Mosaic's scf legalization)."""
+        def scond(c):
+            j, g, _ = c
+            return (j < K + 1) & (jnp.max(g) > 0.5)
+
+        def sbody(c):
+            j, g, any_acc = c
+            if step is forward_step:
+                ok, cap = forward_step(g > 0.5)
+                capped_ref[:, :] = jnp.maximum(capped_ref[:, :],
+                                               cap.astype(jnp.int32))
+            else:
+                ok = backward_step(g > 0.5)
+            g = g * ok.astype(F32)
+            return j + 1, g, jnp.maximum(any_acc, ok.astype(F32))
+
+        _, _, any_acc = lax.while_loop(
+            scond, sbody, (jnp.int32(0), gate0.astype(F32),
+                           jnp.zeros((B, 1), F32)))
+        return any_acc
+
+    def outer(carry):
+        t, done = carry
+        alive = done < 0.5
+        facc = stage(forward_step, alive)
+        bacc = stage(backward_step, alive)
+        progressed = jnp.maximum(facc, bacc) > 0.5
+        return t + 1, jnp.where(progressed, done, 1.0)
+
+    def outer_cond(carry):
+        t, done = carry
+        return (t < maxiter) & (jnp.min(done) < 0.5)
+
+    lax.while_loop(outer_cond, outer,
+                   (jnp.int32(0), jnp.zeros((B, 1), F32)))
+
+    idx_ref[:, :] = idxs[:, :]
+    coef_ref[:, :] = coefs[:, :]
+    r_ref[:, :] = r[:, :]
+
+
+@partial(jax.jit, static_argnames=("K", "maxiter", "delta2", "kfinal",
+                                   "corr_dtype", "interpret"))
+def _rmp_fused_call(A, Bs, K: int, maxiter: int, delta2: float, kfinal: int,
+                    corr_dtype, interpret: bool = False):
+    n, m = A.shape
+    B = Bs.shape[0]
+    Ac = A.astype(corr_dtype)
+    Bs = Bs.astype(F32)
+    cn2 = jnp.sum(A.astype(F32) * A.astype(F32), axis=0)[None, :]
+
+    return pl.pallas_call(
+        partial(_rmp_kernel, K, maxiter, delta2, kfinal),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, K), F32),
+            jax.ShapeDtypeStruct((B, n), F32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, K, n), F32),        # cols
+            pltpu.VMEM((B, K, K), F32),        # Ginv
+            pltpu.VMEM((B, K), F32),           # Atb
+            pltpu.VMEM((B, K), F32),           # coef
+            pltpu.VMEM((B, K), jnp.int32),     # idx
+            pltpu.VMEM((B, n), F32),           # r
+            pltpu.VMEM((B, m), F32),           # rescaling
+            pltpu.VMEM((B, m), F32),           # active mask
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Ac, Bs, cn2)
+
+
+def rmp_fused_solve(A, Bs, k: int | None = None, delta: float | None = None,
+                    maxiter: int = 1, kmax: int = 32,
+                    corr_dtype=jnp.bfloat16, interpret: bool = False):
+    """Batched RMP via the whole-solve fused kernel (K = kmax slot cap).
+
+    Parity: src/stepwise.jl:5-25 (the delta variant — the paper's
+    algorithm). Returns (SparseSolution, residuals, capped (B,) bool) —
+    capped instances hit the slot cap mid-forward and must be re-solved
+    on the uncapped path (see cstpu.models.batched). The k variant
+    (src/stepwise.jl:31-42) runs its forward stage to exhaustion
+    (~min(n, m) atoms before pruning back), a chain of near-degenerate
+    f32 appends + downdates the slot engine cannot survive — it stays on
+    the XLA path by design.
+    """
+    n, m = A.shape
+    if (k is None) == (delta is None):
+        raise ValueError("specify exactly one of k or delta")
+    if k is not None:
+        raise NotImplementedError(
+            "fused RMP covers the delta variant only; use cstpu.rmp "
+            "(XLA path) for the k variant")
+    kfinal, delta2 = -1, float(delta) ** 2
+    idx, coef, r, capped = _rmp_fused_call(
+        jnp.asarray(A), jnp.asarray(Bs), int(kmax), int(maxiter), delta2,
+        kfinal, corr_dtype, interpret)
+    return _to_solution(idx, coef, m), r, capped[:, 0] > 0
+
+
+def _foba_kernel(K: int, maxiter: int, delta2: float,
+                 A_ref, Bs_ref, cn2_ref,
+                 idx_ref, coef_ref, r_ref, capped_ref,
+                 cols, Ginv, Atbs, coefs, idxs, r, resc, amask):
+    """FoBa: one forward step per outer iteration (stop at rejection);
+    after each accepted step, backward deletions are allowed only while
+    the squared increase is below (accepted decrease)/4 — Zhang's
+    half-the-last-gain rule (src/stepwise.jl:46-56)."""
+    eng = _Engine(A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r,
+                  amask=amask, resc=resc, cn2_ref=cn2_ref)
+    B, m = eng.B, eng.m
+    slot_iota, BIG = eng.slot_iota, eng.BIG
+    deg = eng.deg
+    NEG = jnp.float32(-jnp.inf)
+    delta2 = jnp.float32(delta2)
+
+    eng.init()
+    capped_ref[:, :] = jnp.zeros_like(capped_ref)
+
+    def nactive():
+        return jnp.sum((idxs[:, :] < m).astype(F32), axis=1, keepdims=True)
+
+    def body(carry):
+        t, alive = carry
+        gate = alive > 0.5
+        q = eng.corr(r[:, :])
+        rmin = deg * cn2_ref[0:1, :]
+        d2 = jnp.where(resc[:, :] > rmin, q * q / resc[:, :], NEG)
+        d2 = jnp.where(amask[:, :] > 0, 0.0, d2)
+        i, dmax = eng.argmax_masked(d2)
+        nat = nactive()
+        wanted = gate & (eng.rnorm2() > 0) & (dmax > delta2) \
+            & (nat < float(min(eng.n, m)))
+        full = nat >= float(K)
+        capped_ref[:, :] = jnp.maximum(capped_ref[:, :],
+                                       (wanted & full).astype(jnp.int32))
+        ok = eng.append(i, wanted & ~full)
+        eng.refit_residual()
+        bthresh = jnp.maximum(dmax, 0.0) * 0.25    # (max_delta/2)^2
+
+        def bcond(c):
+            j, g = c
+            return (j < K + 1) & (jnp.max(g) > 0.5)
+
+        def bbody(c):
+            j, g = c
+            act = idxs[:, :] < m
+            bd2 = jnp.where(act, coefs[:, :] * coefs[:, :]
+                            / jnp.maximum(eng.gram_diag(), 1e-30), jnp.inf)
+            dmin = jnp.min(bd2, axis=1, keepdims=True)
+            p = jnp.min(jnp.where(bd2 == dmin, slot_iota, BIG), axis=1,
+                        keepdims=True)
+            acc = (g > 0.5) & (dmin < bthresh)
+            hasf = acc.astype(F32)
+            ep = (slot_iota == p).astype(F32) * hasf
+            eng.delete_ep(ep, hasf)
+            eng.refit_residual()
+            return j + 1, g * hasf
+
+        lax.while_loop(bcond, bbody, (jnp.int32(0), ok.astype(F32)))
+        return t + 1, alive * ok.astype(F32)
+
+    def cond(carry):
+        t, alive = carry
+        return (t < maxiter) & (jnp.max(alive) > 0.5)
+
+    lax.while_loop(cond, body, (jnp.int32(0), jnp.ones((B, 1), F32)))
+
+    idx_ref[:, :] = idxs[:, :]
+    coef_ref[:, :] = coefs[:, :]
+    r_ref[:, :] = r[:, :]
+
+
+@partial(jax.jit, static_argnames=("K", "maxiter", "delta2", "corr_dtype",
+                                   "interpret"))
+def _foba_fused_call(A, Bs, K: int, maxiter: int, delta2: float,
+                     corr_dtype, interpret: bool = False):
+    n, m = A.shape
+    B = Bs.shape[0]
+    Ac = A.astype(corr_dtype)
+    Bs = Bs.astype(F32)
+    cn2 = jnp.sum(A.astype(F32) * A.astype(F32), axis=0)[None, :]
+
+    return pl.pallas_call(
+        partial(_foba_kernel, K, maxiter, delta2),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, K), F32),
+            jax.ShapeDtypeStruct((B, n), F32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, K, n), F32),        # cols
+            pltpu.VMEM((B, K, K), F32),        # Ginv
+            pltpu.VMEM((B, K), F32),           # Atb
+            pltpu.VMEM((B, K), F32),           # coef
+            pltpu.VMEM((B, K), jnp.int32),     # idx
+            pltpu.VMEM((B, n), F32),           # r
+            pltpu.VMEM((B, m), F32),           # rescaling
+            pltpu.VMEM((B, m), F32),           # active mask
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(Ac, Bs, cn2)
+
+
+def foba_fused_solve(A, Bs, delta: float, kmax: int = 32,
+                     corr_dtype=jnp.bfloat16, interpret: bool = False):
+    """Batched FoBa via the whole-solve fused kernel (K = kmax slot cap).
+
+    Parity: src/stepwise.jl:46-56 (outer bound n as in the reference).
+    Returns (SparseSolution, residuals, capped (B,) bool).
+    """
+    n, m = A.shape
+    idx, coef, r, capped = _foba_fused_call(
+        jnp.asarray(A), jnp.asarray(Bs), int(kmax), int(n),
+        float(delta) ** 2, corr_dtype, interpret)
+    return _to_solution(idx, coef, m), r, capped[:, 0] > 0
+
+
+def supported_rmp(A, Bs, kmax: int, corr_dtype=jnp.bfloat16) -> bool:
+    """VMEM gate for the fused RMP/FoBa kernels (kmax-slot state)."""
+    n, m = A.shape
+    B = Bs.shape[0]
+    K = int(kmax)
+    if n % 8 or m % 128 or B % 8:
+        return False
+    itemsize = jnp.dtype(corr_dtype).itemsize
+    vmem = (n * m * itemsize + B * K * n * 4
+            + 2 * B * n * 4 + B * m * 4 * 4 + B * K * K * 4)
+    return vmem < 100 * 1024 * 1024

@@ -215,3 +215,70 @@ def test_ompr_fused_matches_xla_path():
     dense_r = jax.vmap(lambda s: s.todense())(ref)
     np.testing.assert_allclose(np.asarray(dense_f), np.asarray(dense_r),
                                atol=1e-4)
+
+
+def test_fsbl_fused_matches_xla_path():
+    from cstpu import fsbl, perturb, sparse_data, support
+    from cstpu.ops.fused_sbl import fsbl_fused_solve
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(900))
+    A, x, b = sparse_data(kd, n=32, m=128, k=3, dtype=jnp.float32)
+    sigma = 1e-2
+    y = perturb(kn, b, sigma)
+    Bs = jnp.stack([b, y])
+    xs = fsbl_fused_solve(A, Bs, sigma ** 2, interpret=True)
+    ref = jax.vmap(lambda bb: fsbl(A, bb, sigma ** 2))(Bs)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref),
+                               atol=1e-4)
+    got = np.flatnonzero(np.abs(np.asarray(xs[1])) > sigma)
+    np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
+
+
+def test_rmp_fused_matches_xla_path():
+    from cstpu import rmp
+    from cstpu.ops.fused_twostage import rmp_fused_solve
+
+    A, x, b, y = _problem(910)
+    Bs = jnp.stack([b, y])
+
+    # delta variant
+    sol, _, capped = rmp_fused_solve(A, Bs, delta=1e-2, kmax=8,
+                                     corr_dtype=jnp.float32, interpret=True)
+    assert not np.any(np.asarray(capped))
+    ref = jax.vmap(lambda bb: rmp(A, bb, delta=1e-2))(Bs)
+    dense_f = jax.vmap(lambda s: s.todense())(sol)
+    dense_r = jax.vmap(lambda s: s.todense())(ref)
+    np.testing.assert_allclose(np.asarray(dense_f), np.asarray(dense_r),
+                               atol=1e-4)
+
+    # k variant is XLA-only by design (forward-to-exhaustion conditioning)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        rmp_fused_solve(A, Bs, k=3, corr_dtype=jnp.float32, interpret=True)
+
+
+def test_rmp_fused_capped_flag():
+    from cstpu.ops.fused_twostage import rmp_fused_solve
+
+    # kmax=2 cannot hold a 3-sparse solution: the forward stage must
+    # report the cap instead of silently truncating
+    A, x, b, y = _problem(911)
+    sol, _, capped = rmp_fused_solve(A, b[None, :], delta=1e-2, kmax=2,
+                                     corr_dtype=jnp.float32, interpret=True)
+    assert np.all(np.asarray(capped))
+
+
+def test_foba_fused_matches_xla_path():
+    from cstpu import foba
+    from cstpu.ops.fused_twostage import foba_fused_solve
+
+    A, x, b, y = _problem(912)
+    Bs = jnp.stack([b, y])
+    sol, _, capped = foba_fused_solve(A, Bs, delta=1e-2, kmax=8,
+                                      corr_dtype=jnp.float32, interpret=True)
+    assert not np.any(np.asarray(capped))
+    ref = jax.vmap(lambda bb: foba(A, bb, 1e-2))(Bs)
+    dense_f = jax.vmap(lambda s: s.todense())(sol)
+    dense_r = jax.vmap(lambda s: s.todense())(ref)
+    np.testing.assert_allclose(np.asarray(dense_f), np.asarray(dense_r),
+                               atol=1e-4)
