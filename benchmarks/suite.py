@@ -181,7 +181,7 @@ def config3():
 
     ssolver = lambda Bs_: srr_batch(A, Bs_, k, 1e-12, maxiter=4)
     rec = _recovery(ssolver(Bs), sup, m)
-    t = per_rep(_chain(ssolver, k), Bs, 1, 3)
+    t = per_rep(_chain(ssolver, k), Bs, 2, 8)
     _emit("3b:srr_correlated025_1024x8192_k16", B * k / t,
           {"ms_per_solve": round(t * 1e3, 4), "recovery": rec, "batch": B})
 
@@ -197,6 +197,34 @@ def config3():
     _emit("3c:fr_correlated10_approx_regime", B * k / t,
           {"ms_per_solve": round(t * 1e3, 4), "rel_residual": round(rel, 4),
            "batch": B})
+
+
+def config3d():
+    """RMP (delta) + FoBa via the fused slot-cap kernels, Gaussian
+    1024x8192 — the stepwise compositions at production scale."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cstpu.models.batched import rmp_batch, foba_batch
+
+    B, n, m, k = 8, 1024, 8192, 16
+    A, X, Bs, sup = _planted(jax.random.PRNGKey(33), B, n, m, k)
+
+    for name, solver in (
+            ("rmp_delta", lambda Bs_: rmp_batch(A, Bs_, delta=1e-2,
+                                                kmax=32)),
+            ("foba", lambda Bs_: foba_batch(A, Bs_, 1e-2, kmax=32))):
+        sol = solver(Bs)
+        rec = _recovery(sol, sup, m)
+        dts = []
+        for rep in range(3):  # first steady read is ~3x slow on the tunnel
+            t0 = time.perf_counter()
+            jax.block_until_ready(solver(Bs + (rep + 1) * 1e-30).idx)
+            dts.append(time.perf_counter() - t0)
+        print(json.dumps({"config": f"3d:{name}_fused_1024x8192_k16",
+                          "ms_per_batch": round(min(dts) * 1e3, 1),
+                          "recovery": rec, "batch": B}))
 
 
 def config4():
@@ -280,8 +308,29 @@ def config5():
                       "dict_stream_GBps": round(gbps, 1),
                       "recovery": rec}))
 
+    # 5c: the fused hybrid multi-chip path (per-shard streaming select
+    # kernel + collective argmax) on the same shape — on one device this
+    # should match 5b's kernel rate; on a pod each chip runs 1/ndev of it
+    from cstpu.parallel.sharded import omp_sharded_fused
+
+    B3 = 8
+    Bs3 = Bs2[:B3]
+    mesh2 = make_mesh((1, ndev))
+    solver3 = lambda Bs_: omp_sharded_fused(A2, Bs_, k2, mesh2)
+    rec3 = _recovery(solver3(Bs3), sup2[:B3], m2)
+    dts = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(solver3(Bs3 + (rep + 1) * 1e-30).idx)
+        dts.append(time.perf_counter() - t0)
+    print(json.dumps({"config": f"5c:omp_sharded_fused_{ndev}dev_1024x131072",
+                      "ms_per_batch8": round(min(dts) * 1e3, 1),
+                      "recovery": rec3, "devices": ndev}))
+
 
 if __name__ == "__main__":
     which = [int(a) for a in _sys.argv[1:]] or [1, 2, 3, 4, 5]
     for c in which:
         {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}[c]()
+        if c == 3:
+            config3d()
