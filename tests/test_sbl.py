@@ -71,3 +71,16 @@ def test_rmp_zero_noise_limit():
     assert list(sol.nzind) == list(support(x))
     r = np.asarray(A) @ np.asarray(sol.todense()) - np.asarray(b)
     assert np.linalg.norm(r) < 10 * SIGMA
+
+
+def test_fsbl_batch_dispatch():
+    # off-TPU (and by default on TPU) fsbl_batch is the vmapped XLA path
+    import numpy as np
+
+    from cstpu import fsbl, fsbl_batch
+
+    A, x, b, y = _problem(99)
+    Bs = jnp.stack([b, y])
+    out = fsbl_batch(A, Bs, SIGMA ** 2)
+    ref = jax.vmap(lambda bb: fsbl(A, bb, SIGMA ** 2))(Bs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-10)

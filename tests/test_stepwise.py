@@ -69,3 +69,30 @@ def test_rmp_warm_start_support():
     sol = rmp(A, b, delta=1e-8, x0=jnp.asarray(support(x)))
     got = np.asarray(sol.idx)[np.asarray(sol.mask)]
     np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
+
+
+def test_rmp_foba_batch_dispatch():
+    # off-TPU these fall back to the vmapped XLA path; semantics must match
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cstpu import (rmp, foba, rmp_batch, foba_batch, sparse_data,
+                       perturb, support)
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(88))
+    A, x, b = sparse_data(kd, n=32, m=64, k=3, dtype=jnp.float32)
+    y = perturb(kn, b, DELTA / 2)
+    Bs = jnp.stack([b, y])
+
+    sols = rmp_batch(A, Bs, delta=DELTA)
+    refs = jax.vmap(lambda bb: rmp(A, bb, delta=DELTA))(Bs)
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(lambda s: s.todense())(sols)),
+        np.asarray(jax.vmap(lambda s: s.todense())(refs)), atol=1e-6)
+
+    solf = foba_batch(A, Bs, DELTA)
+    reff = jax.vmap(lambda bb: foba(A, bb, DELTA))(Bs)
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(lambda s: s.todense())(solf)),
+        np.asarray(jax.vmap(lambda s: s.todense())(reff)), atol=1e-6)
