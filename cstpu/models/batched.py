@@ -11,12 +11,11 @@ from __future__ import annotations
 
 import jax
 
-from cstpu.models.matching_pursuit import mp, omp, gomp, oblivious
+from cstpu.models.matching_pursuit import mp, omp, gomp
 from cstpu.models.forward import fr
-from cstpu.models.backward import br, fbr, lace
 from cstpu.models.twostage import sp, ompr, srr
 from cstpu.models.stepwise import rmp, foba
-from cstpu.models.sbl import sbl, fsbl, rmps
+from cstpu.models.sbl import fsbl, rmps
 
 
 def batch(solver, **fixed):
