@@ -117,3 +117,89 @@ def supported_select(A, B: int) -> bool:
     if n % 8 or B % 8 or m % 128:
         return False
     return _stream_tile(m, n, 2, 8 * 1024 * 1024) > 0
+
+
+def _select_topl_kernel(T: int, tm: int, l: int,
+                        A_ref, R_ref, val_ref, idx_ref):
+    """Running top-l over tiles: each tile contributes its own top-l
+    (at most l of a tile's atoms can make the global top-l), inserted
+    one-by-one over the running set's current minimum. Strict-> insertion
+    keeps earlier (lower-index) entries on value ties — the same
+    deterministic tie-breaking as the top-1 kernel, matching
+    `partialsortperm`'s stable order (src/matchingpursuit.jl:189-193)."""
+    B, n = R_ref.shape
+    f32 = jnp.float32
+    cdt = A_ref.dtype
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        val_ref[:, :] = jnp.full_like(val_ref, -jnp.inf)
+        idx_ref[:, :] = jnp.zeros_like(idx_ref)
+
+    tile_iota = lax.broadcasted_iota(jnp.int32, (B, tm), 1)
+    l_iota = lax.broadcasted_iota(jnp.int32, (B, l), 1)
+    scores = jnp.abs(
+        lax.dot_general(R_ref[:, :].astype(cdt), A_ref[:, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32))              # (B, tm)
+
+    def one(_, sc):
+        tmax = jnp.max(sc, axis=1, keepdims=True)
+        tloc = jnp.min(jnp.where(sc == tmax, tile_iota, INT_MAX),
+                       axis=1, keepdims=True)                     # (B, 1)
+        gcand = tloc + j * tm
+        rmin = jnp.min(val_ref[:, :], axis=1, keepdims=True)
+        p = jnp.min(jnp.where(val_ref[:, :] == rmin, l_iota, INT_MAX),
+                    axis=1, keepdims=True)
+        take = (l_iota == p) & (tmax > rmin)
+        val_ref[:, :] = jnp.where(take, tmax, val_ref[:, :])
+        idx_ref[:, :] = jnp.where(take, gcand, idx_ref[:, :])
+        return jnp.where(tile_iota == tloc, -jnp.inf, sc)
+
+    lax.fori_loop(0, l, one, scores)
+
+
+@partial(jax.jit, static_argnames=("l", "interpret"))
+def correlate_select_topl_stream(A, R, l: int, interpret: bool = False):
+    """Top-l selection sweep of A (n, m; pre-cast to the correlation
+    dtype) against residuals R (B, n) f32. Returns (val (B, l), idx
+    (B, l)) — NOT sorted by value; mask on val > -inf for short
+    dictionaries."""
+    n, m = A.shape
+    B = R.shape[0]
+    R = R.astype(jnp.float32)
+    tm = _stream_tile(m, n, A.dtype.itemsize, 8 * 1024 * 1024)
+    T = m // tm
+
+    val, idx = pl.pallas_call(
+        partial(_select_topl_kernel, T, tm, int(l)),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((n, tm), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, n), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, l), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, l), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, l), jnp.float32),
+            jax.ShapeDtypeStruct((B, l), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * n * m,
+            bytes_accessed=n * m * A.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A, R)
+    return val, idx

@@ -258,6 +258,123 @@ def _omp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
     ))
 
 
+def _gomp_fused_shard_body(A_local, Ac_local, Bs_local, l: int, k: int,
+                           rem: int, eps, m: int, axis: str,
+                           interpret: bool):
+    """Batched GOMP over a column shard: per outer step each shard's
+    top-l candidates come from one streaming top-l kernel sweep
+    (cstpu.ops.stream_select.correlate_select_topl_stream), the global
+    top-l is merged from an all-gather of the S*l per-shard candidates
+    (value-descending, lowest-global-index ties — exactly the vmapped
+    `topl(|A'r|)` order), and the l gated appends + one refit run
+    replicated. Parity: cstpu.models.matching_pursuit._gomp."""
+    from cstpu.ops.stream_select import correlate_select_topl_stream
+
+    B, n = Bs_local.shape
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    cap = jnp.minimum(n, k)
+    st0 = jax.vmap(lambda _: aset.empty(n, k, m, A_local.dtype))(
+        jnp.arange(B))
+
+    def merge_topl(lval, gidx, ll):
+        """(B, S*l) candidates -> ll selected (B,) indices, best-first."""
+        av = lax.all_gather(lval, axis)                       # (S, B, l)
+        ai = lax.all_gather(gidx, axis)
+        av = jnp.moveaxis(av, 0, 1).reshape(B, -1)            # (B, S*l)
+        ai = jnp.moveaxis(ai, 0, 1).reshape(B, -1)
+        sels = []
+        for _ in range(ll):
+            gmax = jnp.max(av, axis=1, keepdims=True)
+            sel = jnp.min(jnp.where(av == gmax, ai, INT_MAX), axis=1,
+                          keepdims=True)                      # (B, 1)
+            av = jnp.where(ai == sel, -jnp.inf, av)
+            sels.append(sel[:, 0])
+        return sels
+
+    def group_step(st, ll):
+        r = jax.vmap(aset.residual)(st, Bs_local)
+        lval, lidx = correlate_select_topl_stream(
+            Ac_local, r, ll, interpret=interpret)
+        gidx = shard * m_local + lidx.astype(jnp.int32)       # (B, ll)
+        notfull = st.k < n                                    # (B,)
+        for gsel in merge_topl(lval, gidx, ll):
+            owner = (gsel // m_local) == shard
+            lcol = jnp.take(A_local, gsel % m_local, axis=1).T
+            col = lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+            present = jax.vmap(aset.contains)(st, gsel)
+            ok = ~present & (st.k < cap) & notfull
+            st = jax.vmap(aset.append_col_gated)(
+                col, Bs_local, st, gsel, ok)
+        st = jax.vmap(aset.refit)(st)
+        return st, notfull
+
+    def cond(carry):
+        st, t, done = carry
+        return (t < k // l) & ~jnp.all(done)
+
+    def body(carry):
+        st, t, done = carry
+        st2, notfull = group_step(st, l)
+        r2 = jax.vmap(aset.residual)(st2, Bs_local)
+        done2 = done | ~notfull | (jnp.linalg.norm(r2, axis=1) < eps)
+        return st2, t + 1, done2
+
+    st, _, _ = lax.while_loop(
+        cond, body, (st0, jnp.int32(0), jnp.zeros((B,), bool)))
+    if rem > 0:  # unconditional remainder step, as in the reference
+        st, _ = group_step(st, rem)
+    return jax.vmap(lambda s: aset.finalize(s, m))(st)
+
+
+def gomp_sharded_fused(A, Bs, l: int, k: int, mesh: Mesh,
+                       max_residual: float = 0.0,
+                       atoms_axis: str = "atoms", batch_axis: str = "batch",
+                       corr_dtype=jnp.bfloat16, interpret: bool = False):
+    """Column-sharded batched GOMP with per-shard streaming top-l
+    selection kernels — the multi-chip path for l-atoms-per-step pursuit
+    at beyond-VMEM dictionary scale. Semantics of cstpu.gomp."""
+    n, m = A.shape
+    k = int(min(k if k is not None else m, m))
+    l = int(l)
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fn = _gomp_sharded_fused_jit(mesh, atoms_axis, batch_axis, l, k, k % l,
+                                 m, float(max_residual), A.dtype.name,
+                                 jnp.dtype(corr_dtype).name, bool(interpret))
+    return fn(A, jnp.asarray(A, corr_dtype), Bs)
+
+
+@lru_cache(maxsize=64)
+def _gomp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
+                            l: int, k: int, rem: int, m: int,
+                            max_residual: float, dtype_name: str,
+                            corr_dtype_name: str, interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    eps = jnp.asarray(max_residual, dtype)
+
+    def shard_fn(A_local, Ac_local, Bs_local):
+        return _gomp_fused_shard_body(A_local, Ac_local, Bs_local, l=l,
+                                      k=k, rem=rem, eps=eps, m=m,
+                                      axis=atoms_axis, interpret=interpret)
+
+    from cstpu.utils.sparse import SparseSolution
+    out_struct = SparseSolution(
+        idx=jax.ShapeDtypeStruct((k,), jnp.int32),
+        val=jax.ShapeDtypeStruct((k,), dtype),
+        mask=jax.ShapeDtypeStruct((k,), jnp.bool_),
+        m=m,
+    )
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(None, atoms_axis),
+                  P(batch_axis, None)),
+        out_specs=jax.tree.map(lambda _: P(batch_axis), out_struct),
+        check_vma=False,
+    ))
+
+
 # ---------------------------------------------------------------------------
 # Row-sharded (measurement-axis) OMP — the long-measurement-axis strategy
 # ---------------------------------------------------------------------------

@@ -144,3 +144,24 @@ def test_sharded_fused_omp_matches_single_device(mesh):
         row = jax.tree.map(lambda l: l[i], sols)
         assert list(row.nzind) == list(ref.nzind)
         np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-5)
+
+
+def test_sharded_fused_gomp_matches_single_device(mesh):
+    from cstpu import gomp
+    from cstpu.parallel.sharded import gomp_sharded_fused
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(74))
+    A, x, b = sparse_data(kd, n=64, m=1024, k=6, dtype=jnp.float32)
+    y = perturb(kn, b, DELTA / 2)
+    Bs = jnp.stack([b, y] * 4)
+    # l=2, k=7 exercises the remainder step (rem=1)
+    sols = gomp_sharded_fused(A, Bs, 2, 7, mesh, corr_dtype=jnp.float32,
+                              interpret=True)
+    ref_b = gomp(A, b, 2, 7)
+    ref_y = gomp(A, y, 2, 7)
+    for i in range(8):
+        ref = ref_b if i % 2 == 0 else ref_y
+        row = jax.tree.map(lambda leaf: leaf[i], sols)
+        assert list(row.nzind) == list(ref.nzind)
+        np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-4,
+                                   atol=1e-6)
