@@ -375,6 +375,156 @@ def _gomp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
     ))
 
 
+def _prune_to_k(st, b, k: int, m: int):
+    """Keep the k largest-|coefficient| slots, rebuilding the state from
+    the CACHED columns (no dictionary access — the shard does not hold the
+    other shards' atoms). Parity: the SP prune (src/twostage.jl:75-83)."""
+    kmax = st.idx.shape[0]
+    scores = jnp.where(st.mask, jnp.abs(st.coef), -jnp.inf)
+    _, keep = lax.top_k(scores, k)
+    idx = jnp.concatenate([st.idx[keep],
+                           jnp.full((kmax - k,), m, jnp.int32)])
+    mask = (jnp.arange(kmax) < k) & jnp.concatenate(
+        [st.mask[keep], jnp.zeros((kmax - k,), bool)])
+    cols = jnp.concatenate(
+        [st.cols[:, keep], jnp.zeros((st.cols.shape[0], kmax - k),
+                                     st.cols.dtype)], axis=1)
+    cols = cols * mask[None, :].astype(cols.dtype)
+    G = cols.T @ cols
+    eye = jnp.eye(kmax, dtype=cols.dtype)
+    G = jnp.where(mask[:, None] & mask[None, :], G, eye)
+    st2 = aset.ActiveSet(
+        idx=jnp.where(mask, idx, m).astype(jnp.int32),
+        mask=mask,
+        k=jnp.sum(mask).astype(jnp.int32),
+        cols=cols, G=G, Ginv=eye,
+        Atb=cols.T @ b,
+        coef=jnp.zeros((kmax,), cols.dtype),
+    )
+    return aset.refit(aset.refresh(st2))
+
+
+def _sp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, maxiter: int,
+                         delta, m: int, axis: str, interpret: bool):
+    """Batched SP over a column shard: oblivious top-k init, then per
+    iteration a streaming top-k kernel sweep + all-gather merge expands
+    the support to <= 2k, and the prune to the k largest |coefficients|
+    rebuilds from cached columns. Parity: cstpu.models.twostage._sp."""
+    from cstpu.ops.stream_select import correlate_select_topl_stream
+
+    B, n = Bs_local.shape
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    kmax = 2 * k
+    cap = jnp.int32(kmax)
+    st0 = jax.vmap(lambda _: aset.empty(n, kmax, m, A_local.dtype))(
+        jnp.arange(B))
+
+    def merge_topl(lval, gidx):
+        av = lax.all_gather(lval, axis)
+        ai = lax.all_gather(gidx, axis)
+        av = jnp.moveaxis(av, 0, 1).reshape(B, -1)
+        ai = jnp.moveaxis(ai, 0, 1).reshape(B, -1)
+        sels = []
+        for _ in range(k):
+            gmax = jnp.max(av, axis=1, keepdims=True)
+            sel = jnp.min(jnp.where(av == gmax, ai, INT_MAX), axis=1,
+                          keepdims=True)
+            av = jnp.where(ai == sel, -jnp.inf, av)
+            sels.append(sel[:, 0])
+        return sels
+
+    def acquire(st, r, gate):
+        lval, lidx = correlate_select_topl_stream(
+            Ac_local, r, k, interpret=interpret)
+        gidx = shard * m_local + lidx.astype(jnp.int32)
+        for gsel in merge_topl(lval, gidx):
+            owner = (gsel // m_local) == shard
+            lcol = jnp.take(A_local, gsel % m_local, axis=1).T
+            col = lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+            present = jax.vmap(aset.contains)(st, gsel)
+            ok = ~present & (st.k < cap) & gate
+            st = jax.vmap(aset.append_col_gated)(
+                col, Bs_local, st, gsel, ok)
+        return jax.vmap(aset.refit)(st)
+
+    # oblivious init: top-k of |A'b|
+    st = acquire(st0, Bs_local, jnp.ones((B,), bool))
+    res0 = jnp.linalg.norm(
+        jax.vmap(aset.residual)(st, Bs_local), axis=1)
+
+    def cond(carry):
+        st, res, t, done = carry
+        return (t < maxiter) & ~jnp.all(done)
+
+    def body(carry):
+        st, res, t, done = carry
+        gate = ~done
+        r = jax.vmap(aset.residual)(st, Bs_local)
+        st2 = acquire(st, r, gate)
+        st2 = jax.vmap(lambda s, bb: _prune_to_k(s, bb, k, m))(
+            st2, Bs_local)
+        st2 = jax.vmap(tree_where)(gate, st2, st)  # per-row accept
+        new_res = jnp.linalg.norm(
+            jax.vmap(aset.residual)(st2, Bs_local), axis=1)
+        new_res = jnp.where(gate, new_res, res)
+        done2 = done | (new_res <= delta) | (res <= new_res)
+        return st2, new_res, t + 1, done2
+
+    st, _, _, _ = lax.while_loop(
+        cond, body, (st, res0, jnp.int32(0), jnp.zeros((B,), bool)))
+    return jax.vmap(lambda s: aset.finalize(s, m))(st)
+
+
+def sp_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
+                     maxiter: int | None = None,
+                     atoms_axis: str = "atoms", batch_axis: str = "batch",
+                     corr_dtype=jnp.bfloat16, interpret: bool = False):
+    """Column-sharded batched Subspace Pursuit with per-shard streaming
+    top-k selection kernels. Semantics of cstpu.sp."""
+    n, m = A.shape
+    k = int(k)
+    if 2 * k > n:
+        raise ValueError(f"2k = {2*k} > {n} = len(b) is invalid for SP")
+    maxiter = int(maxiter if maxiter is not None else 16 * k)
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fn = _sp_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, maxiter, m,
+                               float(delta), A.dtype.name,
+                               jnp.dtype(corr_dtype).name, bool(interpret))
+    return fn(A, jnp.asarray(A, corr_dtype), Bs)
+
+
+@lru_cache(maxsize=64)
+def _sp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
+                          k: int, maxiter: int, m: int, delta: float,
+                          dtype_name: str, corr_dtype_name: str,
+                          interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    delta_ = jnp.asarray(delta, dtype)
+
+    def shard_fn(A_local, Ac_local, Bs_local):
+        return _sp_fused_shard_body(A_local, Ac_local, Bs_local, k=k,
+                                    maxiter=maxiter, delta=delta_, m=m,
+                                    axis=atoms_axis, interpret=interpret)
+
+    from cstpu.utils.sparse import SparseSolution
+    out_struct = SparseSolution(
+        idx=jax.ShapeDtypeStruct((2 * k,), jnp.int32),
+        val=jax.ShapeDtypeStruct((2 * k,), dtype),
+        mask=jax.ShapeDtypeStruct((2 * k,), jnp.bool_),
+        m=m,
+    )
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(None, atoms_axis),
+                  P(batch_axis, None)),
+        out_specs=jax.tree.map(lambda _: P(batch_axis), out_struct),
+        check_vma=False,
+    ))
+
+
 # ---------------------------------------------------------------------------
 # Row-sharded (measurement-axis) OMP — the long-measurement-axis strategy
 # ---------------------------------------------------------------------------
