@@ -203,3 +203,109 @@ def correlate_select_topl_stream(A, R, l: int, interpret: bool = False):
         interpret=interpret,
     )(A, R)
     return val, idx
+
+
+def _fr_step_kernel(T: int, tm: int, deg: float,
+                    A_ref, R_ref, W_ref, il_ref, cn2_ref, resc_ref,
+                    val_ref, idx_ref, resc_out):
+    """One forward-regression step over a streamed dictionary (shard):
+    fold the PREVIOUS append's rescaling downdate (resc -= (w'a_j)^2, with
+    w the scaled orthogonalized column) into the same tile pass that
+    scores this step's OLS rule d2 = <a_j,r>^2 / resc — FR's two
+    per-step dictionary sweeps (src/forward.jl:74-81,100-114) cost ONE
+    HBM pass. Appended atoms are marked by resc = -1 (any negative value
+    is permanently invalid against rmin = deg * ||a_j||^2 >= 0), which
+    reproduces the active-atom exclusion without a separate mask array."""
+    B, n = R_ref.shape
+    f32 = jnp.float32
+    cdt = A_ref.dtype
+    j = pl.program_id(0)
+    NEG = jnp.float32(-jnp.inf)
+
+    @pl.when(j == 0)
+    def _init():
+        val_ref[:, :] = jnp.full_like(val_ref, NEG)
+        idx_ref[:, :] = jnp.zeros_like(idx_ref)
+
+    tile_iota = lax.broadcasted_iota(jnp.int32, (B, tm), 1)
+    q = lax.dot_general(R_ref[:, :].astype(cdt), A_ref[:, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)               # (B, tm)
+    z = lax.dot_general(W_ref[:, :].astype(cdt), A_ref[:, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)               # (B, tm)
+    resc = resc_ref[:, :] - z * z
+    gidx = tile_iota + j * tm
+    resc = jnp.where(gidx == il_ref[:, :], -1.0, resc)
+    resc_out[:, :] = resc
+
+    rmin = deg * cn2_ref[0:1, :]
+    d2 = jnp.where(resc > rmin, q * q / resc, NEG)
+    tmax = jnp.max(d2, axis=1, keepdims=True)
+    tloc = jnp.min(jnp.where(d2 == tmax, tile_iota, INT_MAX),
+                   axis=1, keepdims=True)
+    better = tmax > val_ref[:, :]
+    idx_ref[:, :] = jnp.where(better, tloc + j * tm, idx_ref[:, :])
+    val_ref[:, :] = jnp.where(better, tmax, val_ref[:, :])
+
+
+@partial(jax.jit, static_argnames=("deg", "interpret"))
+def fr_step_select(A, R, W, il, cn2, resc, deg: float,
+                   interpret: bool = False):
+    """One FR selection sweep with an inline rescaling downdate.
+
+    A (n, m; correlation dtype), R residuals (B, n), W the previous
+    step's scaled orthogonal direction (B, n; zeros on step 0 or
+    rejection), il the previous appended atom's LOCAL index per row (-1
+    for none), cn2 (1, m) squared column norms, resc (B, m) current
+    rescaling (donated). Returns (d2max (B,), idx (B,), resc' (B, m)).
+    """
+    n, m = A.shape
+    B = R.shape[0]
+    tm = _stream_tile(m, n, A.dtype.itemsize, 8 * 1024 * 1024)
+    T = m // tm
+
+    val, idx, resc2 = pl.pallas_call(
+        partial(_fr_step_kernel, T, tm, float(deg)),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((n, tm), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),                # A tile
+            pl.BlockSpec((B, n), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),                # R
+            pl.BlockSpec((B, n), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),                # W
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),                # il
+            pl.BlockSpec((1, tm), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),                # cn2 tile
+            pl.BlockSpec((B, tm), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),                # resc tile
+        ],
+        out_specs=[
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tm), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, m), jnp.float32),
+        ],
+        input_output_aliases={5: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 4 * B * n * m,
+            bytes_accessed=n * m * A.dtype.itemsize + 2 * B * m * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A, R.astype(jnp.float32), W.astype(jnp.float32),
+      il.reshape(B, 1).astype(jnp.int32), cn2, resc)
+    return val[:, 0], idx[:, 0], resc2

@@ -525,6 +525,130 @@ def _sp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
     ))
 
 
+def _fr_fused_shard_body(A_local, Ac_local, Bs_local, k: int, max_eps,
+                         min_delta, m: int, axis: str, interpret: bool):
+    """Batched forward regression over a column shard.
+
+    Each shard keeps the OLS rescaling for ITS atoms (B, m_local); the
+    fr_step_select kernel folds the previous append's rank-one rescaling
+    downdate and this step's d2 scoring into one streamed pass — FR costs
+    one HBM sweep per step here, where the reference's formulation is two
+    (selection GEMV + Q'A GEMM, src/forward.jl:74-81,100-114). The scaled
+    orthogonal direction w = (a - A_S Ginv g) sqrt(1/d) of each accepted
+    append is computed replicated from the cached active columns and
+    broadcast into the next sweep."""
+    from cstpu.ops.fused_solve import _degeneracy_rtol
+    from cstpu.ops.stream_select import fr_step_select
+
+    B, n = Bs_local.shape
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    deg = float(_degeneracy_rtol(n))
+    kcap = jnp.minimum(n, k)
+    st0 = jax.vmap(lambda _: aset.empty(n, k, m, A_local.dtype))(
+        jnp.arange(B))
+    Af32 = A_local.astype(jnp.float32)
+    cn2 = jnp.sum(Af32 * Af32, axis=0)[None, :]                  # (1, ml)
+    max_eps2 = max_eps * max_eps
+    min_d2 = min_delta * min_delta
+
+    def cond(carry):
+        st, W, il, resc, t, done = carry
+        return (t < k) & ~jnp.all(done)
+
+    def body(carry):
+        st, W, il, resc, t, done = carry
+        r = jax.vmap(aset.residual)(st, Bs_local)
+        dmax_l, lidx, resc = fr_step_select(
+            Ac_local, r, W, il, cn2, resc, deg, interpret=interpret)
+        gidx = shard * m_local + lidx.astype(jnp.int32)
+        dmax = lax.pmax(dmax_l, axis)
+        cand = jnp.where(dmax_l == dmax, gidx, INT_MAX)
+        gsel = lax.pmin(cand, axis)                              # (B,)
+        rnorm2 = jnp.sum(r * r, axis=1)
+        accept = (~done & (rnorm2 > max_eps2) & (dmax > min_d2)
+                  & (st.k < kcap))
+        owner = (gsel // m_local) == shard
+        lcol = jnp.take(A_local, gsel % m_local, axis=1).T
+        acol = lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+
+        # w for the NEXT sweep's rescaling downdate (pre-append state)
+        def w_of(s, a):
+            g = jnp.where(s.mask, s.cols.T @ a, 0)
+            u = s.Ginv @ g
+            aperp = a - s.cols @ u
+            ata = a @ a
+            d = jnp.maximum(ata - g @ u,
+                            1e-12 * jnp.maximum(ata, 1e-30))
+            return aperp * jnp.sqrt(1.0 / d)
+
+        W2 = jax.vmap(w_of)(st, acol) * accept[:, None]
+        il2 = jnp.where(accept & owner,
+                        (gsel % m_local).astype(jnp.int32), -1)
+        st2 = jax.vmap(
+            lambda a, bb, s, i, o: aset.refit(
+                aset.append_col_gated(a, bb, s, i, o)))(
+            acol, Bs_local, st, gsel, accept)
+        return st2, W2, il2, resc, t + 1, done | ~accept
+
+    W0 = jnp.zeros((B, n), jnp.float32)
+    il0 = jnp.full((B,), -1, jnp.int32)
+    resc0 = jnp.broadcast_to(cn2, (B, m_local)) + 0.0
+    st, _, _, _, _, _ = lax.while_loop(
+        cond, body, (st0, W0, il0, resc0, jnp.int32(0),
+                     jnp.zeros((B,), bool)))
+    return jax.vmap(lambda s: aset.finalize(s, m))(st)
+
+
+def fr_sharded_fused(A, Bs, sparsity: int, mesh: Mesh,
+                     max_residual: float = 0.0, min_decrease: float = 0.0,
+                     atoms_axis: str = "atoms", batch_axis: str = "batch",
+                     corr_dtype=jnp.bfloat16, interpret: bool = False):
+    """Column-sharded batched forward regression (OLS rule) with the
+    combined rescaling+select streaming kernel. Semantics of cstpu.fr
+    with a sparsity cap."""
+    n, m = A.shape
+    k = int(min(sparsity, n, m))
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fn = _fr_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, m,
+                               float(max_residual), float(min_decrease),
+                               A.dtype.name, jnp.dtype(corr_dtype).name,
+                               bool(interpret))
+    return fn(A, jnp.asarray(A, corr_dtype), Bs)
+
+
+@lru_cache(maxsize=64)
+def _fr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
+                          k: int, m: int, max_residual: float,
+                          min_decrease: float, dtype_name: str,
+                          corr_dtype_name: str, interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    eps = jnp.asarray(max_residual, dtype)
+    mind = jnp.asarray(min_decrease, dtype)
+
+    def shard_fn(A_local, Ac_local, Bs_local):
+        return _fr_fused_shard_body(A_local, Ac_local, Bs_local, k=k,
+                                    max_eps=eps, min_delta=mind, m=m,
+                                    axis=atoms_axis, interpret=interpret)
+
+    from cstpu.utils.sparse import SparseSolution
+    out_struct = SparseSolution(
+        idx=jax.ShapeDtypeStruct((k,), jnp.int32),
+        val=jax.ShapeDtypeStruct((k,), dtype),
+        mask=jax.ShapeDtypeStruct((k,), jnp.bool_),
+        m=m,
+    )
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(None, atoms_axis),
+                  P(batch_axis, None)),
+        out_specs=jax.tree.map(lambda _: P(batch_axis), out_struct),
+        check_vma=False,
+    ))
+
+
 # ---------------------------------------------------------------------------
 # Row-sharded (measurement-axis) OMP — the long-measurement-axis strategy
 # ---------------------------------------------------------------------------

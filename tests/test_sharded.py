@@ -185,3 +185,23 @@ def test_sharded_fused_sp_matches_single_device(mesh):
         assert list(row.nzind) == list(ref.nzind)
         np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_sharded_fused_fr_matches_single_device(mesh):
+    from cstpu import fr
+    from cstpu.parallel.sharded import fr_sharded_fused
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(76))
+    A, x, b = sparse_data(kd, n=64, m=1024, k=5, dtype=jnp.float32)
+    y = perturb(kn, b, DELTA / 2)
+    Bs = jnp.stack([b, y] * 4)
+    sols = fr_sharded_fused(A, Bs, 5, mesh, corr_dtype=jnp.float32,
+                            interpret=True)
+    ref_b = fr(A, b, sparsity=5)
+    ref_y = fr(A, y, sparsity=5)
+    for i in range(8):
+        ref = ref_b if i % 2 == 0 else ref_y
+        row = jax.tree.map(lambda leaf: leaf[i], sols)
+        assert list(row.nzind) == list(ref.nzind)
+        np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-4,
+                                   atol=1e-6)
