@@ -649,6 +649,80 @@ def _fr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
     ))
 
 
+def _mp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, m: int,
+                         axis: str, interpret: bool):
+    """Batched matching pursuit over a column shard: the coefficient
+    vector stays SHARDED with the atoms (each shard owns x for its
+    columns); per step the streaming select kernel finds the global best
+    |<a, r>|, the owner computes the signed correlation and updates its
+    local coefficient, and the replicated residual downdates by p * a.
+    Parity: cstpu.models.matching_pursuit.mp (k fixed updates)."""
+    from cstpu.ops.stream_select import correlate_select_stream
+
+    B, n = Bs_local.shape
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    loc_iota = lax.broadcasted_iota(jnp.int32, (B, m_local), 1)
+
+    def body(_, carry):
+        x_local, r = carry
+        _, lidx = correlate_select_stream(Ac_local, r, interpret=interpret)
+        lval = jnp.abs(jnp.sum(
+            r * jnp.take(A_local, lidx, axis=1).T, axis=1))      # exact f32
+        gidx = shard * m_local + lidx.astype(jnp.int32)
+        gmax = lax.pmax(lval, axis)
+        cand = jnp.where(lval == gmax, gidx, INT_MAX)
+        gsel = lax.pmin(cand, axis)                              # (B,)
+        owner = (gsel // m_local) == shard
+        lcol = jnp.take(A_local, gsel % m_local, axis=1).T
+        col = lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+        p = jnp.sum(r * col, axis=1)                             # signed
+        sel_local = jnp.where(owner, gsel % m_local, -1)
+        x_local = x_local + jnp.where(
+            loc_iota == sel_local[:, None], p[:, None], 0.0)
+        r = r - p[:, None] * col
+        return x_local, r
+
+    x0 = jnp.zeros((B, m_local), A_local.dtype)
+    x_local, _ = lax.fori_loop(0, k, body, (x0, Bs_local + 0.0))
+    return x_local
+
+
+def mp_sharded_fused(A, Bs, k: int, mesh: Mesh,
+                     atoms_axis: str = "atoms", batch_axis: str = "batch",
+                     corr_dtype=jnp.bfloat16, interpret: bool = False):
+    """Column-sharded batched matching pursuit via the streaming select
+    kernel. Returns the dense (B, m) coefficients (sharded over both mesh
+    axes). Semantics of cstpu.mp; selection re-scored in exact f32 on the
+    local winner so the accepted coefficient is full-precision."""
+    n, m = A.shape
+    k = int(k)
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fn = _mp_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, m,
+                               A.dtype.name, jnp.dtype(corr_dtype).name,
+                               bool(interpret))
+    return fn(A, jnp.asarray(A, corr_dtype), Bs)
+
+
+@lru_cache(maxsize=64)
+def _mp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
+                          k: int, m: int, dtype_name: str,
+                          corr_dtype_name: str, interpret: bool):
+    def shard_fn(A_local, Ac_local, Bs_local):
+        return _mp_fused_shard_body(A_local, Ac_local, Bs_local, k=k, m=m,
+                                    axis=atoms_axis, interpret=interpret)
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(None, atoms_axis),
+                  P(batch_axis, None)),
+        out_specs=P(batch_axis, atoms_axis),
+        check_vma=False,
+    ))
+
+
 # ---------------------------------------------------------------------------
 # Row-sharded (measurement-axis) OMP — the long-measurement-axis strategy
 # ---------------------------------------------------------------------------

@@ -205,3 +205,18 @@ def test_sharded_fused_fr_matches_single_device(mesh):
         assert list(row.nzind) == list(ref.nzind)
         np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_sharded_fused_mp_matches_single_device(mesh):
+    from cstpu import mp
+    from cstpu.parallel.sharded import mp_sharded_fused
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(77))
+    A, x, b = sparse_data(kd, n=64, m=1024, k=5, dtype=jnp.float32)
+    y = perturb(kn, b, DELTA / 2)
+    Bs = jnp.stack([b, y] * 4)
+    xs = mp_sharded_fused(A, Bs, 40, mesh, corr_dtype=jnp.float32,
+                          interpret=True)
+    ref = jax.vmap(lambda bb: mp(A, bb, 40))(Bs)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
