@@ -309,3 +309,76 @@ def fr_step_select(A, R, W, il, cn2, resc, deg: float,
     )(A, R.astype(jnp.float32), W.astype(jnp.float32),
       il.reshape(B, 1).astype(jnp.int32), cn2, resc)
     return val[:, 0], idx[:, 0], resc2
+
+
+def _select_masked_kernel(T: int, tm: int, A_ref, R_ref, M_ref,
+                          val_ref, idx_ref):
+    """Top-1 |corr| with an additive per-atom mask tile (0 = eligible,
+    -inf = excluded) — the passive-atom selection of OMPR
+    (src/twostage.jl:134-180: passive scores are eta*|<a,r>| since the
+    dense coefficient is zero off-support; active atoms are excluded)."""
+    B, n = R_ref.shape
+    f32 = jnp.float32
+    cdt = A_ref.dtype
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        val_ref[:, :] = jnp.full_like(val_ref, -jnp.inf)
+        idx_ref[:, :] = jnp.zeros_like(idx_ref)
+
+    tile_iota = lax.broadcasted_iota(jnp.int32, (B, tm), 1)
+    scores = jnp.abs(
+        lax.dot_general(R_ref[:, :].astype(cdt), A_ref[:, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32)) + M_ref[:, :]
+    tmax = jnp.max(scores, axis=1, keepdims=True)
+    tloc = jnp.min(jnp.where(scores == tmax, tile_iota, INT_MAX),
+                   axis=1, keepdims=True)
+    better = tmax > val_ref[:, :]
+    idx_ref[:, :] = jnp.where(better, tloc + j * tm, idx_ref[:, :])
+    val_ref[:, :] = jnp.where(better, tmax, val_ref[:, :])
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def correlate_select_masked_stream(A, R, M, interpret: bool = False):
+    """Masked top-1 selection sweep: scores |R A| + M (M: 0 eligible,
+    -inf excluded). Returns (val (B,), idx (B,))."""
+    n, m = A.shape
+    B = R.shape[0]
+    tm = _stream_tile(m, n, A.dtype.itemsize, 8 * 1024 * 1024)
+    T = m // tm
+
+    val, idx = pl.pallas_call(
+        partial(_select_masked_kernel, T, tm),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((n, tm), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, n), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tm), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * n * m,
+            bytes_accessed=n * m * A.dtype.itemsize + B * m * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(A, R.astype(jnp.float32), M)
+    return val[:, 0], idx[:, 0]

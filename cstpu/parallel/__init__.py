@@ -3,7 +3,7 @@ sharded convex path.
 
 The production beyond-VMEM paths are the fused hybrids (per-shard Pallas
 streaming select kernels + collective argmax — see docs/DESIGN.md §4):
-mp/omp/gomp/sp/fr_sharded_fused. The plain `omp_sharded` /
+mp/omp/gomp/sp/fr/ompr_sharded_fused. The plain `omp_sharded` /
 `omp_sharded_rows` are the XLA-loop references the hybrids are verified
 against, and the row-sharded variant is the long-measurement-axis (n >> m)
 strategy.
@@ -18,6 +18,7 @@ from cstpu.parallel.sharded import (
     sp_sharded_fused,
     fr_sharded_fused,
     mp_sharded_fused,
+    ompr_sharded_fused,
 )
 from cstpu.parallel.convex import bp_sharded, bp_ard_sharded
 
@@ -25,6 +26,6 @@ __all__ = [
     "make_mesh", "shard_dictionary", "shard_batch",
     "omp_sharded", "omp_sharded_rows", "omp_sharded_fused",
     "gomp_sharded_fused", "sp_sharded_fused", "fr_sharded_fused",
-    "mp_sharded_fused",
+    "mp_sharded_fused", "ompr_sharded_fused",
     "bp_sharded", "bp_ard_sharded",
 ]

@@ -723,6 +723,157 @@ def _mp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
     ))
 
 
+def _ompr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
+                           maxiter: int, delta, eta, m: int, axis: str,
+                           interpret: bool):
+    """Batched OMPR over a column shard: the passive-atom gradient
+    selection reduces to a MASKED top-1 |corr| sweep (off-support the
+    dense coefficient is zero, so the score is eta*|<a,r>|), the active
+    gradient step needs only the cached columns (grad = coef +
+    eta * cols'r), and the swap's delete/refit is replicated. Each shard
+    maintains the -inf exclusion mask for its own atoms.
+    Parity: cstpu.models.twostage._ompr."""
+    from cstpu.ops.stream_select import (correlate_select_masked_stream,
+                                         correlate_select_topl_stream)
+
+    B, n = Bs_local.shape
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    kmax = k + 1
+    loc_iota = lax.broadcasted_iota(jnp.int32, (B, m_local), 1)
+    NEG = jnp.float32(-jnp.inf)
+    st0 = jax.vmap(lambda _: aset.empty(n, kmax, m, A_local.dtype))(
+        jnp.arange(B))
+
+    def bcast_col(gsel):
+        owner = (gsel // m_local) == shard
+        lcol = jnp.take(A_local, gsel % m_local, axis=1).T
+        return owner, lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+
+    def mask_set(M, gsel, on, value):
+        owner = (gsel // m_local) == shard
+        sel_local = jnp.where(owner & on, gsel % m_local, -1)
+        return jnp.where(loc_iota == sel_local[:, None], value, M)
+
+    # oblivious top-k init (src/twostage.jl:190)
+    M = jnp.zeros((B, m_local), jnp.float32)
+    st = st0
+    lval, lidx = correlate_select_topl_stream(
+        Ac_local, Bs_local, k, interpret=interpret)
+    gidx = shard * m_local + lidx.astype(jnp.int32)
+    av = lax.all_gather(lval, axis)
+    ai = lax.all_gather(gidx, axis)
+    av = jnp.moveaxis(av, 0, 1).reshape(B, -1)
+    ai = jnp.moveaxis(ai, 0, 1).reshape(B, -1)
+    for _ in range(k):
+        gmax = jnp.max(av, axis=1, keepdims=True)
+        gsel = jnp.min(jnp.where(av == gmax, ai, INT_MAX), axis=1,
+                       keepdims=True)[:, 0]
+        av = jnp.where(ai == gsel[:, None], -jnp.inf, av)
+        owner, col = bcast_col(gsel)
+        present = jax.vmap(aset.contains)(st, gsel)
+        ok = ~present
+        st = jax.vmap(aset.append_col_gated)(col, Bs_local, st, gsel, ok)
+        M = mask_set(M, gsel, ok, NEG)
+    st = jax.vmap(aset.refit)(st)
+    res0 = jnp.linalg.norm(jax.vmap(aset.residual)(st, Bs_local), axis=1)
+
+    def cond(carry):
+        st, M, res, t, done = carry
+        return (t < maxiter) & ~jnp.all(done)
+
+    def body(carry):
+        st, M, res, t, done = carry
+        r = jax.vmap(aset.residual)(st, Bs_local)
+        lval, lidx = correlate_select_masked_stream(
+            Ac_local, r, M, interpret=interpret)
+        gidx = shard * m_local + lidx.astype(jnp.int32)
+        gmax = lax.pmax(lval, axis)
+        cand = jnp.where(lval == gmax, gidx, INT_MAX)
+        gsel = lax.pmin(cand, axis)
+        nochange = ~(gmax > 0)            # reference's i == 0 bail-out
+        act = ~done & ~nochange
+
+        owner, col = bcast_col(gsel)
+        st2 = jax.vmap(aset.append_col_gated)(
+            col, Bs_local, st, gsel, act)
+        # gradient coefficient step over the (new) active set
+        grad = jax.vmap(lambda s, rr: jnp.where(
+            s.mask, s.coef + eta * (s.cols.T @ rr), 0.0))(st2, r)
+        st2 = st2._replace(coef=grad)
+        # delete the min-|coefficient| active slot
+        from cstpu.ops.util import masked_argmin
+
+        pos, _ = jax.vmap(lambda s: masked_argmin(jnp.abs(s.coef),
+                                                  s.mask))(st2)
+        didx = jnp.take_along_axis(st2.idx, pos[:, None], 1)[:, 0]
+        st3 = jax.vmap(lambda s, p: aset.refit(aset.delete(s, p, m)))(
+            st2, pos)
+        st_new = jax.vmap(tree_where)(act, st3, st)
+        M = mask_set(M, gsel, act, NEG)
+        M = mask_set(M, didx, act, 0.0)
+        new_res = jnp.linalg.norm(
+            jax.vmap(aset.residual)(st_new, Bs_local), axis=1)
+        new_res = jnp.where(act, new_res, res)
+        done2 = done | nochange | (new_res <= delta) | (res <= new_res)
+        return st_new, M, new_res, t + 1, done2
+
+    st, _, _, _, _ = lax.while_loop(
+        cond, body, (st, M, res0, jnp.int32(0), jnp.zeros((B,), bool)))
+    return jax.vmap(lambda s: aset.finalize(s, m))(st)
+
+
+def ompr_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
+                       eta: float = 1.0, maxiter: int | None = None,
+                       atoms_axis: str = "atoms",
+                       batch_axis: str = "batch",
+                       corr_dtype=jnp.bfloat16, interpret: bool = False):
+    """Column-sharded batched OMP-with-replacement via the masked
+    streaming select kernel. Semantics of cstpu.ompr."""
+    n, m = A.shape
+    k = int(k)
+    maxiter = int(maxiter if maxiter is not None else n)
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fn = _ompr_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, maxiter,
+                                 m, float(delta), float(eta), A.dtype.name,
+                                 jnp.dtype(corr_dtype).name,
+                                 bool(interpret))
+    return fn(A, jnp.asarray(A, corr_dtype), Bs)
+
+
+@lru_cache(maxsize=64)
+def _ompr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
+                            k: int, maxiter: int, m: int, delta: float,
+                            eta: float, dtype_name: str,
+                            corr_dtype_name: str, interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    delta_ = jnp.asarray(delta, dtype)
+    eta_ = jnp.asarray(eta, dtype)
+
+    def shard_fn(A_local, Ac_local, Bs_local):
+        return _ompr_fused_shard_body(A_local, Ac_local, Bs_local, k=k,
+                                      maxiter=maxiter, delta=delta_,
+                                      eta=eta_, m=m, axis=atoms_axis,
+                                      interpret=interpret)
+
+    from cstpu.utils.sparse import SparseSolution
+    out_struct = SparseSolution(
+        idx=jax.ShapeDtypeStruct((k + 1,), jnp.int32),
+        val=jax.ShapeDtypeStruct((k + 1,), dtype),
+        mask=jax.ShapeDtypeStruct((k + 1,), jnp.bool_),
+        m=m,
+    )
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(None, atoms_axis),
+                  P(batch_axis, None)),
+        out_specs=jax.tree.map(lambda _: P(batch_axis), out_struct),
+        check_vma=False,
+    ))
+
+
 # ---------------------------------------------------------------------------
 # Row-sharded (measurement-axis) OMP — the long-measurement-axis strategy
 # ---------------------------------------------------------------------------

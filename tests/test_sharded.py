@@ -220,3 +220,23 @@ def test_sharded_fused_mp_matches_single_device(mesh):
     ref = jax.vmap(lambda bb: mp(A, bb, 40))(Bs)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(ref),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_fused_ompr_matches_single_device(mesh):
+    from cstpu import ompr
+    from cstpu.parallel.sharded import ompr_sharded_fused
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(78))
+    A, x, b = sparse_data(kd, n=64, m=1024, k=5, dtype=jnp.float32)
+    y = perturb(kn, b, DELTA / 2)
+    Bs = jnp.stack([b, y] * 4)
+    sols = ompr_sharded_fused(A, Bs, 5, mesh, delta=1e-12,
+                              corr_dtype=jnp.float32, interpret=True)
+    ref_b = ompr(A, b, 5, 1e-12)
+    ref_y = ompr(A, y, 5, 1e-12)
+    for i in range(8):
+        ref = ref_b if i % 2 == 0 else ref_y
+        row = jax.tree.map(lambda leaf: leaf[i], sols)
+        assert list(row.nzind) == list(ref.nzind)
+        np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-4,
+                                   atol=1e-6)
