@@ -206,16 +206,23 @@ def correlate_select_topl_stream(A, R, l: int, interpret: bool = False):
 
 
 def _fr_step_kernel(T: int, tm: int, deg: float,
-                    A_ref, R_ref, W_ref, il_ref, cn2_ref, resc_ref,
+                    A_ref, R_ref, W_ref, V_ref, il_ref, cn2_ref, resc_ref,
                     val_ref, idx_ref, resc_out):
     """One forward-regression step over a streamed dictionary (shard):
     fold the PREVIOUS append's rescaling downdate (resc -= (w'a_j)^2, with
     w the scaled orthogonalized column) into the same tile pass that
     scores this step's OLS rule d2 = <a_j,r>^2 / resc — FR's two
     per-step dictionary sweeps (src/forward.jl:74-81,100-114) cost ONE
-    HBM pass. Appended atoms are marked by resc = -1 (any negative value
-    is permanently invalid against rmin = deg * ||a_j||^2 >= 0), which
-    reproduces the active-atom exclusion without a separate mask array."""
+    HBM pass. V carries the dual identity for a deferred DELETION
+    (resc += (v'a_j)^2, the freed span direction — SRR's backward stage,
+    cstpu.ops.fused_twostage._Engine.delete_ep); zeros when unused.
+    Appended atoms are marked by resc = -1 (any negative value is
+    permanently invalid against rmin = deg * ||a_j||^2 >= 0), which
+    reproduces the active-atom exclusion without a separate mask array;
+    il carries two index columns per row: [mark, restore] — `mark`
+    flags this call's appended atom as active (-1 for none), `restore`
+    resurrects a deleted atom by writing |resc| before the updates
+    (-1 for none)."""
     B, n = R_ref.shape
     f32 = jnp.float32
     cdt = A_ref.dtype
@@ -234,9 +241,16 @@ def _fr_step_kernel(T: int, tm: int, deg: float,
     z = lax.dot_general(W_ref[:, :].astype(cdt), A_ref[:, :],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=f32)               # (B, tm)
-    resc = resc_ref[:, :] - z * z
+    zv = lax.dot_general(V_ref[:, :].astype(cdt), A_ref[:, :],
+                         (((1,), (0,)), ((), ())),
+                         preferred_element_type=f32)              # (B, tm)
     gidx = tile_iota + j * tm
-    resc = jnp.where(gidx == il_ref[:, :], -1.0, resc)
+    mark = il_ref[:, 0:1]
+    rest = il_ref[:, 1:2]
+    resc = resc_ref[:, :]
+    resc = jnp.where(gidx == rest, jnp.abs(resc), resc)
+    resc = resc - z * z + zv * zv
+    resc = jnp.where(gidx == mark, -1.0, resc)
     resc_out[:, :] = resc
 
     rmin = deg * cn2_ref[0:1, :]
@@ -251,19 +265,24 @@ def _fr_step_kernel(T: int, tm: int, deg: float,
 
 @partial(jax.jit, static_argnames=("deg", "interpret"))
 def fr_step_select(A, R, W, il, cn2, resc, deg: float,
-                   interpret: bool = False):
+                   V=None, interpret: bool = False):
     """One FR selection sweep with an inline rescaling downdate.
 
     A (n, m; correlation dtype), R residuals (B, n), W the previous
     step's scaled orthogonal direction (B, n; zeros on step 0 or
-    rejection), il the previous appended atom's LOCAL index per row (-1
-    for none), cn2 (1, m) squared column norms, resc (B, m) current
-    rescaling (donated). Returns (d2max (B,), idx (B,), resc' (B, m)).
+    rejection), il (B, 2) [mark, restore] LOCAL atom indices per row
+    (-1 for none: `mark` = this sweep's appended atom to exclude,
+    `restore` = a deleted atom to resurrect), cn2 (1, m)
+    squared column norms, resc (B, m) current rescaling (donated), V the
+    scaled freed direction of a deferred deletion (B, n; zeros when
+    unused). Returns (d2max (B,), idx (B,), resc' (B, m)).
     """
     n, m = A.shape
     B = R.shape[0]
     tm = _stream_tile(m, n, A.dtype.itemsize, 8 * 1024 * 1024)
     T = m // tm
+    if V is None:
+        V = jnp.zeros_like(R)
 
     val, idx, resc2 = pl.pallas_call(
         partial(_fr_step_kernel, T, tm, float(deg)),
@@ -275,7 +294,9 @@ def fr_step_select(A, R, W, il, cn2, resc, deg: float,
                          memory_space=pltpu.VMEM),                # R
             pl.BlockSpec((B, n), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),                # W
-            pl.BlockSpec((B, 1), lambda j: (0, 0),
+            pl.BlockSpec((B, n), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),                # V
+            pl.BlockSpec((B, 2), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),                # il
             pl.BlockSpec((1, tm), lambda j: (0, j),
                          memory_space=pltpu.VMEM),                # cn2 tile
@@ -295,7 +316,7 @@ def fr_step_select(A, R, W, il, cn2, resc, deg: float,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, m), jnp.float32),
         ],
-        input_output_aliases={5: 2},
+        input_output_aliases={6: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -307,7 +328,7 @@ def fr_step_select(A, R, W, il, cn2, resc, deg: float,
         ),
         interpret=interpret,
     )(A, R.astype(jnp.float32), W.astype(jnp.float32),
-      il.reshape(B, 1).astype(jnp.int32), cn2, resc)
+      V.astype(jnp.float32), il.reshape(B, 2).astype(jnp.int32), cn2, resc)
     return val[:, 0], idx[:, 0], resc2
 
 

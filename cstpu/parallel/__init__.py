@@ -3,7 +3,7 @@ sharded convex path.
 
 The production beyond-VMEM paths are the fused hybrids (per-shard Pallas
 streaming select kernels + collective argmax — see docs/DESIGN.md §4):
-mp/omp/gomp/sp/fr/ompr_sharded_fused. The plain `omp_sharded` /
+mp/omp/gomp/sp/fr/ompr/srr_sharded_fused. The plain `omp_sharded` /
 `omp_sharded_rows` are the XLA-loop references the hybrids are verified
 against, and the row-sharded variant is the long-measurement-axis (n >> m)
 strategy.
@@ -19,6 +19,7 @@ from cstpu.parallel.sharded import (
     fr_sharded_fused,
     mp_sharded_fused,
     ompr_sharded_fused,
+    srr_sharded_fused,
 )
 from cstpu.parallel.convex import bp_sharded, bp_ard_sharded
 
@@ -26,6 +27,6 @@ __all__ = [
     "make_mesh", "shard_dictionary", "shard_batch",
     "omp_sharded", "omp_sharded_rows", "omp_sharded_fused",
     "gomp_sharded_fused", "sp_sharded_fused", "fr_sharded_fused",
-    "mp_sharded_fused", "ompr_sharded_fused",
+    "mp_sharded_fused", "ompr_sharded_fused", "srr_sharded_fused",
     "bp_sharded", "bp_ard_sharded",
 ]

@@ -559,8 +559,9 @@ def _fr_fused_shard_body(A_local, Ac_local, Bs_local, k: int, max_eps,
     def body(carry):
         st, W, il, resc, t, done = carry
         r = jax.vmap(aset.residual)(st, Bs_local)
+        il2c = jnp.stack([il, jnp.full_like(il, -1)], axis=1)
         dmax_l, lidx, resc = fr_step_select(
-            Ac_local, r, W, il, cn2, resc, deg, interpret=interpret)
+            Ac_local, r, W, il2c, cn2, resc, deg, interpret=interpret)
         gidx = shard * m_local + lidx.astype(jnp.int32)
         dmax = lax.pmax(dmax_l, axis)
         cand = jnp.where(dmax_l == dmax, gidx, INT_MAX)
@@ -863,6 +864,191 @@ def _ompr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
         idx=jax.ShapeDtypeStruct((k + 1,), jnp.int32),
         val=jax.ShapeDtypeStruct((k + 1,), dtype),
         mask=jax.ShapeDtypeStruct((k + 1,), jnp.bool_),
+        m=m,
+    )
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(None, atoms_axis),
+                  P(batch_axis, None)),
+        out_specs=jax.tree.map(lambda _: P(batch_axis), out_struct),
+        check_vma=False,
+    ))
+
+
+def _srr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
+                          maxiter: int, delta, m: int, axis: str,
+                          interpret: bool):
+    """Batched SRR (l=1, oblivious init) over a column shard.
+
+    Forward steps ride fr_step_select with BOTH deferred rescaling
+    identities folded into the sweep: the previous append's downdate (W)
+    and the previous deletion's update (V, the freed span direction) plus
+    its atom restore — so each outer iteration costs exactly one
+    dictionary pass. The backward deletion (min coef^2/gamma, parity
+    src/backward.jl:69-83) is replicated from cached state; its rescaling
+    effect is deferred to the next sweep. The initial rescaling after the
+    oblivious k-append is computed directly per shard:
+    resc_j = ||a_j||^2 - a_j' C Ginv C' a_j (one init-only GEMM).
+    Parity: cstpu.models.twostage._srr with initialization=1, l=1."""
+    from cstpu.ops.stream_select import (correlate_select_topl_stream,
+                                         fr_step_select)
+    from cstpu.ops.fused_solve import _degeneracy_rtol
+    from cstpu.ops.util import masked_argmin
+
+    B, n = Bs_local.shape
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    kmax = min(k + 1, m)
+    deg = float(_degeneracy_rtol(n))
+    loc_iota = lax.broadcasted_iota(jnp.int32, (B, m_local), 1)
+    Af32 = A_local.astype(jnp.float32)
+    cn2 = jnp.sum(Af32 * Af32, axis=0)[None, :]
+    st0 = jax.vmap(lambda _: aset.empty(n, kmax, m, A_local.dtype))(
+        jnp.arange(B))
+
+    def bcast_col(gsel):
+        owner = (gsel // m_local) == shard
+        lcol = jnp.take(A_local, gsel % m_local, axis=1).T
+        return owner, lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+
+    # --- oblivious top-k init -------------------------------------------
+    st = st0
+    lval, lidx = correlate_select_topl_stream(
+        Ac_local, Bs_local, k, interpret=interpret)
+    gidx = shard * m_local + lidx.astype(jnp.int32)
+    av = jnp.moveaxis(lax.all_gather(lval, axis), 0, 1).reshape(B, -1)
+    ai = jnp.moveaxis(lax.all_gather(gidx, axis), 0, 1).reshape(B, -1)
+    active_local = jnp.zeros((B, m_local), bool)
+    for _ in range(k):
+        gmax = jnp.max(av, axis=1, keepdims=True)
+        gsel = jnp.min(jnp.where(av == gmax, ai, INT_MAX), axis=1,
+                       keepdims=True)[:, 0]
+        av = jnp.where(ai == gsel[:, None], -jnp.inf, av)
+        owner, col = bcast_col(gsel)
+        present = jax.vmap(aset.contains)(st, gsel)
+        ok = ~present
+        st = jax.vmap(aset.append_col_gated)(col, Bs_local, st, gsel, ok)
+        sel_local = jnp.where(owner & ok, gsel % m_local, -1)
+        active_local = active_local | (loc_iota == sel_local[:, None])
+    st = jax.vmap(aset.refit)(st)
+
+    # direct initial rescaling: resc_j = cn2_j - a_j' C Ginv C' a_j
+    Z = jax.vmap(lambda s: s.cols.T @ Af32)(st)           # (B, kmax, ml)
+    GZ = jax.vmap(lambda s, z: s.Ginv @ z)(st, Z)
+    resc = jnp.broadcast_to(cn2, (B, m_local)) - jnp.sum(Z * GZ, axis=1)
+    resc = jnp.where(active_local, -1.0, resc)
+
+    res0 = jnp.linalg.norm(jax.vmap(aset.residual)(st, Bs_local), axis=1)
+    W0 = jnp.zeros((B, n), jnp.float32)
+    il0 = jnp.full((B,), -1, jnp.int32)
+
+    def w_of(s, a):
+        g = jnp.where(s.mask, s.cols.T @ a, 0)
+        u = s.Ginv @ g
+        aperp = a - s.cols @ u
+        ata = a @ a
+        d = jnp.maximum(ata - g @ u, 1e-12 * jnp.maximum(ata, 1e-30))
+        return aperp * jnp.sqrt(1.0 / d)
+
+    def cond(carry):
+        st, resc, W, V, ilm, ilr, res, t, done = carry
+        return (t < maxiter) & ~jnp.all(done)
+
+    def body(carry):
+        st, resc, W, V, ilm, ilr, res, t, done = carry
+        gate = ~done
+        r = jax.vmap(aset.residual)(st, Bs_local)
+        il2c = jnp.stack([ilm, ilr], axis=1)
+        dmax_l, lidx, resc = fr_step_select(
+            Ac_local, r, W, il2c, cn2, resc, deg, V=V,
+            interpret=interpret)
+        gidx = shard * m_local + lidx.astype(jnp.int32)
+        dmax = lax.pmax(dmax_l, axis)
+        cand = jnp.where(dmax_l == dmax, gidx, INT_MAX)
+        gsel = lax.pmin(cand, axis)
+        rnorm2 = jnp.sum(r * r, axis=1)
+        accept = gate & (rnorm2 > 0) & (dmax > 0) & (st.k < kmax)
+        owner, col = bcast_col(gsel)
+        W2 = jax.vmap(w_of)(st, col) * accept[:, None]
+        ilm2 = jnp.where(accept & owner,
+                         (gsel % m_local).astype(jnp.int32), -1)
+        st2 = jax.vmap(
+            lambda a, bb, s, i, o: aset.refit(
+                aset.append_col_gated(a, bb, s, i, o)))(
+            col, Bs_local, st, gsel, accept)
+
+        # backward: delete the min coef^2/gamma slot while count > k
+        over = st2.k > k
+        gam = jax.vmap(aset.gamma)(st2)
+        d2 = jnp.where(st2.mask, st2.coef * st2.coef
+                       / jnp.maximum(gam, 1e-30), jnp.inf)
+        pos = jnp.argmin(d2, axis=1)
+        dodel = gate & over
+        didx = jnp.take_along_axis(st2.idx, pos[:, None], 1)[:, 0]
+        # freed span direction BEFORE the delete (delete_ep dual identity)
+        ep = jax.nn.one_hot(pos, kmax, dtype=jnp.float32)
+        qv = jax.vmap(lambda s, e: s.Ginv @ e)(st2, ep)
+        qpp = jnp.sum(qv * ep, axis=1)
+        V2 = jax.vmap(lambda s, q: s.cols @ q)(st2, qv) \
+            * (jnp.sqrt(1.0 / jnp.maximum(qpp, 1e-30))
+               * dodel.astype(jnp.float32))[:, None]
+        downer = (didx // m_local) == shard
+        ilr2 = jnp.where(dodel & downer,
+                         (didx % m_local).astype(jnp.int32), -1)
+        st3 = jax.vmap(lambda s, p: aset.refit(aset.delete(s, p, m)))(
+            st2, pos)
+        st3 = jax.vmap(tree_where)(dodel, st3, st2)
+
+        new_res = jnp.linalg.norm(
+            jax.vmap(aset.residual)(st3, Bs_local), axis=1)
+        new_res = jnp.where(gate, new_res, res)
+        done2 = done | (new_res <= delta) | (res <= new_res)
+        return st3, resc, W2, V2, ilm2, ilr2, new_res, t + 1, done2
+
+    st, _, _, _, _, _, _, _, _ = lax.while_loop(
+        cond, body, (st, resc, W0, W0, il0, il0, res0, jnp.int32(0),
+                     jnp.zeros((B,), bool)))
+    return jax.vmap(lambda s: aset.finalize(s, m))(st)
+
+
+def srr_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
+                      maxiter: int | None = None,
+                      atoms_axis: str = "atoms", batch_axis: str = "batch",
+                      corr_dtype=jnp.bfloat16, interpret: bool = False):
+    """Column-sharded batched SRR (l=1, oblivious init) — one streamed
+    dictionary pass per replacement iteration. Semantics of cstpu.srr."""
+    n, m = A.shape
+    k = int(k)
+    maxiter = int(maxiter if maxiter is not None else 4 * k)
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fn = _srr_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, maxiter,
+                                m, float(delta), A.dtype.name,
+                                jnp.dtype(corr_dtype).name,
+                                bool(interpret))
+    return fn(A, jnp.asarray(A, corr_dtype), Bs)
+
+
+@lru_cache(maxsize=64)
+def _srr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
+                           k: int, maxiter: int, m: int, delta: float,
+                           dtype_name: str, corr_dtype_name: str,
+                           interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    delta_ = jnp.asarray(delta, dtype)
+
+    def shard_fn(A_local, Ac_local, Bs_local):
+        return _srr_fused_shard_body(A_local, Ac_local, Bs_local, k=k,
+                                     maxiter=maxiter, delta=delta_, m=m,
+                                     axis=atoms_axis, interpret=interpret)
+
+    from cstpu.utils.sparse import SparseSolution
+    kmax = min(k + 1, m)
+    out_struct = SparseSolution(
+        idx=jax.ShapeDtypeStruct((kmax,), jnp.int32),
+        val=jax.ShapeDtypeStruct((kmax,), dtype),
+        mask=jax.ShapeDtypeStruct((kmax,), jnp.bool_),
         m=m,
     )
     return jax.jit(jax.shard_map(

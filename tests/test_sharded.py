@@ -240,3 +240,23 @@ def test_sharded_fused_ompr_matches_single_device(mesh):
         assert list(row.nzind) == list(ref.nzind)
         np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_sharded_fused_srr_matches_single_device(mesh):
+    from cstpu import srr
+    from cstpu.parallel.sharded import srr_sharded_fused
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(79))
+    A, x, b = sparse_data(kd, n=64, m=1024, k=5, dtype=jnp.float32)
+    y = perturb(kn, b, DELTA / 2)
+    Bs = jnp.stack([b, y] * 4)
+    sols = srr_sharded_fused(A, Bs, 5, mesh, corr_dtype=jnp.float32,
+                             interpret=True)
+    ref_b = srr(A, b, 5)
+    ref_y = srr(A, y, 5)
+    for i in range(8):
+        ref = ref_b if i % 2 == 0 else ref_y
+        row = jax.tree.map(lambda leaf: leaf[i], sols)
+        assert list(row.nzind) == list(ref.nzind)
+        np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-4,
+                                   atol=1e-6)
