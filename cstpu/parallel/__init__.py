@@ -21,12 +21,13 @@ from cstpu.parallel.sharded import (
     ompr_sharded_fused,
     srr_sharded_fused,
 )
-from cstpu.parallel.convex import bp_sharded, bp_ard_sharded
+from cstpu.parallel.convex import (bp_sharded, bp_ard_sharded,
+                                   ista_sharded, fista_sharded)
 
 __all__ = [
     "make_mesh", "shard_dictionary", "shard_batch",
     "omp_sharded", "omp_sharded_rows", "omp_sharded_fused",
     "gomp_sharded_fused", "sp_sharded_fused", "fr_sharded_fused",
     "mp_sharded_fused", "ompr_sharded_fused", "srr_sharded_fused",
-    "bp_sharded", "bp_ard_sharded",
+    "bp_sharded", "bp_ard_sharded", "ista_sharded", "fista_sharded",
 ]

@@ -188,3 +188,79 @@ def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
             return xs
         x = xs
     return x
+
+
+# ---------------------------------------------------------------------------
+# Sharded proximal-gradient path (ISTA/FISTA)
+# ---------------------------------------------------------------------------
+
+def _ista_shard_body(A_local, b, w_local, stepsize, maxiter: int,
+                     axis: str, accelerated: bool):
+    """(F)ISTA with x sharded over the atom axis: the only communication
+    is the n-length psum of the partial fits A_s x_s per iteration; the
+    gradient's correlation (r @ A_s) and the shrinkage are local.
+    Parity: cstpu.models.basis_pursuit._ista/_fista."""
+    from jax import lax
+    import jax.numpy as jnp
+
+    m_local = A_local.shape[1]
+
+    def fit(x_local):
+        return lax.psum(A_local @ x_local, axis)
+
+    def body(i, carry):
+        x, y, t = carry
+        r = b - fit(y)
+        g = r @ A_local
+        x_new = _shrink(y + 2 * stepsize * g, w_local * stepsize)
+        if not accelerated:
+            return x_new, x_new, t
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        y_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
+        return x_new, y_new, t_new
+
+    x0 = jnp.zeros((m_local,), A_local.dtype)
+    x, _, _ = lax.fori_loop(0, maxiter, body,
+                            (x0, x0, jnp.asarray(1.0, A_local.dtype)))
+    return x
+
+
+@lru_cache(maxsize=64)
+def _ista_jit(mesh: Mesh, atoms_axis: str, maxiter: int, stepsize: float,
+              accelerated: bool, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    step = jnp.asarray(stepsize, dtype)
+
+    def shard_fn(A_local, b, w_local):
+        return _ista_shard_body(A_local, b, w_local, step, maxiter,
+                                atoms_axis, accelerated)
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(None), P(atoms_axis)),
+        out_specs=P(atoms_axis),
+        check_vma=False,
+    ))
+
+
+def ista_sharded(A, b, lam, mesh: Mesh, maxiter: int = 1024,
+                 stepsize: float = 1e-2, atoms_axis: str = "atoms",
+                 accelerated: bool = False):
+    """(F)ISTA with the dictionary and solution column-sharded: one
+    n-length psum per iteration. `accelerated=True` is FISTA (Nesterov
+    momentum). Semantics of cstpu.ista / cstpu.fista."""
+    n, m = A.shape
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    w = jnp.broadcast_to(jnp.asarray(lam, A.dtype), (m,))
+    fn = _ista_jit(mesh, atoms_axis, int(maxiter), float(stepsize),
+                   bool(accelerated), A.dtype.name)
+    return fn(A, b, w)
+
+
+def fista_sharded(A, b, lam, mesh: Mesh, maxiter: int = 1024,
+                  stepsize: float = 1e-2, atoms_axis: str = "atoms"):
+    """Sharded FISTA (see ista_sharded)."""
+    return ista_sharded(A, b, lam, mesh, maxiter, stepsize, atoms_axis,
+                        accelerated=True)

@@ -260,3 +260,18 @@ def test_sharded_fused_srr_matches_single_device(mesh):
         assert list(row.nzind) == list(ref.nzind)
         np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_sharded_ista_fista_match_single_device(mesh):
+    from cstpu import ista, fista
+    from cstpu.parallel.convex import ista_sharded, fista_sharded
+
+    A, x, b, y = _problem(80, n=32, m=48)
+    lam = 1e-3
+    ref = np.asarray(ista(A, b, lam, maxiter=256))
+    sol = np.asarray(ista_sharded(A, b, lam, mesh, maxiter=256))
+    np.testing.assert_allclose(sol, ref, rtol=1e-10, atol=1e-12)
+
+    ref = np.asarray(fista(A, b, lam, maxiter=256))
+    sol = np.asarray(fista_sharded(A, b, lam, mesh, maxiter=256))
+    np.testing.assert_allclose(sol, ref, rtol=1e-10, atol=1e-12)
