@@ -10,6 +10,7 @@ The reference has no batching at all — one (A, b) at a time.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from cstpu.models.matching_pursuit import mp, omp, gomp
 from cstpu.models.forward import fr
@@ -27,6 +28,30 @@ def batch(solver, **fixed):
         merged = {**fixed, **kw}
         return jax.vmap(lambda bb: solver(A, bb, **merged))(Bs)
     return batched
+
+
+def _one_device_mesh():
+    """Cached trivial ('batch', 'atoms') mesh on the default device —
+    lets the *_batch entry points reuse the sharded hybrid kernels as the
+    beyond-VMEM single-chip path (the hybrids are sharding-invariant)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    global _MESH1
+    try:
+        return _MESH1
+    except NameError:
+        devs = np.array(jax.devices()[:1]).reshape(1, 1)
+        _MESH1 = Mesh(devs, ("batch", "atoms"))
+        return _MESH1
+
+
+def _stream_ok(A, Bs):
+    """Gate for the streaming-select hybrid path (beyond-VMEM scale)."""
+    from cstpu.ops.stream_select import supported_select
+
+    return (A.dtype == jnp.float32 and Bs.ndim == 2
+            and supported_select(A, Bs.shape[0]))
 
 
 def omp_batch(A, Bs, k=None, max_residual: float = 0.0, precision=None):
@@ -96,6 +121,13 @@ def fr_batch(A, Bs, max_residual: float = 0.0, min_decrease: float = 0.0,
         sol, _ = fused_solve.fr_fused_solve(
             A, Bs, int(sparsity), max_residual, min_decrease, corr_dtype=cdt)
         return sol
+    if (precision in (None, "bf16", "f32") and sparsity is not None
+            and jax.default_backend() == "tpu" and _stream_ok(A, Bs)):
+        from cstpu.parallel.sharded import fr_sharded_fused
+
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        return fr_sharded_fused(A, Bs, int(sparsity), _one_device_mesh(),
+                                max_residual, min_decrease, corr_dtype=cdt)
     return jax.vmap(
         lambda bb: fr(A, bb, max_residual, min_decrease, sparsity))(Bs)
 
@@ -122,6 +154,13 @@ def mp_batch(A, Bs, k: int, precision=None):
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
         x, _ = fused_solve.mp_fused_solve(A, Bs, int(k), corr_dtype=cdt)
         return x
+    if (precision in (None, "bf16", "f32")
+            and jax.default_backend() == "tpu" and _stream_ok(A, Bs)):
+        from cstpu.parallel.sharded import mp_sharded_fused
+
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        return mp_sharded_fused(A, Bs, int(k), _one_device_mesh(),
+                                corr_dtype=cdt)
     return jax.vmap(lambda bb: mp(A, bb, k))(Bs)
 
 
@@ -150,6 +189,13 @@ def sp_batch(A, Bs, k, delta: float = 1e-12, maxiter=None, precision=None):
         sol, _ = fused_twostage.sp_fused_solve(A, Bs, int(k), delta,
                                                maxiter, corr_dtype=cdt)
         return sol
+    if (precision in (None, "bf16", "f32")
+            and jax.default_backend() == "tpu" and _stream_ok(A, Bs)):
+        from cstpu.parallel.sharded import sp_sharded_fused
+
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        return sp_sharded_fused(A, Bs, int(k), _one_device_mesh(), delta,
+                                maxiter, corr_dtype=cdt)
     return jax.vmap(lambda bb: sp(A, bb, k, delta, maxiter))(Bs)
 
 
@@ -178,6 +224,13 @@ def gomp_batch(A, Bs, l, k=None, max_residual: float = 0.0, precision=None):
         sol, _ = fused_solve.gomp_fused_solve(A, Bs, int(l), kk,
                                               max_residual, corr_dtype=cdt)
         return sol
+    if (precision in (None, "bf16", "f32")
+            and jax.default_backend() == "tpu" and _stream_ok(A, Bs)):
+        from cstpu.parallel.sharded import gomp_sharded_fused
+
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        return gomp_sharded_fused(A, Bs, int(l), kk, _one_device_mesh(),
+                                  max_residual, corr_dtype=cdt)
     return jax.vmap(lambda bb: gomp(A, bb, l, k, max_residual))(Bs)
 
 
@@ -351,6 +404,14 @@ def srr_batch(A, Bs, k: int, delta: float = 1e-12, maxiter=None,
                                                 maxiter, int(l),
                                                 corr_dtype=cdt)
         return sol
+    if (precision in (None, "bf16", "f32") and initialization == 1
+            and int(l) == 1 and jax.default_backend() == "tpu"
+            and _stream_ok(A, Bs)):
+        from cstpu.parallel.sharded import srr_sharded_fused
+
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        return srr_sharded_fused(A, Bs, int(k), _one_device_mesh(), delta,
+                                 maxiter, corr_dtype=cdt)
     return jax.vmap(lambda bb: srr(A, bb, k, delta, maxiter,
                                    initialization, l))(Bs)
 
@@ -380,4 +441,11 @@ def ompr_batch(A, Bs, k: int, delta: float, eta: float = 1.0,
         sol, _ = fused_twostage.ompr_fused_solve(A, Bs, int(k), delta, eta,
                                                  maxiter, corr_dtype=cdt)
         return sol
+    if (precision in (None, "bf16", "f32")
+            and jax.default_backend() == "tpu" and _stream_ok(A, Bs)):
+        from cstpu.parallel.sharded import ompr_sharded_fused
+
+        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        return ompr_sharded_fused(A, Bs, int(k), _one_device_mesh(), delta,
+                                  eta, maxiter, corr_dtype=cdt)
     return jax.vmap(lambda bb: ompr(A, bb, k, delta, eta, maxiter))(Bs)
