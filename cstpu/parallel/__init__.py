@@ -21,6 +21,7 @@ from cstpu.parallel.sharded import (
     ompr_sharded_fused,
     srr_sharded_fused,
 )
+from cstpu.parallel.sharded_sbl import fsbl_sharded, rmps_sharded
 from cstpu.parallel.convex import (bp_sharded, bp_ard_sharded,
                                    ista_sharded, fista_sharded)
 
@@ -29,5 +30,6 @@ __all__ = [
     "omp_sharded", "omp_sharded_rows", "omp_sharded_fused",
     "gomp_sharded_fused", "sp_sharded_fused", "fr_sharded_fused",
     "mp_sharded_fused", "ompr_sharded_fused", "srr_sharded_fused",
+    "fsbl_sharded", "rmps_sharded",
     "bp_sharded", "bp_ard_sharded", "ista_sharded", "fista_sharded",
 ]

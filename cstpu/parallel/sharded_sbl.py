@@ -1,0 +1,403 @@
+"""Column-sharded Sparse Bayesian Learning (fast marginal likelihood).
+
+The SBL family's per-action cost at large m is the S/Q sweep Av = A'v
+(src/sbl.jl:355-365) — an m-length pass over the dictionary. Here the
+per-atom state (alpha, S, Q) shards with the atom columns, so that sweep,
+the action scoring, and the init GEMM all run on local shards; only the
+n x n C^-1 and the selected action's scalars are replicated:
+
+  per action: local action deltas -> pmax/pmin collective argmax ->
+  psum-broadcast of the owner's 6 scalars and the selected column ->
+  replicated rank-one C^-1 downdate -> LOCAL Av sweep + S/Q updates.
+
+The posterior mean uses the Woodbury identity mu = Gamma A' C^-1 b — one
+local GEMV per shard — instead of the (m, m) normal-equations build the
+single-device path inherits from the reference (src/sbl.jl:131-143),
+which is infeasible at sharded scale anyway.
+
+Scalar noise only (C^-1 init is I/sigma^2); full-covariance noise stays
+on the single-device path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cstpu.models.sbl import (_delta_add, _delta_delete, _delta_update,
+                              _f32_matmuls, _get_sq, _optimal_alpha)
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _fsbl_shard_body(A_local, Bs_local, sigma2, maxiter: int,
+                     min_increase, m: int, axis: str):
+    """Batched FSBL with atom-sharded (alpha, S, Q). Parity:
+    cstpu.models.sbl._fsbl (greedy best-action ascent)."""
+    B, n = Bs_local.shape
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    f = A_local.dtype
+    loc_iota = lax.broadcasted_iota(jnp.int32, (B, m_local), 1)
+    eye = jnp.eye(n, dtype=f)
+
+    # empty-active-set closed form: C = sigma^2 I
+    Cinv0 = jnp.broadcast_to(eye / sigma2, (B, n, n)) + 0.0
+    S0 = jnp.broadcast_to(jnp.sum(A_local * A_local, axis=0)[None, :]
+                          / sigma2, (B, m_local)) + 0.0
+    Q0 = (Bs_local @ A_local) / sigma2
+    alpha0 = jnp.full((B, m_local), jnp.inf, f)
+
+    def action_deltas(alpha, S, Q):
+        s, q = _get_sq(S, Q, alpha)
+        active = jnp.isfinite(alpha)
+        relevant = s < q * q
+        alphan = _optimal_alpha(s, q)
+        d = jnp.where(~active & relevant, _delta_add(S, Q),
+            jnp.where(active & ~relevant, _delta_delete(S, Q, alpha),
+            jnp.where(active & relevant,
+                      _delta_update(S, Q, alpha, alphan), 0.0)))
+        return jnp.where(jnp.isnan(d), 0.0, d), alphan, active, relevant
+
+    def body(carry):
+        alpha, S, Q, Cinv, t, done = carry
+        gate = ~done
+        d, alphan, active, relevant = action_deltas(alpha, S, Q)
+        lmax = jnp.max(d, axis=1)
+        lloc = jnp.min(jnp.where(d == lmax[:, None], loc_iota, INT_MAX),
+                       axis=1)
+        gidx = shard * m_local + lloc
+        gmax = lax.pmax(lmax, axis)
+        gsel = lax.pmin(jnp.where(lmax == gmax, gidx, INT_MAX), axis)
+        owner = (gsel // m_local) == shard
+        sel = jnp.where(owner, gsel % m_local, 0)
+
+        def take(x):
+            return jnp.take_along_axis(x, sel[:, None], 1)[:, 0]
+
+        # owner's scalars, psum-broadcast in one packed vector
+        own = owner.astype(f)
+        packed = jnp.stack([
+            take(active.astype(f)), take(relevant.astype(f)),
+            take(jnp.where(active, alpha, 0.0)),
+            take(jnp.where(relevant, alphan, 0.0)),
+            take(S), take(Q)], axis=1) * own[:, None]
+        packed = lax.psum(packed, axis)                       # (B, 6)
+        act_i = packed[:, 0] > 0.5
+        rel_i = packed[:, 1] > 0.5
+        a_i = jnp.where(act_i, packed[:, 2], jnp.inf)
+        an_i = packed[:, 3]
+        S_i, Q_i = packed[:, 4], packed[:, 5]
+
+        lcol = jnp.take(A_local, sel, axis=1).T
+        acol = lax.psum(lcol * own[:, None], axis)            # (B, n)
+
+        gamma_change = jnp.where(~act_i & rel_i, 1.0 / an_i,
+                       jnp.where(act_i & ~rel_i, -1.0 / a_i,
+                       jnp.where(act_i & rel_i,
+                                 1.0 / an_i - 1.0 / a_i, 0.0)))
+        ok = gate & (gmax > 0)
+        gamma_change = jnp.where(ok, gamma_change, 0.0)
+        new_alpha_i = jnp.where(rel_i, an_i, jnp.inf)
+
+        # rank-one C^-1 downdate (replicated) + LOCAL Av sweep
+        v = jnp.einsum("bij,bj->bi", Cinv, acol)
+        denom = 1.0 / jnp.where(gamma_change != 0, gamma_change, 1.0) + S_i
+        dinv = jnp.where(gamma_change != 0,
+                         ok.astype(f) / denom, 0.0)           # (B,)
+        Cinv = Cinv - dinv[:, None, None] * v[:, :, None] * v[:, None, :]
+        Av = v @ A_local                                      # (B, m_local)
+        S = S - dinv[:, None] * Av * Av
+        Q = Q - dinv[:, None] * Av * Q_i[:, None]
+        upd = owner & ok
+        sel_mark = jnp.where(upd, gsel % m_local, -1)
+        alpha = jnp.where(loc_iota == sel_mark[:, None],
+                          new_alpha_i[:, None], alpha)
+        done2 = done | (gmax < min_increase)
+        return alpha, S, Q, Cinv, t + 1, done2
+
+    def cond(carry):
+        alpha, S, Q, Cinv, t, done = carry
+        return (t < maxiter) & ~jnp.all(done)
+
+    alpha, _, _, Cinv, _, _ = lax.while_loop(
+        cond, body, (alpha0, S0, Q0, Cinv0, jnp.int32(0),
+                     jnp.zeros((B,), bool)))
+
+    # posterior mean via mu = Gamma A' C^-1 b, with C rebuilt EXACTLY from
+    # the final alpha (one psum of per-shard Gram partials — the refresh
+    # anchor that discards the downdate chain's f32 drift)
+    gamma = jnp.where(jnp.isfinite(alpha), 1.0 / alpha, 0.0)
+    Cpart = jnp.einsum("bik,bjk->bij", A_local[None, :, :] * gamma[:, None, :],
+                       jnp.broadcast_to(A_local, (B, n, m_local)))
+    C = lax.psum(Cpart, axis) + sigma2 * eye[None, :, :]
+    Cb = jax.vmap(lambda Cb_, bb: jnp.linalg.solve(Cb_, bb))(C, Bs_local)
+    return gamma * (Cb @ A_local)                             # (B, m_local)
+
+
+def fsbl_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
+                 min_increase: float = 1e-6, atoms_axis: str = "atoms",
+                 batch_axis: str = "batch"):
+    """Batched FSBL with the dictionary and per-atom state column-sharded.
+
+    Returns the dense posterior-mean weights (B, m), sharded over
+    ('batch', 'atoms'). Semantics of vmap(cstpu.fsbl) with scalar noise.
+    """
+    n, m = A.shape
+    if jnp.ndim(jnp.asarray(sigma)) != 0:
+        raise ValueError("fsbl_sharded supports scalar noise only")
+    maxiter = int(maxiter if maxiter is not None else 2 * m)
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fn = _fsbl_sharded_jit(mesh, atoms_axis, batch_axis, maxiter, m,
+                           float(sigma), float(min_increase), A.dtype.name)
+    return fn(A, Bs)
+
+
+@lru_cache(maxsize=64)
+def _fsbl_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
+                      maxiter: int, m: int, sigma2: float,
+                      min_increase: float, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    s2 = jnp.asarray(sigma2, dtype)
+    mi = jnp.asarray(min_increase, dtype)
+
+    @_f32_matmuls
+    def shard_fn(A_local, Bs_local):
+        return _fsbl_shard_body(A_local, Bs_local, s2, maxiter, mi, m,
+                                atoms_axis)
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(batch_axis, None)),
+        out_specs=P(batch_axis, atoms_axis),
+        check_vma=False,
+    ))
+
+
+# ---------------------------------------------------------------------------
+# RMPS: staged coordinate ascent, atom-sharded
+# ---------------------------------------------------------------------------
+
+def _sq_refresh(A_local, Bs_local, alpha, sigma2, axis: str):
+    """Rebuild (S, Q, C^-1) exactly from alpha — the sharded form of the
+    refresh anchor (cstpu.models.sbl._rmps_optimize): C comes from one
+    psum of per-shard Gram partials, the per-shard solves stay local."""
+    B, n = Bs_local.shape
+    m_local = A_local.shape[1]
+    f = A_local.dtype
+    eye = jnp.eye(n, dtype=f)
+    gamma = jnp.where(jnp.isfinite(alpha), 1.0 / alpha, 0.0)
+    Cpart = jnp.einsum("bik,bjk->bij",
+                       A_local[None, :, :] * gamma[:, None, :],
+                       jnp.broadcast_to(A_local, (B, n, m_local)))
+    C = lax.psum(Cpart, axis) + sigma2 * eye[None, :, :]
+    Cinv = jax.vmap(lambda Cb: jnp.linalg.solve(Cb, eye))(C)
+    CA = jnp.einsum("bij,jk->bik", Cinv, A_local)             # (B, n, ml)
+    S = jnp.einsum("bik,ik->bk", CA, A_local)
+    Q = jnp.einsum("bik,bi->bk", CA, Bs_local)
+    return S, Q, Cinv
+
+
+def _apply_action(A_local, alpha, S, Q, Cinv, gsel, gamma_change,
+                  new_alpha_i, S_i, gate, axis: str):
+    """Shared rank-one action update: replicated C^-1 downdate + LOCAL
+    Av sweep + S/Q/alpha updates (parity: update_SQC!, src/sbl.jl:347-365).
+    gamma_change must already be zeroed where gate is False."""
+    B = alpha.shape[0]
+    m_local = A_local.shape[1]
+    f = A_local.dtype
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    loc_iota = lax.broadcasted_iota(jnp.int32, (B, m_local), 1)
+    owner = (gsel // m_local) == shard
+    sel = jnp.where(owner, gsel % m_local, 0)
+    lcol = jnp.take(A_local, sel, axis=1).T
+    acol = lax.psum(lcol * owner.astype(f)[:, None], axis)
+    v = jnp.einsum("bij,bj->bi", Cinv, acol)
+    denom = 1.0 / jnp.where(gamma_change != 0, gamma_change, 1.0) + S_i
+    dinv = jnp.where(gamma_change != 0, gate.astype(f) / denom, 0.0)
+    Cinv = Cinv - dinv[:, None, None] * v[:, :, None] * v[:, None, :]
+    Av = v @ A_local
+    Q_i = lax.psum(jnp.take_along_axis(Q, sel[:, None], 1)[:, 0]
+                   * owner.astype(f), axis)
+    S2 = S - dinv[:, None] * Av * Av
+    Q2 = Q - dinv[:, None] * Av * Q_i[:, None]
+    sel_mark = jnp.where(owner & gate, gsel % m_local, -1)
+    alpha2 = jnp.where(loc_iota == sel_mark[:, None],
+                       new_alpha_i[:, None], alpha)
+    return alpha2, S2, Q2, Cinv
+
+
+def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
+                     maxiter_acq: int, maxiter_del: int, min_increase,
+                     m: int, axis: str):
+    """Batched RMPS with atom-sharded (alpha, S, Q). Parity:
+    cstpu.models.sbl._rmps_optimize (incl. the per-outer-iteration
+    exact refresh)."""
+    B, n = Bs_local.shape
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    f = A_local.dtype
+    loc_iota = lax.broadcasted_iota(jnp.int32, (B, m_local), 1)
+
+    def gmaxmin(val, mode_max):
+        """Collective arg-extreme with lowest-global-index ties."""
+        if mode_max:
+            lext = jnp.max(val, axis=1)
+            gext = lax.pmax(lext, axis)
+        else:
+            lext = jnp.min(val, axis=1)
+            gext = lax.pmin(lext, axis)
+        lloc = jnp.min(jnp.where(val == gext[:, None], loc_iota, INT_MAX),
+                       axis=1)
+        cand = jnp.where(lext == gext, shard * m_local + lloc, INT_MAX)
+        return gext, lax.pmin(cand, axis)
+
+    def owner_scalar(x, gsel):
+        owner = (gsel // m_local) == shard
+        sel = jnp.where(owner, gsel % m_local, 0)
+        return lax.psum(jnp.take_along_axis(x, sel[:, None], 1)[:, 0]
+                        * owner.astype(f), axis)
+
+    def acquisition(carry):
+        alpha, S, Q, Cinv, j, stop = carry
+        s, q = _get_sq(S, Q, alpha)
+        active = jnp.isfinite(alpha)
+        relevant = s < q * q
+        val = jnp.where(~active & relevant, _delta_add(S, Q), 0.0)
+        val = jnp.where(jnp.isnan(val), 0.0, val)
+        gmax, gsel = gmaxmin(val, True)
+        do = ~stop & (gmax > 0)
+        an = owner_scalar(jnp.where(~active & relevant,
+                                    _optimal_alpha(s, q), 0.0), gsel)
+        S_i = owner_scalar(S, gsel)
+        gc = jnp.where(do, 1.0 / an, 0.0)
+        alpha, S, Q, Cinv = _apply_action(
+            A_local, alpha, S, Q, Cinv, gsel, gc, an, S_i, do, axis)
+        return alpha, S, Q, Cinv, j + 1, stop | ~do
+
+    def deletion_update(carry):
+        alpha, S, Q, Cinv, j, stop = carry
+        s, q = _get_sq(S, Q, alpha)
+        active = jnp.isfinite(alpha)
+        relevant = s < q * q
+        dv = jnp.where(active & ~relevant, q * q / s, jnp.inf)
+        dmin, kd = gmaxmin(dv, False)
+        do_del = dmin < 1
+        alphan = _optimal_alpha(s, q)
+        uv = jnp.where(active & relevant,
+                       _delta_update(S, Q, alpha, alphan), 0.0)
+        uv = jnp.where(jnp.isnan(uv), 0.0, uv)
+        umax, ku = gmaxmin(uv, True)
+        do_upd = ~do_del & (umax > 0)
+        upd_gain = jnp.where(do_upd, umax, 0.0)
+
+        gsel = jnp.where(do_del, kd, ku)
+        a_sel = owner_scalar(jnp.where(active, alpha, 0.0), gsel)
+        an_sel = owner_scalar(jnp.where(relevant, alphan, 0.0), gsel)
+        S_i = owner_scalar(S, gsel)
+        do = ~stop & (do_del | do_upd)
+        gc = jnp.where(do_del, -1.0 / a_sel,
+             jnp.where(do_upd, 1.0 / an_sel - 1.0 / a_sel, 0.0))
+        gc = jnp.where(do, gc, 0.0)
+        new_a = jnp.where(do_del, jnp.inf, an_sel)
+        alpha, S, Q, Cinv = _apply_action(
+            A_local, alpha, S, Q, Cinv, gsel, gc, new_a, S_i, do, axis)
+        stop2 = stop | (~do_del & (upd_gain < min_increase))
+        return alpha, S, Q, Cinv, j + 1, stop2
+
+    def run_stage(body, maxiter_s, alpha, S, Q, Cinv, enabled):
+        def cnd(c):
+            _, _, _, _, j, stop = c
+            return (j < maxiter_s) & ~jnp.all(stop)
+
+        alpha, S, Q, Cinv, _, _ = lax.while_loop(
+            cnd, body, (alpha, S, Q, Cinv, jnp.int32(0), ~enabled))
+        return alpha, S, Q, Cinv
+
+    def alpha_eq(a, b_):
+        eq = jnp.all((a == b_) | (jnp.isinf(a) & jnp.isinf(b_)), axis=1)
+        return lax.pmin(eq.astype(jnp.int32), axis) > 0
+
+    alpha0 = jnp.full((B, m_local), jnp.inf, f)
+
+    def outer(carry):
+        alpha, old, t, done = carry
+        S, Q, Cinv = _sq_refresh(A_local, Bs_local, alpha, sigma2, axis)
+        alpha, S, Q, Cinv = run_stage(acquisition, maxiter_acq,
+                                      alpha, S, Q, Cinv, ~done)
+        done1 = done | alpha_eq(alpha, old)
+        old1 = alpha
+        alpha, S, Q, Cinv = run_stage(deletion_update, maxiter_del,
+                                      alpha, S, Q, Cinv, ~done1)
+        done2 = done1 | alpha_eq(alpha, old1)
+        return alpha, alpha, t + 1, done2
+
+    def outer_cond(carry):
+        alpha, old, t, done = carry
+        return (t < maxiter) & ~jnp.all(done)
+
+    alpha, _, _, _ = lax.while_loop(
+        outer_cond, outer, (alpha0, alpha0, jnp.int32(0),
+                            jnp.zeros((B,), bool)))
+
+    # exact posterior mean (refresh anchor, as in fsbl_sharded)
+    gamma = jnp.where(jnp.isfinite(alpha), 1.0 / alpha, 0.0)
+    eye = jnp.eye(n, dtype=f)
+    Cpart = jnp.einsum("bik,bjk->bij",
+                       A_local[None, :, :] * gamma[:, None, :],
+                       jnp.broadcast_to(A_local, (B, n, m_local)))
+    C = lax.psum(Cpart, axis) + sigma2 * eye[None, :, :]
+    Cb = jax.vmap(lambda Cb_, bb: jnp.linalg.solve(Cb_, bb))(C, Bs_local)
+    return gamma * (Cb @ A_local)
+
+
+def rmps_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
+                 maxiter_acquisition: int | None = None,
+                 maxiter_deletion: int | None = None,
+                 min_increase: float = 1e-6, atoms_axis: str = "atoms",
+                 batch_axis: str = "batch"):
+    """Batched RMPS with the dictionary and per-atom state column-sharded.
+
+    Returns the dense posterior-mean weights (B, m), sharded over
+    ('batch', 'atoms'). Semantics of vmap(cstpu.rmps) with scalar noise.
+    """
+    n, m = A.shape
+    if jnp.ndim(jnp.asarray(sigma)) != 0:
+        raise ValueError("rmps_sharded supports scalar noise only")
+    maxiter = int(maxiter if maxiter is not None else n)
+    macq = int(maxiter_acquisition if maxiter_acquisition is not None else n)
+    mdel = int(maxiter_deletion if maxiter_deletion is not None else n)
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fn = _rmps_sharded_jit(mesh, atoms_axis, batch_axis, maxiter, macq,
+                           mdel, m, float(sigma), float(min_increase),
+                           A.dtype.name)
+    return fn(A, Bs)
+
+
+@lru_cache(maxsize=64)
+def _rmps_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
+                      maxiter: int, macq: int, mdel: int, m: int,
+                      sigma2: float, min_increase: float, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    s2 = jnp.asarray(sigma2, dtype)
+    mi = jnp.asarray(min_increase, dtype)
+
+    @_f32_matmuls
+    def shard_fn(A_local, Bs_local):
+        return _rmps_shard_body(A_local, Bs_local, s2, maxiter, macq, mdel,
+                                mi, m, atoms_axis)
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(batch_axis, None)),
+        out_specs=P(batch_axis, atoms_axis),
+        check_vma=False,
+    ))

@@ -275,3 +275,35 @@ def test_sharded_ista_fista_match_single_device(mesh):
     ref = np.asarray(fista(A, b, lam, maxiter=256))
     sol = np.asarray(fista_sharded(A, b, lam, mesh, maxiter=256))
     np.testing.assert_allclose(sol, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_fsbl_matches_single_device(mesh):
+    from cstpu import fsbl
+    from cstpu.parallel.sharded_sbl import fsbl_sharded
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(81))
+    A, x, b = sparse_data(kd, n=32, m=128, k=3, dtype=jnp.float32)
+    sigma = 1e-2
+    y = perturb(kn, b, sigma)
+    Bs = jnp.stack([b, y] * 4)
+    xs = fsbl_sharded(A, Bs, sigma ** 2, mesh)
+    ref = jax.vmap(lambda bb: fsbl(A, bb, sigma ** 2))(Bs)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-4)
+    got = np.flatnonzero(np.abs(np.asarray(xs[1])) > sigma)
+    np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
+
+
+def test_sharded_rmps_matches_single_device(mesh):
+    from cstpu import rmps
+    from cstpu.parallel.sharded_sbl import rmps_sharded
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(82))
+    A, x, b = sparse_data(kd, n=32, m=128, k=3, dtype=jnp.float32)
+    sigma = 1e-2
+    y = perturb(kn, b, sigma)
+    Bs = jnp.stack([b, y] * 4)
+    xs = rmps_sharded(A, Bs, sigma ** 2, mesh)
+    ref = jax.vmap(lambda bb: rmps(A, bb, sigma ** 2))(Bs)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-4)
+    got = np.flatnonzero(np.abs(np.asarray(xs[1])) > sigma)
+    np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
