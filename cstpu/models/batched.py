@@ -30,6 +30,10 @@ def batch(solver, **fixed):
     return batched
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
 def _one_device_mesh():
     """Cached trivial ('batch', 'atoms') mesh on the default device —
     lets the *_batch entry points reuse the sharded hybrid kernels as the
@@ -37,13 +41,8 @@ def _one_device_mesh():
     import numpy as np
     from jax.sharding import Mesh
 
-    global _MESH1
-    try:
-        return _MESH1
-    except NameError:
-        devs = np.array(jax.devices()[:1]).reshape(1, 1)
-        _MESH1 = Mesh(devs, ("batch", "atoms"))
-        return _MESH1
+    devs = np.array(jax.devices()[:1]).reshape(1, 1)
+    return Mesh(devs, ("batch", "atoms"))
 
 
 def _stream_ok(A, Bs):

@@ -108,3 +108,18 @@ def test_active_set_bookkeeping():
     ref = np.linalg.lstsq(np.asarray(A)[:, [2, 11]], np.asarray(b),
                           rcond=None)[0]
     np.testing.assert_allclose(sol.nzval, ref, rtol=1e-10)
+
+
+def test_exhaustive_oracle():
+    # the brute-force oracle finds the planted support (reference's
+    # exhaustive.jl, with its wrong-axis/repetition defects fixed)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cstpu import exhaustive, sparse_data, support
+
+    kd = jax.random.PRNGKey(90)
+    A, x, b = sparse_data(kd, n=16, m=24, k=3)
+    got = np.asarray(exhaustive(A, b, 3))
+    np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
