@@ -77,8 +77,30 @@ def _to_solution(idx, coef, m: int):
     )
 
 
-def _solve_kernel(k: int, A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
-                  cols, Ginv, coefs, idxs, r):
+
+def _extract_cols(AT_ref, i_scr, acol_scr, B: int):
+    """Per-row column extraction: read the sublane-ALIGNED 8-row block of
+    the transposed dictionary around each row's index and select the row
+    with a tiny masked reduce — statically unrolled over the batch.
+
+    Replaces the one-hot (B, m) x (m, n) extraction GEMM, which cost as
+    much MXU time as the correlation itself (measured 0.25 ms of the
+    0.55 ms solve at 64x1024x8192 k=32); this touches 8 rows (16 KB)
+    per batch element instead of all of A and measures as free. Mosaic
+    requires the dynamic sublane start to be provably 8-aligned — hence
+    the (i // 8) * 8 base + in-register select."""
+    off = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    for b_ in range(B):
+        ib = i_scr[b_, 0]
+        base = (ib // 8) * 8
+        blk = AT_ref[pl.ds(base, 8), :].astype(jnp.float32)
+        acol_scr[pl.ds(b_, 1), :] = jnp.sum(
+            blk * (off == ib - base).astype(jnp.float32), axis=0,
+            keepdims=True)
+
+
+def _solve_kernel(k: int, A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
+                  cols, Ginv, coefs, idxs, r, i_scr, acol_scr):
     B, n = Bs_ref.shape
     m = A_ref.shape[1]
     f32 = jnp.float32
@@ -106,11 +128,10 @@ def _solve_kernel(k: int, A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
         i = jnp.min(jnp.where(scores == smax, col_iota, INT_MAX),
                     axis=1, keepdims=True)                      # (B, 1)
 
-        # --- batched column extraction as a one-hot GEMM ----------------
-        oh = (col_iota == i).astype(cdt)                        # (B, m)
-        acol = lax.dot_general(oh, A_ref[:, :],
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=f32)      # (B, n)
+        # --- batched column extraction: aligned dynamic slices ----------
+        i_scr[:, :] = i
+        _extract_cols(AT_ref, i_scr, acol_scr, B)
+        acol = acol_scr[:, :]                                   # (B, n)
 
         # --- cross-Gram / quality scalars (all lane reductions) ---------
         # slot t of cols is still zero, so g picks up only the OLD active
@@ -158,12 +179,14 @@ def _omp_fused_call(A, Bs, k: int, corr_dtype, interpret: bool = False):
     B = Bs.shape[0]
     f32 = jnp.float32
     Ac = A.astype(corr_dtype)
+    AcT = Ac.T                                   # (m, n) for extraction
     Bs = Bs.astype(f32)
 
     idx, coef, r = pl.pallas_call(
         partial(_solve_kernel, k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # A (n, m)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # A^T (m, n)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # Bs (B, n)
         ],
         out_specs=[
@@ -182,9 +205,11 @@ def _omp_fused_call(A, Bs, k: int, corr_dtype, interpret: bool = False):
             pltpu.VMEM((B, k), f32),           # coef
             pltpu.VMEM((B, k), jnp.int32),     # idx
             pltpu.VMEM((B, n), f32),           # r
+            pltpu.VMEM((B, 1), jnp.int32),     # selected index staging
+            pltpu.VMEM((B, n), f32),           # extracted columns
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * n * m * 2 * k,
+            flops=2 * B * n * m * k,
             bytes_accessed=n * m * Ac.dtype.itemsize + 2 * B * n * 4,
             transcendentals=0,
         ),
@@ -192,7 +217,7 @@ def _omp_fused_call(A, Bs, k: int, corr_dtype, interpret: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Ac, Bs)
+    )(Ac, AcT, Bs)
     return idx, coef, r
 
 
@@ -219,9 +244,9 @@ def supported(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
     if n % 8 or m % 128 or B % 8:
         return False
     itemsize = jnp.dtype(corr_dtype).itemsize
-    vmem = (n * m * itemsize          # A
+    vmem = (2 * n * m * itemsize      # A + A^T (extraction copy)
             + B * k * n * 4           # cols
-            + 2 * B * n * 4 + B * m * 4 * 2   # r, b, scores(+onehot)
+            + 2 * B * n * 4 + B * m * 4 * 2   # r, b, scores
             + B * k * k * 4)          # Ginv
     return vmem < 100 * 1024 * 1024
 
