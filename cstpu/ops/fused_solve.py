@@ -449,8 +449,9 @@ def supported_stream(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
 # ---------------------------------------------------------------------------
 
 def _fr_kernel(k: int, max_eps2: float, min_d2: float,
-               A_ref, Bs_ref, cn2_ref, idx_ref, coef_ref, r_ref, done_ref,
-               cols, Ginv, coefs, idxs, r, resc, amask):
+               A_ref, AT_ref, Bs_ref, cn2_ref, idx_ref, coef_ref, r_ref,
+               done_ref, cols, Ginv, coefs, idxs, r, resc, amask,
+               i_scr, acol_scr):
     """Forward-regression solve with the OLS rule, dictionary pinned in VMEM.
 
     Selection: delta_j^2 = <a_j, r>^2 / rescaling_j with the energetic norm
@@ -502,10 +503,9 @@ def _fr_kernel(k: int, max_eps2: float, min_d2: float,
         done2 = jnp.where(ok, done, 1.0)
 
         # --- append (same engine as the OMP kernel) ----------------------
-        oh = (col_iota == i).astype(cdt)
-        acol = lax.dot_general(oh, A_ref[:, :],
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=f32)      # (B, n)
+        i_scr[:, :] = i
+        _extract_cols(AT_ref, i_scr, acol_scr, B)
+        acol = acol_scr[:, :]                                   # (B, n)
         ata = jnp.sum(acol * acol, axis=1, keepdims=True)
         beta = jnp.sum(acol * Bs_ref[:, :], axis=1, keepdims=True)
         g = jnp.sum(cols[:, :, :] * acol[:, None, :], axis=2)   # slot t = 0
@@ -534,7 +534,7 @@ def _fr_kernel(k: int, max_eps2: float, min_d2: float,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=f32)         # (B, m)
         resc[:, :] = resc[:, :] - (okf / jnp.where(d > 0, d, 1.0)) * z * z
-        amask[:, :] = amask[:, :] + oh.astype(f32) * okf
+        amask[:, :] = amask[:, :] + (col_iota == i).astype(f32) * okf
         fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
         r[:, :] = Bs_ref[:, :] - fitted
         return jnp.where(okb, done2, 1.0)  # failed append also latches
@@ -560,7 +560,7 @@ def _fr_fused_call(A, Bs, k: int, max_eps2: float, min_d2: float,
 
     idx, coef, r, done = pl.pallas_call(
         partial(_fr_kernel, k, max_eps2, min_d2),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((B, k), jnp.int32),
@@ -576,6 +576,8 @@ def _fr_fused_call(A, Bs, k: int, max_eps2: float, min_d2: float,
             pltpu.VMEM((B, n), f32),           # r
             pltpu.VMEM((B, m), f32),           # rescaling
             pltpu.VMEM((B, m), f32),           # active mask
+            pltpu.VMEM((B, 1), jnp.int32),     # selected index staging
+            pltpu.VMEM((B, n), f32),           # extracted columns
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * n * m * 3 * k,
@@ -586,7 +588,7 @@ def _fr_fused_call(A, Bs, k: int, max_eps2: float, min_d2: float,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Ac, Bs, cn2)
+    )(Ac, Ac.T, Bs, cn2)
     return idx, coef, r, done
 
 
@@ -626,8 +628,8 @@ def supported_fr(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
 # ---------------------------------------------------------------------------
 
 def _gomp_kernel(k: int, l: int, rem: int, eps2: float,
-                 A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
-                 cols, Ginv, coefs, idxs, r, kcnt):
+                 A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
+                 cols, Ginv, coefs, idxs, r, kcnt, i_scr, acol_scr):
     """GOMP: add the top-l correlated atoms per iteration, one LS refit.
 
     Parity: /root/reference/src/matchingpursuit.jl:95-148 — floor(k/l)
@@ -666,10 +668,9 @@ def _gomp_kernel(k: int, l: int, rem: int, eps2: float,
                     axis=1, keepdims=True)                      # (B, 1)
         scores = jnp.where(col_iota == i, -jnp.inf, scores)
 
-        oh = (col_iota == i).astype(cdt)
-        acol = lax.dot_general(oh, A_ref[:, :],
-                               (((1,), (1,)), ((), ())),
-                               preferred_element_type=f32)      # (B, n)
+        i_scr[:, :] = i
+        _extract_cols(AT_ref, i_scr, acol_scr, B)
+        acol = acol_scr[:, :]                                   # (B, n)
         et = (slot_iota == kcnt[:, :]).astype(f32)              # (B, k)
         dup = jnp.sum((idxs[:, :] == i).astype(f32), axis=1,
                       keepdims=True) > 0
@@ -734,7 +735,7 @@ def _gomp_fused_call(A, Bs, l: int, k: int, eps2: float, corr_dtype,
 
     idx, coef, r = pl.pallas_call(
         partial(_gomp_kernel, k, l, k % l, eps2),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((B, k), jnp.int32),
@@ -748,12 +749,14 @@ def _gomp_fused_call(A, Bs, l: int, k: int, eps2: float, corr_dtype,
             pltpu.VMEM((B, k), jnp.int32),     # idx
             pltpu.VMEM((B, n), f32),           # r
             pltpu.VMEM((B, 1), jnp.int32),     # kcnt
+            pltpu.VMEM((B, 1), jnp.int32),     # selected index staging
+            pltpu.VMEM((B, n), f32),           # extracted columns
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Ac, Bs)
+    )(Ac, Ac.T, Bs)
     return idx, coef, r
 
 

@@ -32,7 +32,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cstpu.ops.fused_solve import _degeneracy_rtol, _to_solution
+from cstpu.ops.fused_solve import (_degeneracy_rtol, _extract_cols,
+                                   _to_solution)
 
 INT_MAX = jnp.iinfo(jnp.int32).max
 F32 = jnp.float32
@@ -51,8 +52,10 @@ class _Engine:
     """
 
     def __init__(self, A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r,
-                 amask=None, resc=None, cn2_ref=None):
+                 amask=None, resc=None, cn2_ref=None, AT_ref=None,
+                 i_scr=None, acol_scr=None):
         self.A, self.Bs = A_ref, Bs_ref
+        self.AT, self.i_scr, self.acol_scr = AT_ref, i_scr, acol_scr
         self.cols, self.Ginv = cols, Ginv
         self.idxs, self.coefs, self.Atbs, self.r = idxs, coefs, Atbs, r
         self.amask, self.resc, self.cn2 = amask, resc, cn2_ref
@@ -107,9 +110,15 @@ class _Engine:
         no-op where `gate` is False, the atom is already active, capacity
         is exhausted, or the atom is numerically inside the active span.
         Returns the per-instance accept mask (B,1) bool."""
-        oh = (self.col_iota == i).astype(self.cdt)
-        acol = lax.dot_general(oh, self.A[:, :], (((1,), (1,)), ((), ())),
-                               preferred_element_type=F32)       # (B, n)
+        if self.AT is not None:      # aligned dynamic slices (fast path)
+            self.i_scr[:, :] = i
+            _extract_cols(self.AT, self.i_scr, self.acol_scr, self.B)
+            acol = self.acol_scr[:, :]                           # (B, n)
+        else:                        # one-hot GEMM (reads all of A)
+            oh = (self.col_iota == i).astype(self.cdt)
+            acol = lax.dot_general(oh, self.A[:, :],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=F32)   # (B, n)
         fs = jnp.min(jnp.where(self.idxs[:, :] >= self.m, self.slot_iota,
                                self.BIG), axis=1, keepdims=True)
         dup = jnp.sum((self.idxs[:, :] == i).astype(F32), axis=1,
@@ -138,7 +147,8 @@ class _Engine:
         self.cols[:, :, :] = self.cols[:, :, :] \
             + acol[:, None, :] * et[:, :, None]
         if self.amask is not None:
-            self.amask[:, :] = self.amask[:, :] + oh.astype(F32) * okf
+            self.amask[:, :] = self.amask[:, :] \
+                + (self.col_iota == i).astype(F32) * okf
         if self.resc is not None:
             # order-recursive OLS rescaling: the appended orthonormal
             # direction q = a_perp/sqrt(d) removes (q'a_j)^2 from every
@@ -221,13 +231,14 @@ def _outer_while(eng, maxiter: int, body_inner):
 # ---------------------------------------------------------------------------
 
 def _sp_kernel(k: int, maxiter: int, delta2: float,
-               A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
-               cols, Ginv, Atbs, coefs, idxs, r):
+               A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
+               cols, Ginv, Atbs, coefs, idxs, r, i_scr, acol_scr):
     """SP: expand by the top-k residual correlations, LS-refit on <= 2k
     atoms, prune to the k largest |coefficients|, iterate while the
     residual improves (the final pruned iterate is kept either way,
     src/twostage.jl:92-99)."""
-    eng = _Engine(A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r)
+    eng = _Engine(A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r,
+                  AT_ref=AT_ref, i_scr=i_scr, acol_scr=acol_scr)
     B, m, K2 = eng.B, eng.m, eng.K
     slot_iota = eng.slot_iota
     BIG = eng.BIG
@@ -294,7 +305,7 @@ def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,
 
     return pl.pallas_call(
         partial(_sp_kernel, k, maxiter, delta2),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((B, K2), jnp.int32),
@@ -308,12 +319,14 @@ def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,
             pltpu.VMEM((B, K2), F32),          # coef
             pltpu.VMEM((B, K2), jnp.int32),    # idx
             pltpu.VMEM((B, n), F32),           # r
+            pltpu.VMEM((B, 1), jnp.int32),     # selected index staging
+            pltpu.VMEM((B, n), F32),           # extracted columns
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Ac, Bs)
+    )(Ac, Ac.T, Bs)
 
 
 def sp_fused_solve(A, Bs, k: int, delta: float = 1e-12,
@@ -355,8 +368,9 @@ def supported_sp(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
 # ---------------------------------------------------------------------------
 
 def _ompr_kernel(k: int, maxiter: int, delta2: float, eta: float,
-                 A_ref, Bs_ref, idx_ref, coef_ref, r_ref,
-                 cols, Ginv, Atbs, coefs, idxs, r, amask):
+                 A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
+                 cols, Ginv, Atbs, coefs, idxs, r, amask, i_scr,
+                 acol_scr):
     """OMPR: select the best PASSIVE atom by |eta A'r| (for passive atoms
     the reference's gradient score x + eta A'r reduces to eta A'r — no
     dense scatter needed), append it, gradient-step every active
@@ -364,7 +378,8 @@ def _ompr_kernel(k: int, maxiter: int, delta2: float, eta: float,
     columns — no gathers), delete the min-|coefficient| slot, LS-refit.
     Stops on no-passive-atom, residual <= delta, or no improvement."""
     eng = _Engine(A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r,
-                  amask=amask)
+                  amask=amask, AT_ref=AT_ref, i_scr=i_scr,
+                  acol_scr=acol_scr)
     m = eng.m
     slot_iota, BIG = eng.slot_iota, eng.BIG
 
@@ -418,7 +433,7 @@ def _ompr_fused_call(A, Bs, k: int, maxiter: int, delta2: float, eta: float,
 
     return pl.pallas_call(
         partial(_ompr_kernel, k, maxiter, delta2, eta),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((B, K), jnp.int32),
@@ -433,12 +448,14 @@ def _ompr_fused_call(A, Bs, k: int, maxiter: int, delta2: float, eta: float,
             pltpu.VMEM((B, K), jnp.int32),
             pltpu.VMEM((B, n), F32),
             pltpu.VMEM((B, m), F32),           # active mask
+            pltpu.VMEM((B, 1), jnp.int32),     # selected index staging
+            pltpu.VMEM((B, n), F32),           # extracted columns
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Ac, Bs)
+    )(Ac, Ac.T, Bs)
 
 
 def ompr_fused_solve(A, Bs, k: int, delta: float, eta: float = 1.0,
@@ -475,8 +492,9 @@ def supported_ompr(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
 # ---------------------------------------------------------------------------
 
 def _srr_kernel(k: int, l: int, maxiter: int, delta2: float,
-                A_ref, Bs_ref, cn2_ref, idx_ref, coef_ref, r_ref,
-                cols, Ginv, Atbs, coefs, idxs, r, resc, amask):
+                A_ref, AT_ref, Bs_ref, cn2_ref, idx_ref, coef_ref, r_ref,
+                cols, Ginv, Atbs, coefs, idxs, r, resc, amask, i_scr,
+                acol_scr):
     """SRR: oblivious k-atom init, then alternate up to l forward-
     regression steps (OLS rule with order-recursive rescaling, see
     cstpu.ops.fused_solve._fr_kernel) and backward deletions back to k
@@ -486,7 +504,8 @@ def _srr_kernel(k: int, l: int, maxiter: int, delta2: float,
     every instance's residual stops improving (final iterate kept, as in
     src/twostage.jl:19-31)."""
     eng = _Engine(A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r,
-                  amask=amask, resc=resc, cn2_ref=cn2_ref)
+                  amask=amask, resc=resc, cn2_ref=cn2_ref, AT_ref=AT_ref,
+                  i_scr=i_scr, acol_scr=acol_scr)
     m = eng.m
     slot_iota, BIG = eng.slot_iota, eng.BIG
     deg = eng.deg
@@ -554,7 +573,7 @@ def _srr_fused_call(A, Bs, k: int, l: int, maxiter: int, delta2: float,
 
     return pl.pallas_call(
         partial(_srr_kernel, k, l, maxiter, delta2),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((B, K), jnp.int32),
@@ -570,12 +589,14 @@ def _srr_fused_call(A, Bs, k: int, l: int, maxiter: int, delta2: float,
             pltpu.VMEM((B, n), F32),           # r
             pltpu.VMEM((B, m), F32),           # rescaling
             pltpu.VMEM((B, m), F32),           # active mask
+            pltpu.VMEM((B, 1), jnp.int32),     # selected index staging
+            pltpu.VMEM((B, n), F32),           # extracted columns
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Ac, Bs, cn2)
+    )(Ac, Ac.T, Bs, cn2)
 
 
 def srr_fused_solve(A, Bs, k: int, delta: float = 1e-12,
@@ -615,9 +636,10 @@ def supported_srr(A, Bs, k: int, l: int = 1,
 # ---------------------------------------------------------------------------
 
 def _rmp_kernel(K: int, maxiter: int, delta2: float, kfinal: int,
-                A_ref, Bs_ref, cn2_ref,
+                A_ref, AT_ref, Bs_ref, cn2_ref,
                 idx_ref, coef_ref, r_ref, capped_ref,
-                cols, Ginv, Atbs, coefs, idxs, r, resc, amask):
+                cols, Ginv, Atbs, coefs, idxs, r, resc, amask, i_scr,
+                acol_scr):
     """RMP with a K-slot cap: forward regression to exhaustion (accept
     while the best squared decrease beats delta^2 — the reference's
     min_decrease rule, src/forward.jl:56-72), then backward deletions
@@ -630,7 +652,8 @@ def _rmp_kernel(K: int, maxiter: int, delta2: float, kfinal: int,
     caller re-solves those on the uncapped XLA path, so the cap never
     changes semantics."""
     eng = _Engine(A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r,
-                  amask=amask, resc=resc, cn2_ref=cn2_ref)
+                  amask=amask, resc=resc, cn2_ref=cn2_ref, AT_ref=AT_ref,
+                  i_scr=i_scr, acol_scr=acol_scr)
     B, m = eng.B, eng.m
     slot_iota, BIG = eng.slot_iota, eng.BIG
     deg = eng.deg
@@ -735,7 +758,7 @@ def _rmp_fused_call(A, Bs, K: int, maxiter: int, delta2: float, kfinal: int,
 
     return pl.pallas_call(
         partial(_rmp_kernel, K, maxiter, delta2, kfinal),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((B, K), jnp.int32),
@@ -752,12 +775,14 @@ def _rmp_fused_call(A, Bs, K: int, maxiter: int, delta2: float, kfinal: int,
             pltpu.VMEM((B, n), F32),           # r
             pltpu.VMEM((B, m), F32),           # rescaling
             pltpu.VMEM((B, m), F32),           # active mask
+            pltpu.VMEM((B, 1), jnp.int32),     # selected index staging
+            pltpu.VMEM((B, n), F32),           # extracted columns
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Ac, Bs, cn2)
+    )(Ac, Ac.T, Bs, cn2)
 
 
 def rmp_fused_solve(A, Bs, k: int | None = None, delta: float | None = None,
@@ -789,15 +814,17 @@ def rmp_fused_solve(A, Bs, k: int | None = None, delta: float | None = None,
 
 
 def _foba_kernel(K: int, maxiter: int, delta2: float,
-                 A_ref, Bs_ref, cn2_ref,
+                 A_ref, AT_ref, Bs_ref, cn2_ref,
                  idx_ref, coef_ref, r_ref, capped_ref,
-                 cols, Ginv, Atbs, coefs, idxs, r, resc, amask):
+                 cols, Ginv, Atbs, coefs, idxs, r, resc, amask, i_scr,
+                 acol_scr):
     """FoBa: one forward step per outer iteration (stop at rejection);
     after each accepted step, backward deletions are allowed only while
     the squared increase is below (accepted decrease)/4 — Zhang's
     half-the-last-gain rule (src/stepwise.jl:46-56)."""
     eng = _Engine(A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r,
-                  amask=amask, resc=resc, cn2_ref=cn2_ref)
+                  amask=amask, resc=resc, cn2_ref=cn2_ref, AT_ref=AT_ref,
+                  i_scr=i_scr, acol_scr=acol_scr)
     B, m = eng.B, eng.m
     slot_iota, BIG = eng.slot_iota, eng.BIG
     deg = eng.deg
@@ -873,7 +900,7 @@ def _foba_fused_call(A, Bs, K: int, maxiter: int, delta2: float,
 
     return pl.pallas_call(
         partial(_foba_kernel, K, maxiter, delta2),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((B, K), jnp.int32),
@@ -890,12 +917,14 @@ def _foba_fused_call(A, Bs, K: int, maxiter: int, delta2: float,
             pltpu.VMEM((B, n), F32),           # r
             pltpu.VMEM((B, m), F32),           # rescaling
             pltpu.VMEM((B, m), F32),           # active mask
+            pltpu.VMEM((B, 1), jnp.int32),     # selected index staging
+            pltpu.VMEM((B, n), F32),           # extracted columns
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Ac, Bs, cn2)
+    )(Ac, Ac.T, Bs, cn2)
 
 
 def foba_fused_solve(A, Bs, delta: float, kmax: int = 32,
