@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.scipy.linalg import cho_solve
 
+from cstpu.models.sbl import _f32_matmuls
+
 
 def _shrink(x, t):
     """Soft-thresholding prox of the (weighted) l1 norm.
@@ -42,6 +44,7 @@ def _shrink(x, t):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("maxiter",))
+@_f32_matmuls
 def _bp_admm(A, b, w, rho, maxiter: int, tol, z0=None, u0=None):
     n, m = A.shape
     L = jnp.linalg.cholesky(A @ A.T)
@@ -50,29 +53,41 @@ def _bp_admm(A, b, w, rho, maxiter: int, tol, z0=None, u0=None):
         return v - cho_solve((L, True), A @ v - b) @ A
 
     x0 = cho_solve((L, True), b) @ A  # min-norm feasible point
-    thresh = w / rho
     relax = jnp.asarray(1.8, A.dtype)  # over-relaxation (Boyd et al. 3.4.3)
+    mu = jnp.asarray(10.0, A.dtype)    # residual-balancing (Boyd 3.4.1)
+    tau = jnp.asarray(2.0, A.dtype)
 
     def cond(c):
-        x, z, u, t, done = c
+        x, z, u, rho_, t, done = c
         return (t < maxiter) & ~done
 
     def body(c):
-        x, z, u, t, _ = c
+        x, z, u, rho_, t, _ = c
         x = project(z - u)
         xh = relax * x + (1.0 - relax) * z
-        z_new = _shrink(xh + u, thresh)
+        z_new = _shrink(xh + u, w / rho_)
         u = u + xh - z_new
         pri = jnp.linalg.norm(x - z_new)
-        dua = rho * jnp.linalg.norm(z_new - z)
+        dua = rho_ * jnp.linalg.norm(z_new - z)
         scale = 1.0 + jnp.linalg.norm(z_new)
         done = (pri < tol * scale) & (dua < tol * scale)
-        return x, z_new, u, t + 1, done
+        # adaptive rho: balance the residuals every 64 iterations (per-
+        # iteration adaptation oscillates under over-relaxation); the
+        # scaled dual rescales with it (u = y/rho). Clamped, so the
+        # fixed point is preserved (Boyd 3.4.1).
+        adapt = (t % 64) == 63
+        up = adapt & (pri > mu * dua)
+        dn = adapt & (dua > mu * pri)
+        fac = jnp.where(up, tau, jnp.where(dn, 1.0 / tau, 1.0))
+        rho_new = jnp.clip(rho_ * fac, 1e-4, 1e6)
+        fac = rho_new / rho_
+        return x, z_new, u / fac, rho_new, t + 1, done
 
     z_init = x0 if z0 is None else z0
     u_init = jnp.zeros((m,), A.dtype) if u0 is None else u0
-    _, z, u, _, _ = lax.while_loop(
-        cond, body, (x0, z_init, u_init, jnp.int32(0), jnp.bool_(False)))
+    _, z, u, _, _, _ = lax.while_loop(
+        cond, body, (x0, z_init, u_init, rho, jnp.int32(0),
+                     jnp.bool_(False)))
     return z, u
 
 
@@ -115,6 +130,7 @@ basispursuit = bp
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("maxiter",))
+@_f32_matmuls
 def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
     n, m = A.shape
     # x-update solves (I + A'A) x = rhs; factor once on the smaller side
@@ -235,6 +251,7 @@ def candes_function(eps: float):
 
 
 @partial(jax.jit, static_argnames=("iters",))
+@_f32_matmuls
 def _ard_weights(A, x, w, eps, iters: int):
     n = A.shape[0]
 
@@ -291,6 +308,7 @@ def bpd_ard(A, b, delta: float, eps: float = None, maxiter: int = 8):
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("maxiter",))
+@_f32_matmuls
 def _ista(A, b, w, x0, stepsize, maxiter: int):
     def body(_, x):
         g = (b - A @ x) @ A
@@ -310,6 +328,7 @@ def ista(A, b, lam, x0=None, maxiter: int = 1024, stepsize: float = 1e-2):
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
+@_f32_matmuls
 def _fista(A, b, w, x0, stepsize, maxiter: int):
     def body(_, carry):
         x, y, t = carry

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
+
+from cstpu.models.sbl import _f32_matmuls
 from jax.scipy.linalg import cho_solve
 
 
@@ -31,6 +33,7 @@ def _shrink(x, t):
     return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
 
 
+@_f32_matmuls
 def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
                         axis: str, z0_local=None, u0_local=None):
     rho = jnp.asarray(rho, A_local.dtype)
@@ -134,6 +137,7 @@ def bp_sharded(A, b, w=None, mesh: Mesh = None, rho: float = 1.0,
     return fn(A, b, w, warm[0], warm[1])
 
 
+@_f32_matmuls
 def _ard_weights_shard_body(A_local, x_local, w_local, eps, iters: int,
                             axis: str):
     eps = jnp.asarray(eps, A_local.dtype)
@@ -194,6 +198,7 @@ def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
 # Sharded proximal-gradient path (ISTA/FISTA)
 # ---------------------------------------------------------------------------
 
+@_f32_matmuls
 def _ista_shard_body(A_local, b, w_local, stepsize, maxiter: int,
                      axis: str, accelerated: bool):
     """(F)ISTA with x sharded over the atom axis: the only communication
