@@ -221,8 +221,8 @@ def _fr_step_kernel(T: int, tm: int, deg: float,
     reproduces the active-atom exclusion without a separate mask array;
     il carries two index columns per row: [mark, restore] — `mark`
     flags this call's appended atom as active (-1 for none), `restore`
-    resurrects a deleted atom by writing |resc| before the updates
-    (-1 for none)."""
+    resurrects a deleted atom (its exact post-delete rescaling is the
+    V update on a 0 base; -1 for none)."""
     B, n = R_ref.shape
     f32 = jnp.float32
     cdt = A_ref.dtype
@@ -248,7 +248,11 @@ def _fr_step_kernel(T: int, tm: int, deg: float,
     mark = il_ref[:, 0:1]
     rest = il_ref[:, 1:2]
     resc = resc_ref[:, :]
-    resc = jnp.where(gidx == rest, jnp.abs(resc), resc)
+    # a deleted atom's maintained rescaling is identically 0 while active
+    # (w'a_p = 0 for appends of others, v'a_p = 0 for deletes of others,
+    # and its own append subtracts exactly d); restore 0 and let the V
+    # update add the exact post-delete value (v'a_p)^2/gamma_pp
+    resc = jnp.where(gidx == rest, 0.0, resc)
     resc = resc - z * z + zv * zv
     resc = jnp.where(gidx == mark, -1.0, resc)
     resc_out[:, :] = resc

@@ -61,3 +61,30 @@ def test_supported():
     assert supported(A, r)
     A_bad = jnp.zeros((32, 100), jnp.float32)
     assert not supported(A_bad, r)
+
+
+def test_fr_step_select_restore_semantics():
+    # a deleted atom resurrects with EXACTLY the V-update value on a zero
+    # base: resc_p' = (v'a_p)^2 (the post-delete rescaling identity)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from cstpu.ops.stream_select import fr_step_select
+
+    B, n, m = 8, 16, 256
+    key = jax.random.PRNGKey(3)
+    A = jax.random.normal(key, (n, m), jnp.float32)
+    A = A / jnp.linalg.norm(A, axis=0, keepdims=True)
+    R = jax.random.normal(jax.random.PRNGKey(4), (B, n), jnp.float32)
+    V = jax.random.normal(jax.random.PRNGKey(5), (B, n), jnp.float32)
+    cn2 = jnp.sum(A * A, axis=0)[None, :]
+    p = 7
+    resc = jnp.broadcast_to(cn2, (B, m)).at[:, p].set(-1.0)  # p marked active
+    il = jnp.stack([jnp.full((B,), -1, jnp.int32),
+                    jnp.full((B,), p, jnp.int32)], axis=1)   # restore p
+    W = jnp.zeros((B, n), jnp.float32)
+    _, _, resc2 = fr_step_select(A, R, W, il, cn2, resc, 1e-12,
+                                 V=V, interpret=True)
+    want = np.asarray(V @ A[:, p]) ** 2
+    np.testing.assert_allclose(np.asarray(resc2[:, p]), want, rtol=1e-5)
