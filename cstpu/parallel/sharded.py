@@ -998,6 +998,16 @@ def _srr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
         st3 = jax.vmap(lambda s, p: aset.refit(aset.delete(s, p, m)))(
             st2, pos)
         st3 = jax.vmap(tree_where)(dodel, st3, st2)
+        # deleting the JUST-APPENDED atom: its pending -w^2 and the
+        # delete's +v^2 cancel exactly (w == v, the same orthogonalized
+        # direction), the atom must be neither marked nor restored, and
+        # its rescaling still holds the pre-append value — clear all
+        # four pending channels for such rows
+        same = dodel & accept & (didx == gsel)
+        W2 = W2 * (~same)[:, None]
+        V2 = V2 * (~same)[:, None]
+        ilm2 = jnp.where(same, -1, ilm2)
+        ilr2 = jnp.where(same, -1, ilr2)
 
         new_res = jnp.linalg.norm(
             jax.vmap(aset.residual)(st3, Bs_local), axis=1)
@@ -1056,6 +1066,248 @@ def _srr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
         in_specs=(P(None, atoms_axis), P(None, atoms_axis),
                   P(batch_axis, None)),
         out_specs=jax.tree.map(lambda _: P(batch_axis), out_struct),
+        check_vma=False,
+    ))
+
+
+def _rmp_fused_shard_body(A_local, Ac_local, Bs_local, kmax: int,
+                          maxiter: int, delta2, m: int, axis: str,
+                          interpret: bool, foba: bool):
+    """Batched RMP (delta variant) or FoBa over a column shard.
+
+    Forward steps ride fr_step_select (one streamed pass each, the
+    previous append's rescaling downdate folded in); backward deletions
+    are replicated, with their rescaling identity applied EAGERLY by one
+    local XLA GEMM per delete (deletes are rare; forward sweeps are not).
+    A kmax slot cap with a per-row `capped` flag mirrors the fused-kernel
+    contract (cstpu.ops.fused_twostage._rmp_kernel): instances the cap
+    refused are re-solved exactly by the caller. Parity:
+    src/stepwise.jl:5-25 (RMP) / :46-56 (FoBa)."""
+    from cstpu.ops.fused_solve import _degeneracy_rtol
+    from cstpu.ops.stream_select import fr_step_select
+
+    B, n = Bs_local.shape
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    deg = float(_degeneracy_rtol(n))
+    loc_iota = lax.broadcasted_iota(jnp.int32, (B, m_local), 1)
+    st0 = jax.vmap(lambda _: aset.empty(n, kmax, m, A_local.dtype))(
+        jnp.arange(B))
+    Af32 = A_local.astype(jnp.float32)
+    cn2 = jnp.sum(Af32 * Af32, axis=0)[None, :]
+
+    def w_of(s, a):
+        g = jnp.where(s.mask, s.cols.T @ a, 0)
+        u = s.Ginv @ g
+        aperp = a - s.cols @ u
+        ata = a @ a
+        d = jnp.maximum(ata - g @ u, 1e-12 * jnp.maximum(ata, 1e-30))
+        return aperp * jnp.sqrt(1.0 / d)
+
+    def forward_step(st, W, il, resc, gate, capped):
+        r = jax.vmap(aset.residual)(st, Bs_local)
+        il2c = jnp.stack([il, jnp.full_like(il, -1)], axis=1)
+        dmax_l, lidx, resc = fr_step_select(
+            Ac_local, r, W, il2c, cn2, resc, deg, interpret=interpret)
+        gidx = shard * m_local + lidx.astype(jnp.int32)
+        dmax = lax.pmax(dmax_l, axis)
+        cand = jnp.where(dmax_l == dmax, gidx, INT_MAX)
+        gsel = lax.pmin(cand, axis)
+        rnorm2 = jnp.sum(r * r, axis=1)
+        limit = jnp.minimum(n, m)
+        wanted = gate & (rnorm2 > 0) & (dmax > delta2) & (st.k < limit)
+        full = st.k >= kmax
+        accept = wanted & ~full
+        capped = capped | (wanted & full)
+        owner = (gsel // m_local) == shard
+        lcol = jnp.take(A_local, gsel % m_local, axis=1).T
+        acol = lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+        W2 = jax.vmap(w_of)(st, acol) * accept[:, None]
+        il2 = jnp.where(accept & owner,
+                        (gsel % m_local).astype(jnp.int32), -1)
+        st2 = jax.vmap(
+            lambda a, bb, s, i, o: aset.refit(
+                aset.append_col_gated(a, bb, s, i, o)))(
+            acol, Bs_local, st, gsel, accept)
+        pend = jnp.where(accept, gsel, -1)
+        return st2, W2, il2, resc, accept, capped, dmax, pend
+
+    def delete_step(st, resc, gate):
+        """One gated deletion with an EAGER rescaling update + restore."""
+        from cstpu.ops.util import masked_argmin
+
+        gam = jax.vmap(aset.gamma)(st)
+        d2 = jnp.where(st.mask, st.coef * st.coef
+                       / jnp.maximum(gam, 1e-30), jnp.inf)
+        pos = jnp.argmin(d2, axis=1)
+        dmin = jnp.take_along_axis(d2, pos[:, None], 1)[:, 0]
+        didx = jnp.take_along_axis(st.idx, pos[:, None], 1)[:, 0]
+        ep = jax.nn.one_hot(pos, st.idx.shape[1], dtype=jnp.float32)
+        qv = jax.vmap(lambda s, e: s.Ginv @ e)(st, ep)
+        qpp = jnp.sum(qv * ep, axis=1)
+        v = jax.vmap(lambda s, q: s.cols @ q)(st, qv) \
+            * (jnp.sqrt(1.0 / jnp.maximum(qpp, 1e-30)))[:, None]
+        return pos, dmin, didx, v
+
+    def apply_delete(st, resc, pos, didx, v, acc, skip_resc):
+        """Gated delete; `skip_resc` rows skip the eager rescaling
+        update (the just-appended-atom case, where the pending -w^2 and
+        this +v^2 cancel exactly)."""
+        eager = acc & ~skip_resc
+        z = (v * eager[:, None].astype(jnp.float32)) @ Af32   # (B, ml)
+        resc = resc + z * z
+        downer = (didx // m_local) == shard
+        sel = jnp.where(eager & downer, didx % m_local, -1)
+        # restore the deleted atom on a zero base (maintained value of an
+        # active atom is identically 0): its own z^2 IS the exact
+        # post-delete rescaling
+        resc = jnp.where(loc_iota == sel[:, None],
+                         z * z, resc)
+        st2 = jax.vmap(lambda s, p: aset.refit(aset.delete(s, p, m)))(
+            st, pos)
+        st2 = jax.vmap(tree_where)(acc, st2, st)
+        return st2, resc
+
+    resc0 = jnp.broadcast_to(cn2, (B, m_local)) + 0.0
+    W0 = jnp.zeros((B, n), jnp.float32)
+    il0 = jnp.full((B,), -1, jnp.int32)
+
+    def bwd_once(st, resc, W, il, pend, g, rule):
+        """One gated delete under `rule(dmin)`; cancels the pending
+        forward channels when the deleted atom IS the pending one."""
+        pos, dmin, didx, v = delete_step(st, resc, g)
+        acc = g & rule(dmin)
+        same = acc & (pend >= 0) & (didx == pend)
+        st, resc = apply_delete(st, resc, pos, didx, v, acc, same)
+        W = W * (~same)[:, None]
+        il = jnp.where(same, -1, il)
+        pend = jnp.where(same, -1, pend)
+        return st, resc, W, il, pend, acc
+
+    if not foba:
+        def fwd_stage(carry):
+            st, W, il, pend, resc, g, capped, any_acc = carry
+            st, W, il, resc, acc, capped, _, pend2 = forward_step(
+                st, W, il, resc, g, capped)
+            pend = jnp.where(g, pend2, pend)
+            return (st, W, il, pend, resc, g & acc, capped,
+                    any_acc | acc)
+
+        def bwd_stage(carry):
+            st, resc, W, il, pend, g, any_acc = carry
+            st, resc, W, il, pend, acc = bwd_once(
+                st, resc, W, il, pend, g, lambda dmin: dmin < delta2)
+            return st, resc, W, il, pend, g & acc, any_acc | acc
+
+        def outer(carry):
+            st, W, il, pend, resc, t, done, capped = carry
+            alive = ~done
+            st, W, il, pend, resc, _, capped, facc = lax.while_loop(
+                lambda c: jnp.any(c[5]),
+                fwd_stage,
+                (st, W, il, pend, resc, alive, capped,
+                 jnp.zeros((B,), bool)))
+            st, resc, W, il, pend, _, bacc = lax.while_loop(
+                lambda c: jnp.any(c[5]),
+                bwd_stage,
+                (st, resc, W, il, pend, alive, jnp.zeros((B,), bool)))
+            progressed = facc | bacc
+            return (st, W, il, pend, resc, t + 1, done | ~progressed,
+                    capped)
+
+        pend0 = jnp.full((B,), -1, jnp.int32)
+        st, W, il, pend, resc, _, _, capped = lax.while_loop(
+            lambda c: (c[5] < maxiter) & ~jnp.all(c[6]),
+            outer, (st0, W0, il0, pend0, resc0, jnp.int32(0),
+                    jnp.zeros((B,), bool), jnp.zeros((B,), bool)))
+    else:
+        def body(carry):
+            st, W, il, pend, resc, t, alive, capped = carry
+            st, W, il, resc, acc, capped, dmax, pend2 = forward_step(
+                st, W, il, resc, alive, capped)
+            pend = jnp.where(alive, pend2, pend)
+            bthresh = jnp.maximum(dmax, 0.0) * 0.25
+
+            def bwd(c):
+                st_, resc_, W_, il_, pend_, g = c
+                st_, resc_, W_, il_, pend_, bacc = bwd_once(
+                    st_, resc_, W_, il_, pend_, g,
+                    lambda dmin: dmin < bthresh)
+                return st_, resc_, W_, il_, pend_, g & bacc
+
+            st, resc, W, il, pend, _ = lax.while_loop(
+                lambda c: jnp.any(c[5]), bwd,
+                (st, resc, W, il, pend, alive & acc))
+            return st, W, il, pend, resc, t + 1, alive & acc, capped
+
+        pend0 = jnp.full((B,), -1, jnp.int32)
+        st, W, il, pend, resc, _, _, capped = lax.while_loop(
+            lambda c: (c[5] < maxiter) & jnp.any(c[6]),
+            body, (st0, W0, il0, pend0, resc0, jnp.int32(0),
+                   jnp.ones((B,), bool), jnp.zeros((B,), bool)))
+
+    sol = jax.vmap(lambda s: aset.finalize(s, m))(st)
+    return sol.idx, sol.val, sol.mask, capped
+
+
+def _rmp_foba_sharded(A, Bs, mesh: Mesh, kmax: int, maxiter: int,
+                      delta: float, atoms_axis: str, batch_axis: str,
+                      corr_dtype, interpret: bool, foba: bool):
+    n, m = A.shape
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fn = _rmp_sharded_jit(mesh, atoms_axis, batch_axis, int(kmax),
+                          int(maxiter), m, float(delta) ** 2, A.dtype.name,
+                          jnp.dtype(corr_dtype).name, bool(interpret),
+                          bool(foba))
+    idx, val, mask, capped = fn(A, jnp.asarray(A, corr_dtype), Bs)
+    from cstpu.utils.sparse import SparseSolution
+    return SparseSolution(idx=idx, val=val, mask=mask, m=m), capped
+
+
+def rmp_sharded_fused(A, Bs, delta: float, mesh: Mesh, kmax: int = 32,
+                      maxiter: int = 1, atoms_axis: str = "atoms",
+                      batch_axis: str = "batch", corr_dtype=jnp.bfloat16,
+                      interpret: bool = False):
+    """Column-sharded batched RMP (delta variant) with the kmax-cap +
+    `capped` contract. Returns (SparseSolution, capped (B,) bool)."""
+    return _rmp_foba_sharded(A, Bs, mesh, kmax, maxiter, delta,
+                             atoms_axis, batch_axis, corr_dtype, interpret,
+                             foba=False)
+
+
+def foba_sharded_fused(A, Bs, delta: float, mesh: Mesh, kmax: int = 32,
+                       atoms_axis: str = "atoms", batch_axis: str = "batch",
+                       corr_dtype=jnp.bfloat16, interpret: bool = False):
+    """Column-sharded batched FoBa (half-the-last-gain backward rule).
+    Returns (SparseSolution, capped (B,) bool)."""
+    n = A.shape[0]
+    return _rmp_foba_sharded(A, Bs, mesh, kmax, int(n), delta,
+                             atoms_axis, batch_axis, corr_dtype, interpret,
+                             foba=True)
+
+
+@lru_cache(maxsize=64)
+def _rmp_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
+                     kmax: int, maxiter: int, m: int, delta2: float,
+                     dtype_name: str, corr_dtype_name: str,
+                     interpret: bool, foba: bool):
+    dtype = jnp.dtype(dtype_name)
+    d2 = jnp.asarray(delta2, dtype)
+
+    def shard_fn(A_local, Ac_local, Bs_local):
+        return _rmp_fused_shard_body(A_local, Ac_local, Bs_local,
+                                     kmax=kmax, maxiter=maxiter, delta2=d2,
+                                     m=m, axis=atoms_axis,
+                                     interpret=interpret, foba=foba)
+
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(None, atoms_axis),
+                  P(batch_axis, None)),
+        out_specs=(P(batch_axis), P(batch_axis), P(batch_axis),
+                   P(batch_axis)),
         check_vma=False,
     ))
 

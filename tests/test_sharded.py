@@ -307,3 +307,59 @@ def test_sharded_rmps_matches_single_device(mesh):
     np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-4)
     got = np.flatnonzero(np.abs(np.asarray(xs[1])) > sigma)
     np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
+
+
+def test_sharded_fused_rmp_foba_match_single_device(mesh):
+    from cstpu import rmp, foba
+    from cstpu.parallel.sharded import rmp_sharded_fused, foba_sharded_fused
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(83))
+    A, x, b = sparse_data(kd, n=64, m=1024, k=5, dtype=jnp.float32)
+    y = perturb(kn, b, DELTA / 2)
+    Bs = jnp.stack([b, y] * 4)
+
+    sols, capped = rmp_sharded_fused(A, Bs, DELTA, mesh, kmax=16,
+                                     corr_dtype=jnp.float32, interpret=True)
+    assert not bool(np.any(np.asarray(capped)))
+    ref_b = rmp(A, b, delta=DELTA)
+    ref_y = rmp(A, y, delta=DELTA)
+    for i in range(8):
+        ref = ref_b if i % 2 == 0 else ref_y
+        row = jax.tree.map(lambda leaf: leaf[i], sols)
+        assert list(row.nzind) == list(ref.nzind)
+        np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-4,
+                                   atol=1e-6)
+
+    solf, capped = foba_sharded_fused(A, Bs, DELTA, mesh, kmax=16,
+                                      corr_dtype=jnp.float32,
+                                      interpret=True)
+    assert not bool(np.any(np.asarray(capped)))
+    ref_b = foba(A, b, DELTA)
+    ref_y = foba(A, y, DELTA)
+    for i in range(8):
+        ref = ref_b if i % 2 == 0 else ref_y
+        row = jax.tree.map(lambda leaf: leaf[i], solf)
+        assert list(row.nzind) == list(ref.nzind)
+        np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_sharded_fused_srr_stress_many_seeds(mesh):
+    # statistical exercise of the replacement/resurrection paths: many
+    # random instances must all match the single-device solver exactly
+    from cstpu import srr
+    from cstpu.parallel.sharded import srr_sharded_fused
+
+    for seed in (200, 201, 202, 203):
+        kd, kn = jax.random.split(jax.random.PRNGKey(seed))
+        A, x, b = sparse_data(kd, n=48, m=1024, k=6, dtype=jnp.float32)
+        y = perturb(kn, b, DELTA / 2)
+        Bs = jnp.stack([b, y] * 4)
+        sols = srr_sharded_fused(A, Bs, 6, mesh, corr_dtype=jnp.float32,
+                                 interpret=True)
+        ref_b = srr(A, b, 6)
+        ref_y = srr(A, y, 6)
+        for i in range(8):
+            ref = ref_b if i % 2 == 0 else ref_y
+            row = jax.tree.map(lambda leaf: leaf[i], sols)
+            assert list(row.nzind) == list(ref.nzind), (seed, i)
