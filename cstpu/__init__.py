@@ -64,6 +64,7 @@ from cstpu.models.exhaustive import exhaustive
 from cstpu.models.batched import (
     batch, omp_batch, fr_batch, mp_batch, sp_batch, gomp_batch,
     srr_batch, ompr_batch, rmps_batch, fsbl_batch, rmp_batch, foba_batch,
+    br_batch, fbr_batch, lace_batch,
 )
 from cstpu.utils.diagnostics import omp_traced, SolveTrace
 from cstpu.utils.checkpoint import save_state, load_state
@@ -89,7 +90,7 @@ __all__ = [
     "exhaustive",
     "batch", "omp_batch", "fr_batch", "mp_batch", "sp_batch",
     "gomp_batch", "srr_batch", "ompr_batch", "rmps_batch", "fsbl_batch",
-    "rmp_batch", "foba_batch",
+    "rmp_batch", "foba_batch", "br_batch", "fbr_batch", "lace_batch",
     "omp_traced", "SolveTrace", "save_state", "load_state",
     "solve_cost", "roofline_report",
 ]

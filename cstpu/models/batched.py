@@ -335,6 +335,56 @@ def foba_batch(A, Bs, delta: float, kmax: int = 32, precision=None):
     return jax.vmap(lambda bb: foba(A, bb, delta))(Bs)
 
 
+def br_batch(A, Bs, max_residual=None, max_increase=None,
+             sparsity: int = 0, naive: bool = False):
+    """Batched backward regression (vmapped — BR is O(m^3) by nature and
+    starts from the full LS solution; there is no fused path)."""
+    import jax.numpy as jnp
+
+    from cstpu.models.backward import br
+
+    kw = {}
+    if max_residual is not None:
+        kw["max_residual"] = max_residual
+    if max_increase is not None:
+        kw["max_increase"] = max_increase
+    return jax.vmap(lambda bb: br(A, bb, sparsity=sparsity, naive=naive,
+                                  **kw))(jnp.asarray(Bs))
+
+
+def fbr_batch(A, Bs, max_residual=None, max_increase=None,
+              sparsity: int = 0):
+    """Batched fast backward regression (vmapped; per-instance failure
+    masks ride the batch — see cstpu.fbr)."""
+    import jax.numpy as jnp
+
+    from cstpu.models.backward import fbr
+
+    kw = {}
+    if max_residual is not None:
+        kw["max_residual"] = max_residual
+    if max_increase is not None:
+        kw["max_increase"] = max_increase
+    return jax.vmap(lambda bb: fbr(A, bb, sparsity=sparsity, **kw))(
+        jnp.asarray(Bs))
+
+
+def lace_batch(A, Bs, max_residual=None, max_increase=None,
+               sparsity: int = 0):
+    """Batched LACE (vmapped)."""
+    import jax.numpy as jnp
+
+    from cstpu.models.backward import lace
+
+    kw = {}
+    if max_residual is not None:
+        kw["max_residual"] = max_residual
+    if max_increase is not None:
+        kw["max_increase"] = max_increase
+    return jax.vmap(lambda bb: lace(A, bb, sparsity=sparsity, **kw))(
+        jnp.asarray(Bs))
+
+
 def rmps_batch(A, Bs, sigma, **kw):
     """Batched RMPS over measurement rows Bs (B, n).
 

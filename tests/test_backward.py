@@ -56,3 +56,19 @@ def test_backward_requires_overdetermined():
         fbr(A, b, sparsity=3)
     with pytest.raises(ValueError):
         lace(A, b, sparsity=3)
+
+
+def test_backward_batch_wrappers():
+    import numpy as np
+
+    from cstpu import br, br_batch, fbr_batch, lace_batch
+
+    A, x, y = _problem(60)
+    Bs = jnp.stack([y, y * 2.0])
+    sols = br_batch(A, Bs, sparsity=3)
+    ref = br(A, y, sparsity=3)
+    assert sorted(np.asarray(sols.idx[0])[np.asarray(sols.mask[0])].tolist()) \
+        == list(ref.nzind)
+    f = fbr_batch(A, Bs, sparsity=3)
+    l = lace_batch(A, Bs, sparsity=3)
+    assert f.idx.shape[0] == 2 and l.idx.shape[0] == 2
