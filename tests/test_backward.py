@@ -59,6 +59,7 @@ def test_backward_requires_overdetermined():
 
 
 def test_backward_batch_wrappers():
+    import jax.numpy as jnp
     import numpy as np
 
     from cstpu import br, br_batch, fbr_batch, lace_batch
