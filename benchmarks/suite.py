@@ -227,6 +227,34 @@ def config3d():
                           "recovery": rec, "batch": B}))
 
 
+def config3e():
+    """Backward family via the fused deletion kernel: FBR + LACE prune a
+    square full-rank 1024-atom system down to k=32 with the Gram inverse
+    pinned in VMEM (vs the XLA path's per-deletion HBM restage)."""
+    import jax
+
+    from cstpu.models.batched import fbr_batch, lace_batch
+
+    B, n, m, k = 8, 1024, 1024, 32
+    A, X, Bs, sup = _planted(jax.random.PRNGKey(34), B, n, m, k)
+
+    for name, solver in (
+            ("fbr", lambda Bs_: fbr_batch(A, Bs_, sparsity=k)),
+            ("lace", lambda Bs_: lace_batch(A, Bs_, sparsity=k))):
+        sol = solver(Bs)
+        rec = _recovery(sol, sup, m)
+        dts = []
+        for rep in range(3):  # first steady read is ~3x slow on the tunnel
+            t0 = time.perf_counter()
+            jax.block_until_ready(solver(Bs + (rep + 1) * 1e-30).idx)
+            dts.append(time.perf_counter() - t0)
+        print(json.dumps({"config": f"3e:{name}_fused_1024sq_prune_to_k32",
+                          "ms_per_batch": round(min(dts) * 1e3, 1),
+                          "recovery": rec, "batch": B,
+                          "deletions_per_sec": round(
+                              B * (m - k) / min(dts), 1)}))
+
+
 def config4():
     """SBL family: fsbl + rmps over a sigma sweep on noisy measurements."""
     import jax
@@ -334,3 +362,4 @@ if __name__ == "__main__":
         {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}[c]()
         if c == 3:
             config3d()
+            config3e()

@@ -70,22 +70,26 @@ def backward_step(A, b, st, max_eps, max_delta, m: int, naive: bool = False):
 
 @partial(jax.jit, static_argnames=("k", "naive"))
 def _br(A, b, k: int, max_eps, max_delta, naive: bool):
-    n, m = A.shape
-    st0 = aset.refit(aset.rebuild(A, b, jnp.arange(m, dtype=jnp.int32),
-                                  jnp.ones((m,), bool)))
+    # f32 pin: TPU's default bf16 matmuls corrupt the deletion deltas
+    # over ~m iterative refits (measured: recovery 0.875 vs 1.0 at m=1024)
+    with jax.default_matmul_precision("float32"):
+        n, m = A.shape
+        st0 = aset.refit(aset.rebuild(A, b, jnp.arange(m, dtype=jnp.int32),
+                                      jnp.ones((m,), bool)))
 
-    def cond(carry):
-        st, t, stop = carry
-        return (t < m - k) & ~stop
+        def cond(carry):
+            st, t, stop = carry
+            return (t < m - k) & ~stop
 
-    def body(carry):
-        st, t, _ = carry
-        st2, accepted = backward_step(A, b, st, max_eps, max_delta, m,
-                                      naive=naive)
-        return st2, t + 1, ~accepted
+        def body(carry):
+            st, t, _ = carry
+            st2, accepted = backward_step(A, b, st, max_eps, max_delta, m,
+                                          naive=naive)
+            return st2, t + 1, ~accepted
 
-    st, _, _ = lax.while_loop(cond, body, (st0, jnp.int32(0), jnp.bool_(False)))
-    return aset.finalize(st, m)
+        st, _, _ = lax.while_loop(cond, body,
+                                  (st0, jnp.int32(0), jnp.bool_(False)))
+        return aset.finalize(st, m)
 
 
 def br(A, b, max_residual: float = jnp.inf, max_increase: float = jnp.inf,
@@ -164,28 +168,30 @@ def _fbr_delete(st: FBRState, pos, m: int) -> FBRState:
 @partial(jax.jit, static_argnames=("k",))
 def _fbr(A, b, k: int, max_eps, max_delta):
     n, m = A.shape
-    st0 = _fbr_init(A, b)
+    with jax.default_matmul_precision("float32"):
+        st0 = _fbr_init(A, b)
 
-    def cond(carry):
-        st, t, stop = carry
-        return (t < m - k) & ~stop
+        def cond(carry):
+            st, t, stop = carry
+            return (t < m - k) & ~stop
 
-    def body(carry):
-        st, t, _ = carry
-        r = b - st.cols @ st.coef
-        normr2 = norm2(r)
-        gdiag = jnp.diagonal(st.AAinv)
-        d2 = jnp.where(st.mask, st.coef * st.coef / gdiag, jnp.inf)
-        pos, mind2 = masked_argmin(d2, st.mask)
-        fail = (mind2 + normr2) < 0  # reference throws here (backward.jl:169)
-        new_norm = jnp.sqrt(jnp.maximum(mind2 + normr2, 0))
-        accept = ((st.k > 0) & ~fail & (new_norm < max_eps)
-                  & (mind2 < max_delta * max_delta))
-        st2 = tree_where(accept, _fbr_delete(st, pos, m), st)
-        st2 = st2._replace(failed=st.failed | fail)
-        return st2, t + 1, ~accept
+        def body(carry):
+            st, t, _ = carry
+            r = b - st.cols @ st.coef
+            normr2 = norm2(r)
+            gdiag = jnp.diagonal(st.AAinv)
+            d2 = jnp.where(st.mask, st.coef * st.coef / gdiag, jnp.inf)
+            pos, mind2 = masked_argmin(d2, st.mask)
+            fail = (mind2 + normr2) < 0  # reference throws (backward.jl:169)
+            new_norm = jnp.sqrt(jnp.maximum(mind2 + normr2, 0))
+            accept = ((st.k > 0) & ~fail & (new_norm < max_eps)
+                      & (mind2 < max_delta * max_delta))
+            st2 = tree_where(accept, _fbr_delete(st, pos, m), st)
+            st2 = st2._replace(failed=st.failed | fail)
+            return st2, t + 1, ~accept
 
-    st, _, _ = lax.while_loop(cond, body, (st0, jnp.int32(0), jnp.bool_(False)))
+        st, _, _ = lax.while_loop(cond, body,
+                                  (st0, jnp.int32(0), jnp.bool_(False)))
     key = jnp.where(st.mask, st.idx, jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(key)
     return SparseSolution(
@@ -230,21 +236,23 @@ def lace_step(A, b, st, max_eps, max_delta, m: int):
 
 @partial(jax.jit, static_argnames=("k",))
 def _lace(A, b, k: int, max_eps, max_delta):
-    n, m = A.shape
-    st0 = aset.refit(aset.rebuild(A, b, jnp.arange(m, dtype=jnp.int32),
-                                  jnp.ones((m,), bool)))
+    with jax.default_matmul_precision("float32"):
+        n, m = A.shape
+        st0 = aset.refit(aset.rebuild(A, b, jnp.arange(m, dtype=jnp.int32),
+                                      jnp.ones((m,), bool)))
 
-    def cond(carry):
-        st, t, stop = carry
-        return (t < m - k) & ~stop
+        def cond(carry):
+            st, t, stop = carry
+            return (t < m - k) & ~stop
 
-    def body(carry):
-        st, t, _ = carry
-        st2, accepted = lace_step(A, b, st, max_eps, max_delta, m)
-        return st2, t + 1, ~accepted
+        def body(carry):
+            st, t, _ = carry
+            st2, accepted = lace_step(A, b, st, max_eps, max_delta, m)
+            return st2, t + 1, ~accepted
 
-    st, _, _ = lax.while_loop(cond, body, (st0, jnp.int32(0), jnp.bool_(False)))
-    return aset.finalize(st, m)
+        st, _, _ = lax.while_loop(cond, body,
+                                  (st0, jnp.int32(0), jnp.bool_(False)))
+        return aset.finalize(st, m)
 
 
 def lace(A, b, max_residual: float = jnp.inf, max_increase: float = jnp.inf,

@@ -354,35 +354,54 @@ def br_batch(A, Bs, max_residual=None, max_increase=None,
 
 def fbr_batch(A, Bs, max_residual=None, max_increase=None,
               sparsity: int = 0):
-    """Batched fast backward regression (vmapped; per-instance failure
-    masks ride the batch — see cstpu.fbr)."""
+    """Batched fast backward regression (per-instance failure masks ride
+    the batch — see cstpu.fbr).
+
+    On TPU dispatches to the fused deletion kernel
+    (cstpu.ops.fused_backward): the shared Gram inverse is factorized once
+    in XLA and the Schur-downdate loop runs with it pinned in VMEM.
+    """
     import jax.numpy as jnp
 
     from cstpu.models.backward import fbr
+    from cstpu.ops import fused_backward
 
     kw = {}
     if max_residual is not None:
         kw["max_residual"] = max_residual
     if max_increase is not None:
         kw["max_increase"] = max_increase
-    return jax.vmap(lambda bb: fbr(A, bb, sparsity=sparsity, **kw))(
-        jnp.asarray(Bs))
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    if (jax.default_backend() == "tpu"
+            and fused_backward.supported_backward(A, Bs)):
+        sol, _failed = fused_backward.fbr_fused_solve(
+            A, Bs, sparsity=sparsity, **kw)
+        return sol
+    return jax.vmap(lambda bb: fbr(A, bb, sparsity=sparsity, **kw))(Bs)
 
 
 def lace_batch(A, Bs, max_residual=None, max_increase=None,
                sparsity: int = 0):
-    """Batched LACE (vmapped)."""
+    """Batched LACE. On TPU dispatches to the fused deletion kernel
+    (min-|coefficient| selection) — see cstpu.ops.fused_backward."""
     import jax.numpy as jnp
 
     from cstpu.models.backward import lace
+    from cstpu.ops import fused_backward
 
     kw = {}
     if max_residual is not None:
         kw["max_residual"] = max_residual
     if max_increase is not None:
         kw["max_increase"] = max_increase
-    return jax.vmap(lambda bb: lace(A, bb, sparsity=sparsity, **kw))(
-        jnp.asarray(Bs))
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    if (jax.default_backend() == "tpu"
+            and fused_backward.supported_backward(A, Bs)):
+        return fused_backward.lace_fused_solve(
+            A, Bs, sparsity=sparsity, **kw)
+    return jax.vmap(lambda bb: lace(A, bb, sparsity=sparsity, **kw))(Bs)
 
 
 def rmps_batch(A, Bs, sigma, **kw):

@@ -1,0 +1,99 @@
+"""Fused backward-elimination kernel (FBR/LACE): interpret-mode
+equivalence with the XLA path and the reference's backward oracles
+(/root/reference/test/backward.jl — square system, three equivalent
+stopping criteria)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cstpu import fbr, lace, sparse_data, perturb, support
+from cstpu.ops.fused_backward import fbr_fused_solve, lace_fused_solve
+
+DELTA = 1e-2
+
+
+def _problem(seed, n=32, m=None, k=3):
+    kd, kn = jax.random.split(jax.random.PRNGKey(seed))
+    A, x, b = sparse_data(kd, n=n, m=n if m is None else m, k=k,
+                          dtype=jnp.float32)
+    y = perturb(kn, b, DELTA / 2)
+    return A, x, b, y
+
+
+def _assert_matches(sol, ref_sols, atol=1e-3):
+    B = sol.idx.shape[0]
+    for i in range(B):
+        got = np.asarray(sol.idx[i])[np.asarray(sol.mask[i])]
+        ref = ref_sols[i]
+        np.testing.assert_array_equal(np.sort(got), ref.nzind)
+        dense = np.asarray(
+            jax.vmap(lambda s: s.todense())(sol)[i])
+        rdense = np.zeros_like(dense)
+        rdense[ref.nzind] = ref.nzval
+        np.testing.assert_allclose(dense, rdense, atol=atol)
+
+
+def test_fbr_fused_matches_xla_sparsity():
+    A, x, b, y = _problem(310)
+    Bs = jnp.stack([b, y, 2.0 * b, b - 0.1 * y])
+    sol, failed = fbr_fused_solve(A, Bs, sparsity=3, interpret=True)
+    ref = [fbr(A, bb, sparsity=3) for bb in Bs]
+    _assert_matches(sol, ref)
+    assert not np.any(np.asarray(failed))
+
+
+def test_fbr_fused_exact_support_recovery():
+    A, x, b, y = _problem(311)
+    sol, _ = fbr_fused_solve(A, y[None, :], sparsity=3, interpret=True)
+    got = np.asarray(sol.idx[0])[np.asarray(sol.mask[0])]
+    np.testing.assert_array_equal(np.sort(got), support(x))
+
+
+@pytest.mark.parametrize("crit", ["max_residual", "max_increase"])
+def test_fbr_fused_threshold_stopping(crit):
+    # the reference tests BR/FBR under sparsity, max_residual and
+    # max_increase as equivalent criteria (test/backward.jl:16-26,44-55)
+    A, x, b, y = _problem(312)
+    sol, _ = fbr_fused_solve(A, y[None, :], **{crit: DELTA},
+                             interpret=True)
+    ref = [fbr(A, y, **{crit: DELTA})]
+    _assert_matches(sol, ref)
+    got = np.asarray(sol.idx[0])[np.asarray(sol.mask[0])]
+    np.testing.assert_array_equal(np.sort(got), support(x))
+
+
+def test_lace_fused_matches_xla():
+    A, x, b, y = _problem(313, n=48, m=32)
+    Bs = jnp.stack([b, y])
+    sol = lace_fused_solve(A, Bs, sparsity=3, interpret=True)
+    ref = [lace(A, bb, sparsity=3) for bb in Bs]
+    _assert_matches(sol, ref)
+
+
+def test_lace_fused_max_residual():
+    A, x, b, y = _problem(314, n=48, m=32)
+    sol = lace_fused_solve(A, y[None, :], max_residual=DELTA,
+                           interpret=True)
+    got = np.asarray(sol.idx[0])[np.asarray(sol.mask[0])]
+    np.testing.assert_array_equal(np.sort(got), support(x))
+
+
+def test_fbr_fused_sparsity_zero_deletes_all():
+    # with unbounded thresholds and sparsity=0 every atom is deleted
+    A, x, b, y = _problem(315, n=16, m=16, k=2)
+    sol, failed = fbr_fused_solve(A, b[None, :], sparsity=0,
+                                  interpret=True)
+    assert int(np.sum(np.asarray(sol.mask))) == 0
+    assert not bool(np.asarray(failed)[0])
+
+
+def test_fbr_fused_batch_heterogeneous_stops():
+    # instances stopping at different deletion counts must not interfere
+    A, x, b, y = _problem(316)
+    A2, x2, b2, y2 = _problem(317, k=5)
+    sol, _ = fbr_fused_solve(A, jnp.stack([y, b2]), max_increase=DELTA,
+                             interpret=True)
+    ref = [fbr(A, y, max_increase=DELTA), fbr(A, b2, max_increase=DELTA)]
+    _assert_matches(sol, ref)
