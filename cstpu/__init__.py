@@ -66,6 +66,7 @@ from cstpu.models.batched import (
     srr_batch, ompr_batch, rmps_batch, fsbl_batch, rmp_batch, foba_batch,
     br_batch, fbr_batch, lace_batch,
 )
+from cstpu.utils.config import SolverConfig, solver_config
 from cstpu.utils.diagnostics import omp_traced, SolveTrace
 from cstpu.utils.checkpoint import save_state, load_state
 from cstpu.utils.profiling import solve_cost, roofline_report
@@ -91,6 +92,7 @@ __all__ = [
     "batch", "omp_batch", "fr_batch", "mp_batch", "sp_batch",
     "gomp_batch", "srr_batch", "ompr_batch", "rmps_batch", "fsbl_batch",
     "rmp_batch", "foba_batch", "br_batch", "fbr_batch", "lace_batch",
+    "SolverConfig", "solver_config",
     "omp_traced", "SolveTrace", "save_state", "load_state",
     "solve_cost", "roofline_report",
 ]
