@@ -179,11 +179,27 @@ def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
 
 
 def bpd(A, b, delta: float, w=None, rho: float = 1.0, maxiter: int = 20000,
-        tol: float = None):
+        tol: float = None, method: str = "admm"):
     """(Weighted) basis pursuit denoising: min sum w_i |x_i|
     s.t. ||Ax - b||_2 <= delta. Parity target: `basis_pursuit_denoising`
-    (src/basispursuit.jl:80-100), solved by ADMM instead of ECOS."""
+    (src/basispursuit.jl:80-100).
+
+    `method`: "admm" (default — jit-compiled, batched/shardable, runs on
+    TPU) or "homotopy" (exact-to-rounding solution via the native C++
+    LASSO-path solver in cstpu.native — the same role ECOS plays for the
+    reference, src/basispursuit.jl:83-99,135-137)."""
     m = A.shape[1]
+    if method == "homotopy":
+        import numpy as _np
+
+        from cstpu.native import bpd_homotopy
+
+        x, _lam = bpd_homotopy(
+            _np.asarray(A, _np.float64), _np.asarray(b, _np.float64),
+            float(delta), None if w is None else _np.asarray(w, _np.float64))
+        return jnp.asarray(x, A.dtype)
+    if method != "admm":
+        raise ValueError(f"unknown method {method!r}")
     if w is None:
         w = jnp.ones((m,), A.dtype)
     w = jnp.asarray(w, A.dtype)

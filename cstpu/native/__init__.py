@@ -7,6 +7,10 @@ C++ simplex, ECOS C interior point) reached through JuMP
   * `simplex_solve` — dense two-phase revised simplex (simplex.cpp), the
     exact LP path for basis pursuit (`bp(..., method="simplex")`) and the
     conformance oracle for the XLA-native ADMM solver.
+  * `lasso_homotopy` / `bpd_homotopy` — exact weighted-LASSO path solver
+    (lars.cpp); `bpd_homotopy` stops at the ||Ax-b|| = delta crossing,
+    the machine-precision equivalent of the SOCP the reference ships to
+    ECOS (`bpd(..., method="homotopy")`).
 
 The shared library is built on demand with g++ (no pybind11/setuptools
 required) and cached next to the sources.
@@ -22,7 +26,7 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "simplex.cpp")
+_SRCS = [os.path.join(_HERE, "simplex.cpp"), os.path.join(_HERE, "lars.cpp")]
 _LIB = os.path.join(_HERE, "libcstpu_native.so")
 _lock = threading.Lock()
 _lib = None
@@ -31,9 +35,10 @@ _lib = None
 def _build() -> str:
     """Compile the native library if missing or stale."""
     if (not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            or os.path.getmtime(_LIB) < max(os.path.getmtime(s)
+                                            for s in _SRCS)):
         cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-               "-o", _LIB, _SRC]
+               "-o", _LIB, *_SRCS]
         subprocess.run(cmd, check=True, capture_output=True)
     return _LIB
 
@@ -52,6 +57,17 @@ def _load():
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.c_int, ctypes.c_double,
+            ]
+            lib.cstpu_lars_solve.restype = ctypes.c_int
+            lib.cstpu_lars_solve.argtypes = [
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ]
             _lib = lib
     return _lib
@@ -103,3 +119,55 @@ def bp_simplex(A, b, w=None):
     cstd = np.concatenate([w, w])
     x, _ = simplex_solve(Astd, b, cstd)
     return x[:m] - x[m:]
+
+
+class HomotopyError(RuntimeError):
+    pass
+
+
+_LARS_STATUS = {1: "iteration limit", 2: "numerical failure",
+                3: "bad argument"}
+
+
+def _lars(A, b, w, mode: int, target: float, max_iter: int):
+    lib = _load()
+    A = np.ascontiguousarray(A, np.float64)
+    b = np.ascontiguousarray(b, np.float64)
+    n, m = A.shape
+    if b.shape != (n,):
+        raise ValueError("shape mismatch")
+    w = np.ones(m) if w is None else np.ascontiguousarray(w, np.float64)
+    if w.shape != (m,):
+        raise ValueError("weights shape mismatch")
+    x = np.zeros(m, np.float64)
+    lam = ctypes.c_double(0.0)
+    iters = ctypes.c_int(0)
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.cstpu_lars_solve(
+        n, m, A.ctypes.data_as(dp), b.ctypes.data_as(dp),
+        w.ctypes.data_as(dp), int(mode), float(target),
+        x.ctypes.data_as(dp), ctypes.byref(lam), ctypes.byref(iters),
+        int(max_iter))
+    if rc:
+        raise HomotopyError(f"homotopy: {_LARS_STATUS.get(rc, rc)}")
+    return x, lam.value
+
+
+def lasso_homotopy(A, b, lam: float, w=None, max_iter: int = 0):
+    """Exact weighted-LASSO solution of
+    min_x 0.5||Ax-b||^2 + lam * sum_j w_j |x_j|
+    by walking the piecewise-linear homotopy path (lars.cpp). Returns a
+    dense x with exact zeros off-support — the conformance oracle for
+    cstpu.ista/fista (parity target: src/basispursuit.jl:139-183)."""
+    x, _ = _lars(A, b, w, 0, float(lam), max_iter)
+    return x
+
+
+def bpd_homotopy(A, b, delta: float, w=None, max_iter: int = 0):
+    """Exact (weighted) basis-pursuit denoising via the homotopy path:
+    min sum_j w_j |x_j| s.t. ||Ax - b||_2 <= delta — the same SOCP the
+    reference ships to ECOS (/root/reference/src/basispursuit.jl:83-99).
+    The path is left at the exact ||r|| = delta crossing (a quadratic
+    root inside one linear segment), so x is exact to rounding. Returns
+    (x, lam) with lam the equivalent LASSO multiplier."""
+    return _lars(A, b, w, 1, float(delta), max_iter)

@@ -1,0 +1,102 @@
+"""Native LARS/homotopy tests: KKT-exact LASSO solutions, the exact
+||Ax-b|| = delta crossing for basis-pursuit denoising (the role ECOS
+played for the reference, src/basispursuit.jl:83-99), and cross-checks
+against the XLA first-order solvers."""
+
+import jax
+import numpy as np
+import pytest
+
+from cstpu import bpd, ista, perturb, sparse_data, support
+from cstpu.native import HomotopyError, bpd_homotopy, lasso_homotopy
+
+
+def _problem(seed, n=32, m=48, k=3):
+    A, x, b = sparse_data(jax.random.PRNGKey(seed), n=n, m=m, k=k)
+    return np.asarray(A, np.float64), np.asarray(x), np.asarray(b)
+
+
+def _lasso_kkt_gap(A, b, x, lam, w):
+    """Max KKT violation of the weighted LASSO at x."""
+    c = A.T @ (b - A @ x)
+    gap = 0.0
+    for j in range(A.shape[1]):
+        if x[j] != 0.0:
+            gap = max(gap, abs(c[j] - lam * w[j] * np.sign(x[j])))
+        else:
+            gap = max(gap, max(abs(c[j]) - lam * w[j], 0.0))
+    return gap
+
+
+def test_lasso_kkt_exact():
+    A, x, b = _problem(90)
+    lam = 0.05
+    xs = lasso_homotopy(A, b, lam)
+    w = np.ones(A.shape[1])
+    assert _lasso_kkt_gap(A, b, xs, lam, w) < 1e-10
+    assert sorted(np.flatnonzero(xs)) == list(support(x))
+
+
+def test_lasso_weighted_kkt_exact():
+    A, x, b = _problem(91)
+    rng = np.random.default_rng(0)
+    w = 0.5 + rng.random(A.shape[1])
+    lam = 0.03
+    xs = lasso_homotopy(A, b, lam, w=w)
+    assert _lasso_kkt_gap(A, b, xs, lam, w) < 1e-10
+
+
+def test_lasso_matches_ista_objective():
+    A, x, b = _problem(92)
+    lam = 0.05
+    xs = lasso_homotopy(A, b, lam)
+    xi = np.asarray(ista(A, b, lam, maxiter=20000, stepsize=1e-2))
+
+    def obj(z):
+        return 0.5 * np.sum((A @ z - b) ** 2) + lam * np.sum(np.abs(z))
+
+    # the exact path solution can only be better, and close (ISTA at the
+    # reference's fixed stepsize converges to ~1e-3 in objective)
+    assert obj(xs) <= obj(xi) + 1e-8
+    assert abs(obj(xs) - obj(xi)) < 5e-3
+
+
+def test_bpd_homotopy_exact_crossing():
+    A, x, b = _problem(93)
+    y = np.asarray(perturb(jax.random.PRNGKey(5), b, 1e-2 / 2))
+    delta = 1e-2
+    xs, lam = bpd_homotopy(A, y, delta)
+    # the residual ends exactly on the delta sphere (path-segment root)
+    assert abs(np.linalg.norm(A @ xs - y) - delta) < 1e-10
+    assert lam > 0
+    assert sorted(np.flatnonzero(xs)) == list(support(x))
+
+
+def test_bpd_homotopy_zero_when_feasible():
+    A, x, b = _problem(94)
+    xs, lam = bpd_homotopy(A, b, delta=2.0 * np.linalg.norm(b))
+    assert np.all(xs == 0)
+
+
+def test_bpd_method_homotopy_dispatch():
+    A, x, b = _problem(95)
+    y = np.asarray(perturb(jax.random.PRNGKey(6), b, 1e-2 / 2))
+    xs = np.asarray(bpd(A, y, 1e-2, method="homotopy"))
+    xa = np.asarray(bpd(A, y, 1e-2))  # ADMM path
+    assert sorted(np.flatnonzero(np.abs(xs) > 0)) == list(support(x))
+    # first-order solution agrees to its tolerance
+    np.testing.assert_allclose(xs, np.where(np.abs(xa) > 1e-5, xa, 0.0),
+                               atol=5e-3)
+
+
+def test_bpd_homotopy_noiseless_bp_limit():
+    # delta -> 0 recovers the exact sparse solution on noiseless data
+    A, x, b = _problem(96)
+    xs, _ = bpd_homotopy(A, b, delta=1e-10)
+    np.testing.assert_allclose(xs, np.asarray(x), atol=1e-7)
+
+
+def test_homotopy_rejects_bad_weights():
+    A, x, b = _problem(97)
+    with pytest.raises(HomotopyError):
+        lasso_homotopy(A, b, 0.1, w=np.zeros(A.shape[1]))
