@@ -41,6 +41,7 @@ from cstpu.utils.sparse import (
     SparseSolution,
     support,
     samesupport,
+    droptol,
 )
 from cstpu.models.matching_pursuit import mp, omp, gomp, oblivious
 from cstpu.models.forward import fr, ols, oomp, ormp
@@ -67,7 +68,7 @@ from cstpu.models.batched import (
     br_batch, fbr_batch, lace_batch,
 )
 from cstpu.utils.config import SolverConfig, solver_config
-from cstpu.utils.diagnostics import omp_traced, SolveTrace
+from cstpu.utils.diagnostics import omp_traced, fr_traced, SolveTrace
 from cstpu.utils.checkpoint import save_state, load_state
 from cstpu.utils.profiling import solve_cost, roofline_report
 
@@ -78,7 +79,7 @@ __all__ = [
     "coherent_data", "perturb",
     "colnorms", "normalize_columns", "coherence", "babel", "cumbabel",
     "mean_preconditioner", "svd_preconditioner", "precondition",
-    "SparseSolution", "support", "samesupport",
+    "SparseSolution", "support", "samesupport", "droptol",
     "mp", "omp", "gomp", "oblivious",
     "fr", "ols", "oomp", "ormp",
     "br", "fbr", "lace",
@@ -93,6 +94,6 @@ __all__ = [
     "gomp_batch", "srr_batch", "ompr_batch", "rmps_batch", "fsbl_batch",
     "rmp_batch", "foba_batch", "br_batch", "fbr_batch", "lace_batch",
     "SolverConfig", "solver_config",
-    "omp_traced", "SolveTrace", "save_state", "load_state",
+    "omp_traced", "fr_traced", "SolveTrace", "save_state", "load_state",
     "solve_cost", "roofline_report",
 ]

@@ -240,14 +240,17 @@ def basispursuit_reweighting(A, b, reweight, maxiter: int = 8,
 
 
 def bpd_reweighting(A, b, delta, reweight, maxiter: int = 8,
-                    min_decrease: float = 1e-4):
-    """Iteratively reweighted BPD. Parity: src/basispursuit.jl:102-115."""
-    x = bpd(A, b, delta)
+                    min_decrease: float = 1e-4, method: str = "admm"):
+    """Iteratively reweighted BPD. Parity: src/basispursuit.jl:102-115.
+    `method` selects the inner solver — "admm" (TPU) or "homotopy"
+    (native exact; each re-solve is exact, mirroring the reference's
+    solver-exact reweighting through ECOS)."""
+    x = bpd(A, b, delta, method=method)
     m = A.shape[1]
     w = jnp.ones((m,), A.dtype)
     for _ in range(1, int(maxiter)):
         w = reweight(w, x)
-        xs = bpd(A, b, delta, w)
+        xs = bpd(A, b, delta, w, method=method)
         if float(jnp.linalg.norm(xs - x)) < min_decrease:
             return xs
         x = xs
@@ -305,18 +308,22 @@ def bp_ard(A, b, eps: float = 1e-2, maxiter: int = 8):
                                     maxiter=maxiter)
 
 
-def bpd_candes(A, b, delta: float, eps: float = None, maxiter: int = 8):
+def bpd_candes(A, b, delta: float, eps: float = None, maxiter: int = 8,
+               method: str = "admm"):
     """Candes-reweighted BPD (eps defaults to delta).
     Parity: src/basispursuit.jl:119-121."""
     eps = delta if eps is None else eps
-    return bpd_reweighting(A, b, delta, candes_function(eps), maxiter=maxiter)
+    return bpd_reweighting(A, b, delta, candes_function(eps),
+                           maxiter=maxiter, method=method)
 
 
-def bpd_ard(A, b, delta: float, eps: float = None, maxiter: int = 8):
+def bpd_ard(A, b, delta: float, eps: float = None, maxiter: int = 8,
+            method: str = "admm"):
     """ARD-reweighted BPD (eps defaults to delta^2).
     Parity: src/basispursuit.jl:122-124."""
     eps = delta ** 2 if eps is None else eps
-    return bpd_reweighting(A, b, delta, ard_function(A, eps), maxiter=maxiter)
+    return bpd_reweighting(A, b, delta, ard_function(A, eps),
+                           maxiter=maxiter, method=method)
 
 
 # ---------------------------------------------------------------------------

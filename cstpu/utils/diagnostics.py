@@ -71,3 +71,51 @@ def omp_traced(A, b, k: int | None = None, max_residual: float = 0.0):
     n, m = A.shape
     k = int(min(k if k is not None else n, n, m))
     return _omp_traced(A, b, k, jnp.asarray(max_residual, A.dtype))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _fr_traced(A, b, k: int, max_eps, min_delta):
+    from cstpu.models.forward import forward_step
+
+    n, m = A.shape
+    colnorm2 = jnp.sum(A * A, axis=0)
+    st0 = aset.refit(aset.empty(n, k, m, A.dtype))
+    tr0 = SolveTrace(
+        residual_norm=jnp.zeros((k,), A.dtype),
+        selected=jnp.full((k,), -1, jnp.int32),
+        accepted=jnp.zeros((k,), bool),
+        score=jnp.zeros((k,), A.dtype),
+    )
+
+    def cond(carry):
+        st, tr, t, stop = carry
+        return (t < k) & ~stop
+
+    def body(carry):
+        st, tr, t, _ = carry
+        st2, ok, d2 = forward_step(A, b, st, max_eps, min_delta,
+                                   colnorm2, m)
+        i, maxd2 = top1(d2)
+        rn = jnp.linalg.norm(aset.residual(st2, b))
+        tr = SolveTrace(
+            residual_norm=tr.residual_norm.at[t].set(rn),
+            selected=tr.selected.at[t].set(jnp.where(ok, i, -1)),
+            accepted=tr.accepted.at[t].set(ok),
+            score=tr.score.at[t].set(maxd2),
+        )
+        return st2, tr, t + 1, ~ok
+
+    st, tr, _, _ = lax.while_loop(
+        cond, body, (st0, tr0, jnp.int32(0), jnp.bool_(False)))
+    return aset.finalize(st, m), tr
+
+
+def fr_traced(A, b, sparsity: int | None = None, max_residual: float = 0.0,
+              min_decrease: float = 0.0):
+    """Forward regression returning (solution, SolveTrace): the `score`
+    channel is the best squared residual decrease δ² per step — the OLS
+    selection quantity of src/forward.jl:74-81."""
+    n, m = A.shape
+    k = int(min(sparsity if sparsity is not None else n, n, m))
+    return _fr_traced(A, b, k, jnp.asarray(max_residual, A.dtype),
+                      jnp.asarray(min_decrease, A.dtype))

@@ -80,6 +80,28 @@ def from_dense(x, kmax: int | None = None, tol: float = 0.0) -> SparseSolution:
                           jnp.asarray(mask), m)
 
 
+def droptol(x, tol: float):
+    """Drop entries with |value| <= tol.
+
+    Parity: the `droptol!` pattern the reference's tests apply before
+    support comparison (/root/reference/test/basispursuit.jl:27-36); the
+    reference's own `droptol!(x, F, tol)` helper is broken (references an
+    undefined variable, src/util.jl:163-170 — defect not replicated).
+    Accepts a SparseSolution (masks entries, jit-safe) or a dense array
+    (zeroes entries).
+    """
+    if isinstance(x, SparseSolution):
+        keep = x.mask & (jnp.abs(x.val) > tol)
+        return SparseSolution(
+            idx=jnp.where(keep, x.idx, x.m),
+            val=jnp.where(keep, x.val, 0),
+            mask=keep,
+            m=x.m,
+        )
+    x = jnp.asarray(x)
+    return jnp.where(jnp.abs(x) > tol, x, 0)
+
+
 def support(x, tol: float = 0.0) -> np.ndarray:
     """Sorted support of a dense vector or SparseSolution.
 

@@ -36,6 +36,25 @@ def test_trace_records_stall():
     assert acc[: last + 1].all()
 
 
+def test_fr_traced_matches_plain():
+    from cstpu import fr
+    from cstpu.utils.diagnostics import fr_traced
+
+    A, x, b = sparse_data(jax.random.PRNGKey(93), n=32, m=48, k=3)
+    sol, tr = fr_traced(A, b, sparsity=3)
+    ref = fr(A, b, sparsity=3)
+    assert list(sol.nzind) == list(ref.nzind)
+    rn = np.asarray(tr.residual_norm)[np.asarray(tr.accepted)]
+    assert np.all(np.diff(rn) < 0)
+    # score = best squared residual decrease; must match the realized
+    # decrease step over step
+    acc = np.asarray(tr.accepted)
+    r0 = float(np.linalg.norm(np.asarray(b)))
+    rns = np.concatenate([[r0], rn])
+    d2 = rns[:-1] ** 2 - rns[1:] ** 2
+    np.testing.assert_allclose(np.asarray(tr.score)[acc], d2, rtol=1e-4)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from cstpu.ops import active_set as aset
     import jax.numpy as jnp

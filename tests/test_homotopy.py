@@ -96,6 +96,19 @@ def test_bpd_homotopy_noiseless_bp_limit():
     np.testing.assert_allclose(xs, np.asarray(x), atol=1e-7)
 
 
+def test_bpd_candes_homotopy_inner_solver():
+    # reweighted BPD with the exact native inner solver: every re-solve
+    # is solver-exact, mirroring the reference's reweighting through ECOS
+    from cstpu import bpd_candes
+
+    A, x, b = _problem(98)
+    y = np.asarray(perturb(jax.random.PRNGKey(7), b, 1e-2 / 2))
+    xs = np.asarray(bpd_candes(A, y, 1e-2, method="homotopy"))
+    assert sorted(np.flatnonzero(xs)) == list(support(x))
+    np.testing.assert_allclose(xs[np.flatnonzero(xs)],
+                               np.asarray(x)[list(support(x))], atol=2e-2)
+
+
 def test_homotopy_rejects_bad_weights():
     A, x, b = _problem(97)
     with pytest.raises(HomotopyError):

@@ -89,6 +89,18 @@ def test_samesupport():
     assert not samesupport(x, z)
 
 
+def test_droptol():
+    from cstpu import droptol
+    from cstpu.utils.sparse import from_dense
+
+    x = np.array([0.0, 1.0, 1e-9, -2.0])
+    np.testing.assert_array_equal(np.asarray(droptol(x, 1e-6)),
+                                  [0.0, 1.0, 0.0, -2.0])
+    sol = droptol(from_dense(x, kmax=4), 1e-6)
+    np.testing.assert_array_equal(sol.nzind, [1, 3])
+    np.testing.assert_array_equal(sol.nzval, [1.0, -2.0])
+
+
 def test_active_set_bookkeeping():
     # analog of the dropindex!/addindex! bookkeeping test (test/util.jl:48-59)
     from cstpu.ops import active_set as aset
