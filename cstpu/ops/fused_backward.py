@@ -26,11 +26,13 @@ TPU bf16-matmul precision hazard on this decision-sensitive path):
   ‖r‖²     += d²_p                       residual norm by the Schur
                                          identity (src/backward.jl:57-59)
 
-Deleted slots are identity-padded (row/col zeroed, diagonal set to 1) so
-no compaction/gather is ever needed — the masked analog of the reference's
-`_dropindex!` Schur update (src/backward.jl:202-212). The per-instance
-numerical-instability flag replaces the reference's `throw`
-(src/backward.jl:169-173): batched solvers must not abort the batch.
+Deleted slots are never compacted (no gathers): the downdate itself zeroes
+row/col p in exact arithmetic, the alive mask excludes dead slots from
+selection, and cheap (1, m) resets keep their diag/coef sane — the masked
+analog of the reference's `_dropindex!` Schur update
+(src/backward.jl:202-212). The per-instance numerical-instability flag
+replaces the reference's `throw` (src/backward.jl:169-173): batched
+solvers must not abort the batch.
 
 BR's fast path (γ = diag((R'R)⁻¹) from the QR, src/backward.jl:69-83)
 computes mathematically identical deltas, so this kernel is the TPU
@@ -71,7 +73,6 @@ def _bw_kernel(nsteps: int, max_eps2: float, max_delta2: float,
     fail_ref[0, :, :] = jnp.zeros((1, 1), f32)
 
     col_iota = lax.broadcasted_iota(jnp.int32, (1, m), 1)
-    row_iota = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     off = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
     def body(carry):
@@ -117,11 +118,12 @@ def _bw_kernel(nsteps: int, max_eps2: float, max_delta2: float,
                     keepdims=True)                         # (1, m) = G⁻¹[p,:]
         gcol = jnp.sum(AA[:, :] * ep, axis=1, keepdims=True)  # (m, 1) = g'
 
-        AAn = AA[:, :] - gcol * (g * ginvs)
-        rowp = (row_iota == pb).astype(f32)                # (m, 1)
-        # identity-pad the deleted slot: zero row/col p, set (p,p) = 1
-        Z = AAn * (1.0 - rowp) * (1.0 - ep) + rowp * ep
-        AA[:, :] = accs * Z + (1.0 - accs) * AAn
+        # rank-one downdate only — in exact arithmetic it already zeroes
+        # row/col p, and the f32 residue left there is isolated by the
+        # alive mask (selection) and the (1, m) diag/coef resets below;
+        # identity-padding the (m, m) slot costs ~4 extra full VMEM
+        # passes per step and is not needed for any live quantity
+        AA[:, :] = AA[:, :] - gcol * (g * ginvs)
 
         coef[:, :] = (c - g * (coefps * ginvs)) * (1.0 - accs * ep)
         diag[:, :] = (dg - g * g * ginvs) * (1.0 - accs * ep) + accs * ep
