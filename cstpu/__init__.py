@@ -48,7 +48,7 @@ from cstpu.models.forward import fr, ols, oomp, ormp
 from cstpu.models.backward import br, fbr, lace
 from cstpu.models.twostage import sp, ompr, srr
 from cstpu.models.stepwise import rmp, foba
-from cstpu.models.sbl import sbl, fsbl, rmps, rmps_estimate_noise
+from cstpu.models.sbl import sbl, fsbl, fsbl_traced, rmps, rmps_estimate_noise
 from cstpu.models.basis_pursuit import (
     bp,
     basispursuit,
@@ -85,7 +85,7 @@ __all__ = [
     "br", "fbr", "lace",
     "sp", "ompr", "srr",
     "rmp", "foba",
-    "sbl", "fsbl", "rmps", "rmps_estimate_noise",
+    "sbl", "fsbl", "fsbl_traced", "rmps", "rmps_estimate_noise",
     "bp", "basispursuit", "bp_candes", "bp_ard",
     "bpd", "basis_pursuit_denoising", "bpd_candes", "bpd_ard",
     "ista", "fista",

@@ -230,7 +230,12 @@ def _fsbl_step(A, st: SQState):
     new_alpha_i = jnp.where(do, new_alpha_i, a_i)
     st2 = _update_sqc(A, st, i, gamma_change)
     st2 = st2._replace(alpha=st.alpha.at[i].set(new_alpha_i))
-    return st2, jnp.max(d)
+    # action code for observability: 0 add / 1 delete / 2 re-estimate
+    action = jnp.where(~act_i & rel_i, 0,
+                       jnp.where(act_i & ~rel_i, 1, 2)).astype(jnp.int32)
+    info = (jnp.max(d), jnp.where(do, i, -1).astype(jnp.int32),
+            jnp.where(do, action, -1))
+    return st2, info
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
@@ -245,7 +250,7 @@ def _fsbl(A, b, sigma, maxiter: int, min_increase):
 
     def body(c):
         st, t, _ = c
-        st, max_d = _fsbl_step(A, st)
+        st, (max_d, _, _) = _fsbl_step(A, st)
         return st, t + 1, max_d < min_increase
 
     st, _, _ = lax.while_loop(cond, body, (st0, jnp.int32(0), jnp.bool_(False)))
@@ -260,6 +265,53 @@ def fsbl(A, b, sigma, maxiter: int | None = None, min_increase: float = 1e-6):
     maxiter = int(maxiter if maxiter is not None else 2 * m)
     x, _ = _fsbl(A, b, sigma, maxiter, jnp.asarray(min_increase, A.dtype))
     return x
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+@_f32_matmuls
+def _fsbl_traced(A, b, sigma, maxiter: int, min_increase):
+    from cstpu.utils.diagnostics import SBLTrace
+
+    m = A.shape[1]
+    st0 = _init_sq(A, b, sigma, jnp.full((m,), jnp.inf, A.dtype))
+    tr0 = SBLTrace(
+        likelihood_delta=jnp.zeros((maxiter,), A.dtype),
+        selected=jnp.full((maxiter,), -1, jnp.int32),
+        action=jnp.full((maxiter,), -1, jnp.int32),
+        n_active=jnp.zeros((maxiter,), jnp.int32),
+    )
+
+    def cond(c):
+        st, tr, t, done = c
+        return (t < maxiter) & ~done
+
+    def body(c):
+        st, tr, t, _ = c
+        st, (max_d, i, action) = _fsbl_step(A, st)
+        tr = SBLTrace(
+            likelihood_delta=tr.likelihood_delta.at[t].set(max_d),
+            selected=tr.selected.at[t].set(i),
+            action=tr.action.at[t].set(action),
+            n_active=tr.n_active.at[t].set(
+                jnp.sum(jnp.isfinite(st.alpha)).astype(jnp.int32)),
+        )
+        return st, tr, t + 1, max_d < min_increase
+
+    st, tr, _, _ = lax.while_loop(
+        cond, body, (st0, tr0, jnp.int32(0), jnp.bool_(False)))
+    return _posterior_mean(A, b, sigma, st.alpha), tr
+
+
+def fsbl_traced(A, b, sigma, maxiter: int | None = None,
+                min_increase: float = 1e-6):
+    """fsbl returning (posterior mean, SBLTrace): per-action marginal-
+    likelihood increases, acted-on atoms, action kinds, and active-set
+    size — the delta-likelihood observability of SURVEY §5. Pass a modest
+    `maxiter` (default 2m) since the trace is maxiter-long."""
+    m = A.shape[1]
+    maxiter = int(maxiter if maxiter is not None else 2 * m)
+    return _fsbl_traced(A, b, sigma, maxiter,
+                        jnp.asarray(min_increase, A.dtype))
 
 
 # ---------------------------------------------------------------------------

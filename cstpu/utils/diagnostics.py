@@ -29,6 +29,16 @@ class SolveTrace(NamedTuple):
     score: jax.Array          # f[k] selection score (|<a,r>| for OMP)
 
 
+class SBLTrace(NamedTuple):
+    """Fixed-shape per-action history of a marginal-likelihood ascent
+    (fsbl): the delta-likelihood of each greedy action — the reference's
+    `delta` quantity (src/sbl.jl:209-223) — plus which atom and action."""
+    likelihood_delta: jax.Array  # f[T] marginal-likelihood change
+    selected: jax.Array          # i32[T] atom acted on (-1 if none)
+    action: jax.Array            # i32[T] 0 add / 1 delete / 2 update / -1
+    n_active: jax.Array          # i32[T] active-set size after the step
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _omp_traced(A, b, k: int, eps):
     n, m = A.shape

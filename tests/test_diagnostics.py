@@ -55,6 +55,27 @@ def test_fr_traced_matches_plain():
     np.testing.assert_allclose(np.asarray(tr.score)[acc], d2, rtol=1e-4)
 
 
+def test_fsbl_traced_matches_plain():
+    from cstpu import fsbl, fsbl_traced
+
+    A, x, b = sparse_data(jax.random.PRNGKey(94), n=32, m=48, k=3)
+    sigma = 1e-2
+    xs, tr = fsbl_traced(A, b, sigma ** 2, maxiter=64)
+    ref = fsbl(A, b, sigma ** 2, maxiter=64)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-10)
+    acted = np.asarray(tr.action) >= 0
+    # every accepted action strictly increased the marginal likelihood
+    assert np.all(np.asarray(tr.likelihood_delta)[acted] > 0)
+    # the first action is an add, and the acted-on atoms include the
+    # recovered support
+    assert tr.action[0] == 0
+    sel = np.asarray(tr.selected)[acted]
+    assert set(np.flatnonzero(np.abs(np.asarray(ref)) > sigma)) <= set(sel)
+    # active count is consistent with the final support size
+    assert np.asarray(tr.n_active)[acted][-1] == np.sum(
+        np.abs(np.asarray(ref)) > 1e-12)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from cstpu.ops import active_set as aset
     import jax.numpy as jnp
