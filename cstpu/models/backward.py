@@ -194,23 +194,28 @@ def _fbr(A, b, k: int, max_eps, max_delta):
                                   (st0, jnp.int32(0), jnp.bool_(False)))
     key = jnp.where(st.mask, st.idx, jnp.iinfo(jnp.int32).max)
     order = jnp.argsort(key)
-    return SparseSolution(
+    sol = SparseSolution(
         idx=jnp.where(st.mask[order], st.idx[order], m).astype(jnp.int32),
         val=jnp.where(st.mask[order], st.coef[order], 0),
         mask=st.mask[order],
         m=int(m),
     )
+    return sol, st.failed
 
 
 def fbr(A, b, max_residual: float = jnp.inf, max_increase: float = jnp.inf,
-        sparsity: int = 0) -> SparseSolution:
+        sparsity: int = 0, return_failed: bool = False):
     """Fast backward regression via cached Gram inverse. Parity:
-    src/backward.jl:149-162."""
+    src/backward.jl:149-162. With `return_failed=True` also returns the
+    numerical-instability flag that replaces the reference's throw
+    (src/backward.jl:169-173)."""
     n, m = A.shape
     if m > n:
         raise ValueError(f"fast backward regression needs m <= n, got ({n}, {m})")
-    return _fbr(A, b, int(sparsity), jnp.asarray(max_residual, A.dtype),
-                jnp.asarray(max_increase, A.dtype))
+    sol, failed = _fbr(A, b, int(sparsity),
+                       jnp.asarray(max_residual, A.dtype),
+                       jnp.asarray(max_increase, A.dtype))
+    return (sol, failed) if return_failed else sol
 
 
 # ---------------------------------------------------------------------------

@@ -353,9 +353,10 @@ def br_batch(A, Bs, max_residual=None, max_increase=None,
 
 
 def fbr_batch(A, Bs, max_residual=None, max_increase=None,
-              sparsity: int = 0):
-    """Batched fast backward regression (per-instance failure masks ride
-    the batch — see cstpu.fbr).
+              sparsity: int = 0, return_failed: bool = False):
+    """Batched fast backward regression. With `return_failed=True` also
+    returns the per-instance (B,) instability flags — the batched analog
+    of the reference's throw (src/backward.jl:169-173).
 
     On TPU dispatches to the fused deletion kernel
     (cstpu.ops.fused_backward): the shared Gram inverse is factorized once
@@ -375,10 +376,13 @@ def fbr_batch(A, Bs, max_residual=None, max_increase=None,
     Bs = jnp.asarray(Bs)
     if (jax.default_backend() == "tpu"
             and fused_backward.supported_backward(A, Bs)):
-        sol, _failed = fused_backward.fbr_fused_solve(
+        sol, failed = fused_backward.fbr_fused_solve(
             A, Bs, sparsity=sparsity, **kw)
-        return sol
-    return jax.vmap(lambda bb: fbr(A, bb, sparsity=sparsity, **kw))(Bs)
+    else:
+        sol, failed = jax.vmap(
+            lambda bb: fbr(A, bb, sparsity=sparsity, return_failed=True,
+                           **kw))(Bs)
+    return (sol, failed) if return_failed else sol
 
 
 def lace_batch(A, Bs, max_residual=None, max_increase=None,

@@ -126,7 +126,8 @@ class HomotopyError(RuntimeError):
 
 
 _LARS_STATUS = {1: "iteration limit", 2: "numerical failure",
-                3: "bad argument"}
+                3: "bad argument",
+                4: "target unreachable (infeasible delta)"}
 
 
 def _lars(A, b, w, mode: int, target: float, max_iter: int):

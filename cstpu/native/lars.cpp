@@ -142,7 +142,10 @@ extern "C" {
 //   mode 1: stop at ||Ax - b||_2 == target      (exact BPD solution)
 // Outputs: x (m, exact zeros off-support), *lambda_out (stopping lambda),
 // *iters_out. Returns 0 ok, 1 iteration limit, 2 numerical failure,
-// 3 bad argument (weights must be positive; target must be >= 0).
+// 3 bad argument (weights must be positive; target must be >= 0),
+// 4 target unreachable (mode 1: the path ends at lambda == 0 with
+// ||Ax - b|| still above delta — the constraint is infeasible, e.g. an
+// overdetermined system whose LS residual exceeds delta).
 int cstpu_lars_solve(int n, int m, const double* A, const double* b,
                      const double* w, int mode, double target, double* x,
                      double* lambda_out, int* iters_out, int max_iter) {
@@ -270,7 +273,9 @@ int cstpu_lars_solve(int n, int m, const double* A, const double* b,
     if (join_j < 0 && leave_p < 0) {  // hit lambda target / lambda == 0
       for (int p = 0; p < k; ++p) x[S.act[p]] = S.xa[p];
       *lambda_out = lam;
-      return (mode == 1) ? 2 : 0;  // mode 1 should exit at the crossing
+      // mode 1 exits at the delta crossing; reaching lambda == 0 without
+      // one means the constraint is unreachable on this path
+      return (mode == 1) ? 4 : 0;
     }
     if (leave_p >= 0) {
       if (!S.remove(leave_p)) return 2;

@@ -55,13 +55,14 @@ INT_MAX = jnp.iinfo(jnp.int32).max
 INF = float(jnp.inf)
 
 
-def _bw_kernel(nsteps: int, max_eps2: float, max_delta2: float,
-               select_abs: bool,
-               AA0_ref, diag0_ref, coef0_ref, nr20_ref,
+def _bw_kernel(nsteps: int, select_abs: bool,
+               AA0_ref, diag0_ref, coef0_ref, nr20_ref, thr_ref,
                coef_ref, alive_ref, fail_ref,
                AA, coef, diag, alive, p_scr, s_scr):
     m = AA0_ref.shape[0]
     f32 = jnp.float32
+    max_eps2 = thr_ref[0, 0]    # traced operands: changing thresholds
+    max_delta2 = thr_ref[0, 1]  # must not recompile the kernel
 
     # per-program init: private copy of the shared Gram inverse; the
     # per-instance inputs/outputs carry a singleton middle axis so their
@@ -87,6 +88,10 @@ def _bw_kernel(nsteps: int, max_eps2: float, max_delta2: float,
         minv = jnp.min(sel, axis=1, keepdims=True)
         p = jnp.min(jnp.where(sel == minv, col_iota, INT_MAX),
                     axis=1, keepdims=True)                 # (1, 1) i32
+        # all-NaN scores (e.g. a NaN Cholesky init) select nothing:
+        # p stays INT_MAX — treat as invalid and stop, and clamp the
+        # staged index so the aligned slab read below stays in bounds
+        valid = p < m
         ep = (col_iota == p).astype(f32)                   # (1, m)
         d2p = jnp.sum(jnp.where(ep > 0, d2, 0.0), axis=1,
                       keepdims=True)                       # (1, 1)
@@ -94,7 +99,7 @@ def _bw_kernel(nsteps: int, max_eps2: float, max_delta2: float,
         # --- accept test (src/backward.jl:57-59) ------------------------
         fail = (d2p + nr2) < 0  # reference throws here (backward.jl:169)
         newnr2 = jnp.maximum(nr2 + d2p, 0.0)
-        acc = (~fail) & (newnr2 < max_eps2) & (d2p < max_delta2)
+        acc = valid & (~fail) & (newnr2 < max_eps2) & (d2p < max_delta2)
         accf = acc.astype(f32)                             # (1, 1)
         fail_ref[0, :, :] = jnp.maximum(fail_ref[0], fail.astype(f32))
 
@@ -102,7 +107,7 @@ def _bw_kernel(nsteps: int, max_eps2: float, max_delta2: float,
         # Mosaic cannot broadcast a (1, 1) vector into both sublanes and
         # lanes, so every quantity that scales an (m, m) value is staged
         # through scratch and read back as a TRUE scalar
-        p_scr[:, :] = p
+        p_scr[:, :] = jnp.minimum(p, m - 1)
         s_scr[:, 0:1] = accf
         s_scr[:, 1:2] = jnp.sum(dg * ep, axis=1, keepdims=True)  # G⁻¹[p,p]
         s_scr[:, 2:3] = jnp.sum(c * ep, axis=1, keepdims=True)   # coef[p]
@@ -116,7 +121,10 @@ def _bw_kernel(nsteps: int, max_eps2: float, max_delta2: float,
         blk = AA[pl.ds(base, 8), :]                        # (8, m)
         g = jnp.sum(blk * (off == pb - base).astype(f32), axis=0,
                     keepdims=True)                         # (1, m) = G⁻¹[p,:]
-        gcol = jnp.sum(AA[:, :] * ep, axis=1, keepdims=True)  # (m, 1) = g'
+        # column p from symmetry, via a masked reduce: a (1,m)->(m,1)
+        # jnp.transpose of g compiles standalone but HANGS the Mosaic
+        # compile once inside this while body (>30 min, killed) — don't
+        gcol = jnp.sum(AA[:, :] * ep, axis=1, keepdims=True)  # (m, 1)
 
         # rank-one downdate only — in exact arithmetic it already zeroes
         # row/col p, and the f32 residue left there is isolated by the
@@ -143,15 +151,16 @@ def _bw_kernel(nsteps: int, max_eps2: float, max_delta2: float,
     alive_ref[0, :, :] = alive[:, :]
 
 
-@partial(jax.jit, static_argnames=("k", "max_eps2", "max_delta2",
-                                   "select_abs", "interpret"))
-def _bw_fused_call(A, Bs, k: int, max_eps2: float, max_delta2: float,
+@partial(jax.jit, static_argnames=("k", "select_abs", "interpret"))
+def _bw_fused_call(A, Bs, k: int, max_eps2, max_delta2,
                    select_abs: bool, interpret: bool = False):
     n, m = A.shape
     B = Bs.shape[0]
     f32 = jnp.float32
     A = A.astype(f32)
     Bs = Bs.astype(f32)
+    thr = jnp.stack([jnp.asarray(max_eps2, f32),
+                     jnp.asarray(max_delta2, f32)])[None, :]
 
     # full-LS init, shared across the batch (one Cholesky for all B) —
     # f32 matmul precision is mandatory on this decision-sensitive path
@@ -168,7 +177,7 @@ def _bw_fused_call(A, Bs, k: int, max_eps2: float, max_delta2: float,
 
     nsteps = max(m - k, 0)
     coef, alive, failed = pl.pallas_call(
-        partial(_bw_kernel, nsteps, max_eps2, max_delta2, select_abs),
+        partial(_bw_kernel, nsteps, select_abs),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((m, m), lambda b: (0, 0),
@@ -179,6 +188,8 @@ def _bw_fused_call(A, Bs, k: int, max_eps2: float, max_delta2: float,
                          memory_space=pltpu.VMEM),         # coef0
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),         # ||r0||²
+            pl.BlockSpec((1, 2), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),         # thresholds
         ],
         out_specs=[
             pl.BlockSpec((1, 1, m), lambda b: (b, 0, 0),
@@ -210,7 +221,7 @@ def _bw_fused_call(A, Bs, k: int, max_eps2: float, max_delta2: float,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(AAinv, diag0, coef0[:, None, :], nr20[:, :, None])
+    )(AAinv, diag0, coef0[:, None, :], nr20[:, :, None], thr)
     return coef[:, 0, :], alive[:, 0, :], failed[:, 0, :]
 
 
@@ -255,7 +266,10 @@ def lace_fused_solve(A, Bs, max_residual: float = math.inf,
     """Batched LACE via the fused deletion kernel (min-|coefficient|
     selection, parity src/backward.jl:216-275). The accept test's residual
     increase uses the Schur identity δ² = coef_p²/G⁻¹[p,p], which equals
-    the reference's delete-and-refit increase exactly in exact arithmetic.
+    the reference's delete-and-refit increase exactly in exact arithmetic;
+    in f32, near-threshold accept decisions can therefore differ from the
+    XLA path's refit-based test by rounding (support-identical on
+    well-conditioned problems — the conformance tests' regime).
     Returns a SparseSolution.
     """
     n, m = A.shape
@@ -271,8 +285,9 @@ def lace_fused_solve(A, Bs, max_residual: float = math.inf,
 def supported_backward(A, Bs) -> bool:
     """Shape gate for the fused backward kernel on hardware: lane-aligned
     m, the (m, m) Gram inverse (shared block + private scratch copy) must
-    fit VMEM with headroom."""
+    fit VMEM with headroom. n never enters the kernel (the Cholesky init
+    runs in XLA outside), so it is unconstrained."""
     n, m = A.shape
-    if m % 128 or n % 8 or m < 128:
+    if Bs.ndim != 2 or m % 128 or m < 128:
         return False
     return 2 * m * m * 4 < 90 * 1024 * 1024

@@ -47,6 +47,9 @@ def _registries():
 
 def _validate(fn, name: str, params: dict, batched: bool):
     sig = inspect.signature(fn)
+    if any(p.kind is inspect.Parameter.VAR_KEYWORD
+           for p in sig.parameters.values()):
+        return  # forwards **kw (e.g. rmps_batch) — accepts anything
     data_args = {"A", "b", "Bs", "key"}
     known = {p for p in sig.parameters if p not in data_args}
     unknown = set(params) - known

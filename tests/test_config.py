@@ -40,6 +40,14 @@ def test_run_batch_dispatches():
     np.testing.assert_array_equal(np.sort(got0), ref.nzind)
 
 
+def test_run_batch_kwargs_forwarding():
+    # rmps_batch forwards **kw — validation must not reject its params
+    A, x, b = sparse_data(jax.random.PRNGKey(9), n=32, m=64, k=3)
+    Bs = jnp.stack([b, 2.0 * b])
+    sol = solver_config("rmps", maxiter=8).run_batch(A, Bs, sigma=1e-4)
+    assert np.asarray(sol).shape == (2, 64)
+
+
 def test_json_round_trip():
     cfg = solver_config("sp", k=4, delta=1e-6)
     cfg2 = SolverConfig.from_json(cfg.to_json())

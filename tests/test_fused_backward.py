@@ -89,6 +89,16 @@ def test_fbr_fused_sparsity_zero_deletes_all():
     assert not bool(np.asarray(failed)[0])
 
 
+def test_fbr_batch_return_failed():
+    from cstpu import fbr_batch
+
+    A, x, b, y = _problem(318)
+    sol, failed = fbr_batch(A, jnp.stack([b, y]), sparsity=3,
+                            return_failed=True)
+    assert failed.shape == (2,)
+    assert not np.any(np.asarray(failed))
+
+
 def test_fbr_fused_batch_heterogeneous_stops():
     # instances stopping at different deletion counts must not interfere
     A, x, b, y = _problem(316)

@@ -113,3 +113,13 @@ def test_homotopy_rejects_bad_weights():
     A, x, b = _problem(97)
     with pytest.raises(HomotopyError):
         lasso_homotopy(A, b, 0.1, w=np.zeros(A.shape[1]))
+
+
+def test_bpd_homotopy_infeasible_delta():
+    # overdetermined system whose LS residual exceeds delta: the
+    # constraint is unreachable and must be reported as such
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((40, 8))
+    b = rng.standard_normal(40)
+    with pytest.raises(HomotopyError, match="unreachable"):
+        bpd_homotopy(A, b, delta=1e-8)
