@@ -64,8 +64,8 @@ from cstpu.models.basis_pursuit import (
 from cstpu.models.exhaustive import exhaustive
 from cstpu.models.batched import (
     batch, omp_batch, fr_batch, mp_batch, sp_batch, gomp_batch,
-    srr_batch, ompr_batch, rmps_batch, fsbl_batch, rmp_batch, foba_batch,
-    br_batch, fbr_batch, lace_batch,
+    srr_batch, ompr_batch, rmps_batch, fsbl_batch, sbl_batch,
+    rmp_batch, foba_batch, br_batch, fbr_batch, lace_batch,
 )
 from cstpu.utils.config import SolverConfig, solver_config
 from cstpu.utils.diagnostics import omp_traced, fr_traced, SolveTrace
@@ -92,7 +92,8 @@ __all__ = [
     "exhaustive",
     "batch", "omp_batch", "fr_batch", "mp_batch", "sp_batch",
     "gomp_batch", "srr_batch", "ompr_batch", "rmps_batch", "fsbl_batch",
-    "rmp_batch", "foba_batch", "br_batch", "fbr_batch", "lace_batch",
+    "sbl_batch", "rmp_batch", "foba_batch", "br_batch", "fbr_batch",
+    "lace_batch",
     "SolverConfig", "solver_config",
     "omp_traced", "fr_traced", "SolveTrace", "save_state", "load_state",
     "solve_cost", "roofline_report",

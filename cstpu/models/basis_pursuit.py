@@ -340,14 +340,25 @@ def _ista(A, b, w, x0, stepsize, maxiter: int):
     return lax.fori_loop(0, maxiter, body, x0)
 
 
-def ista(A, b, lam, x0=None, maxiter: int = 1024, stepsize: float = 1e-2):
+def _auto_stepsize(A):
+    """Largest provably-convergent gradient step for min ||Ax-b||^2 + l1:
+    just under 1/L with L = 2*sigma_max(A)^2."""
+    s = jnp.linalg.svd(A, compute_uv=False)[0]
+    return 0.99 / (2.0 * s * s)
+
+
+def ista(A, b, lam, x0=None, maxiter: int = 1024,
+         stepsize: float | None = 1e-2):
     """Proximal gradient for the weighted-l1 LASSO
     min ||Ax-b||^2 + sum w_i |x_i| (lam scalar or per-atom weights).
-    Parity: src/basispursuit.jl:164-183."""
+    Parity: src/basispursuit.jl:164-183 (same fixed-stepsize default);
+    `stepsize=None` uses the spectral step 0.99/(2 sigma_max^2)."""
     m = A.shape[1]
     w = jnp.broadcast_to(jnp.asarray(lam, A.dtype), (m,))
     x0 = jnp.zeros((m,), A.dtype) if x0 is None else jnp.asarray(x0, A.dtype)
-    return _ista(A, b, w, x0, jnp.asarray(stepsize, A.dtype), int(maxiter))
+    step = _auto_stepsize(A) if stepsize is None else \
+        jnp.asarray(stepsize, A.dtype)
+    return _ista(A, b, w, x0, step, int(maxiter))
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
@@ -366,13 +377,17 @@ def _fista(A, b, w, x0, stepsize, maxiter: int):
     return x
 
 
-def fista(A, b, lam, x0=None, maxiter: int = 1024, stepsize: float = 1e-2):
+def fista(A, b, lam, x0=None, maxiter: int = 1024,
+          stepsize: float | None = 1e-2):
     """Accelerated proximal gradient (FISTA) for the weighted-l1 LASSO.
 
     The reference's FISTA is unfinished/broken (undefined `xkn`/`xk`,
     src/basispursuit.jl:186-204); this is the correct Beck-Teboulle
-    iteration with the same objective convention as `ista`."""
+    iteration with the same objective convention as `ista`.
+    `stepsize=None` uses the spectral step 0.99/(2 sigma_max^2)."""
     m = A.shape[1]
     w = jnp.broadcast_to(jnp.asarray(lam, A.dtype), (m,))
     x0 = jnp.zeros((m,), A.dtype) if x0 is None else jnp.asarray(x0, A.dtype)
-    return _fista(A, b, w, x0, jnp.asarray(stepsize, A.dtype), int(maxiter))
+    step = _auto_stepsize(A) if stepsize is None else \
+        jnp.asarray(stepsize, A.dtype)
+    return _fista(A, b, w, x0, step, int(maxiter))

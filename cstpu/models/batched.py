@@ -408,6 +408,20 @@ def lace_batch(A, Bs, max_residual=None, max_increase=None,
     return jax.vmap(lambda bb: lace(A, bb, sparsity=sparsity, **kw))(Bs)
 
 
+def sbl_batch(A, Bs, sigma, maxiter=None, min_change: float = 1e-6):
+    """Batched Tipping-EM SBL (vmapped over measurement rows).
+
+    The EM fixed point is the parity/correctness baseline of the SBL
+    family (src/sbl.jl:4-51); production throughput lives in
+    fsbl_batch/rmps_batch."""
+    import jax.numpy as jnp
+
+    from cstpu.models.sbl import sbl
+
+    return jax.vmap(lambda bb: sbl(A, bb, sigma, maxiter=maxiter,
+                                   min_change=min_change))(jnp.asarray(Bs))
+
+
 def rmps_batch(A, Bs, sigma, **kw):
     """Batched RMPS over measurement rows Bs (B, n).
 

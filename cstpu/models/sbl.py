@@ -90,8 +90,14 @@ def _sbl(A, b, sigma, maxiter: int, min_change):
         x = cho_solve((L, True), ASb)
         Linv = solve_triangular(L, eye, lower=True)
         bdiag = jnp.sum(Linv * Linv, axis=0)        # diag(B^-1)
-        # MacKay-style heuristic update (src/sbl.jl:33)
-        gnew = x * x / (1.0 - bdiag / g) + 1e-14
+        # MacKay-style heuristic update (src/sbl.jl:33). Analytically
+        # 0 <= diag(B^-1)/g <= 1; in f32 (TPU) rounding pushes the
+        # denominator slightly negative for fully-pruned atoms, flipping
+        # gamma's sign and NaN-ing the next Cholesky — clamp at a
+        # dtype-scaled epsilon (never binds at f64)
+        denom = jnp.maximum(1.0 - bdiag / g,
+                            8 * jnp.finfo(A.dtype).eps)
+        gnew = x * x / denom + 1e-14
         done = jnp.linalg.norm(g - gnew) < min_change
         return gnew, x, t + 1, done
 

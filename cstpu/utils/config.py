@@ -40,7 +40,7 @@ def _registries():
     batch = {
         name: getattr(batched, f"{name}_batch")
         for name in ("mp", "omp", "gomp", "fr", "br", "fbr", "lace", "sp",
-                     "ompr", "srr", "rmp", "foba", "fsbl", "rmps")
+                     "ompr", "srr", "rmp", "foba", "sbl", "fsbl", "rmps")
     }
     return single, batch
 

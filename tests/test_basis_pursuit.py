@@ -76,6 +76,31 @@ def test_fista():
                                 - np.asarray(y))) < DELTA
 
 
+def test_auto_stepsize_beats_fixed():
+    # stepsize=None (spectral 1/L) must reach a better LASSO objective
+    # than the reference's fixed default in the same iteration budget,
+    # and land near the exact path solution
+    from cstpu.native import lasso_homotopy
+
+    A, x, _, y = _problem(68)
+    lam = DELTA / 10
+
+    def obj(z):
+        z = np.asarray(z)
+        return (np.sum((np.asarray(A) @ z - np.asarray(y)) ** 2)
+                + lam * np.sum(np.abs(z)))
+
+    # the solver objective is ||Ax-b||^2 + lam*|x|_1 with lam = 2*lambda
+    # in the homotopy's 0.5||.||^2 convention
+    xh = lasso_homotopy(np.asarray(A, np.float64), np.asarray(y, np.float64),
+                        lam / 2)
+    xfix = fista(A, y, lam, maxiter=256, stepsize=1e-2)
+    xauto = fista(A, y, lam, maxiter=256, stepsize=None)
+    assert obj(xauto) <= obj(xfix) + 1e-12
+    xlong = fista(A, y, lam, maxiter=4096, stepsize=None)
+    assert abs(obj(xlong) - obj(xh)) < 1e-5
+
+
 def test_weighted_bp_prefers_low_weight_atoms():
     # sanity: zero weights on the true support force recovery
     A, x, b, _ = _problem(68)

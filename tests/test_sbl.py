@@ -29,6 +29,18 @@ def test_sbl():
     np.testing.assert_allclose(np.asarray(A @ xs), np.asarray(b), atol=SIGMA)
 
 
+def test_sbl_batch_matches_single():
+    from cstpu import sbl_batch
+
+    A, x, b, y = _problem(51)
+    Bs = jnp.stack([b, y])
+    Xs = sbl_batch(A, Bs, SIGMA ** 2)
+    ref = sbl(A, y, SIGMA ** 2)
+    np.testing.assert_allclose(np.asarray(Xs[1]), np.asarray(ref),
+                               rtol=0, atol=1e-12)
+    assert list(_thresh_support(Xs[1])) == list(support(x))
+
+
 def test_fsbl():
     A, x, b, y = _problem(51)
     xs = fsbl(A, y, SIGMA ** 2)
