@@ -1,0 +1,130 @@
+"""Hardware conformance smoke: drive EVERY public solver on the real TPU.
+
+The CPU-f64 conformance suite (tests/) cannot catch TPU-f32 failures —
+plain `sbl` produced all-NaN on hardware while every CPU test was green
+(the MacKay denominator rounds negative in f32; fixed in models/sbl.py).
+This sweep solves one small planted problem per public entry point ON THE
+DEVICE and asserts support recovery (or residual fit for the
+approximation-regime solvers), printing one status line each.
+
+Run:  JAX_PLATFORMS=axon PYTHONPATH=/root/repo:/root/.axon_site \
+          timeout 3600 python benchmarks/tpu_smoke.py
+Exit code 0 = all pass. Expect ~10-20 min of tunnel compiles on first run.
+"""
+
+from __future__ import annotations
+
+import os
+import sys as _sys
+import traceback
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import cstpu
+    from cstpu import perturb, sparse_data, support
+
+    print(f"device: {jax.devices()[0].device_kind} "
+          f"backend={jax.default_backend()}", flush=True)
+
+    DELTA = 1e-2
+    kd = jax.random.PRNGKey(123)
+    A, x, b = sparse_data(kd, n=64, m=96, k=3, dtype=jnp.float32)
+    y = perturb(jax.random.PRNGKey(124), b, DELTA / 2)
+    As, xs_, bs = sparse_data(jax.random.PRNGKey(125), n=64, m=64, k=3,
+                              dtype=jnp.float32)  # square (backward)
+    ys = perturb(jax.random.PRNGKey(126), bs, DELTA / 2)
+    ref = list(support(x))
+    refs = list(support(xs_))
+
+    def sol_support(sol):
+        if hasattr(sol, "nzind"):
+            return sorted(np.asarray(sol.idx)[np.asarray(sol.mask)].tolist())
+        v = np.abs(np.asarray(sol))
+        return sorted(np.flatnonzero(v > 10 * DELTA).tolist())
+
+    CASES = [
+        ("mp", lambda: cstpu.mp(A, y, 30), "resid"),
+        ("omp", lambda: cstpu.omp(A, y, 3), ref),
+        ("gomp", lambda: cstpu.gomp(A, y, 2, 4), "superset"),
+        ("oblivious", lambda: cstpu.oblivious(A, y, 3), ref),
+        ("fr", lambda: cstpu.fr(A, y, sparsity=3), ref),
+        ("br", lambda: cstpu.br(As, ys, sparsity=3), refs),
+        ("br_naive", lambda: cstpu.br(As, ys, sparsity=3, naive=True), refs),
+        ("fbr", lambda: cstpu.fbr(As, ys, sparsity=3), refs),
+        ("lace", lambda: cstpu.lace(As, ys, sparsity=3), refs),
+        ("sp", lambda: cstpu.sp(A, y, 3, DELTA), ref),
+        ("ompr", lambda: cstpu.ompr(A, y, 3, DELTA), ref),
+        ("srr_i1", lambda: cstpu.srr(A, y, 3, DELTA, initialization=1), ref),
+        ("srr_i2", lambda: cstpu.srr(A, y, 3, DELTA, initialization=2), ref),
+        ("srr_i3", lambda: cstpu.srr(A, y, 3, DELTA, initialization=3,
+                                     key=jax.random.PRNGKey(7)), ref),
+        ("rmp_k", lambda: cstpu.rmp(A, y, k=3), ref),
+        ("rmp_delta", lambda: cstpu.rmp(A, y, delta=DELTA), ref),
+        ("foba", lambda: cstpu.foba(A, y, DELTA), ref),
+        ("sbl", lambda: cstpu.sbl(A, y, DELTA ** 2), ref),
+        ("fsbl", lambda: cstpu.fsbl(A, y, DELTA ** 2), ref),
+        ("rmps", lambda: cstpu.rmps(A, y, DELTA ** 2), ref),
+        ("rmps_noise", lambda: cstpu.rmps_estimate_noise(
+            A, y, DELTA ** 2, 1.0, DELTA ** 2)[0], ref),
+        ("bp", lambda: cstpu.bp(A, b), ref),
+        ("bp_candes", lambda: cstpu.bp_candes(A, b), ref),
+        ("bp_ard", lambda: cstpu.bp_ard(A, b), ref),
+        ("bpd", lambda: cstpu.bpd(A, y, DELTA), "resid"),
+        ("bpd_candes", lambda: cstpu.bpd_candes(A, y, DELTA), "resid"),
+        ("bpd_ard", lambda: cstpu.bpd_ard(A, y, DELTA), "resid"),
+        ("ista", lambda: cstpu.ista(A, y, DELTA / 10, maxiter=2048,
+                                    stepsize=None), "resid"),
+        ("fista", lambda: cstpu.fista(A, y, DELTA / 10, maxiter=2048,
+                                      stepsize=None), "resid"),
+        # exhaustive returns the best support tuple directly (host numpy)
+        ("exhaustive", lambda: jnp.zeros((16,), jnp.float32).at[
+            jnp.asarray(cstpu.exhaustive(A[:, :16], A[:, :16] @ (
+                jnp.zeros((16,), jnp.float32)
+                .at[jnp.array([2, 5, 9])].set(1.0)), 3))].set(1.0),
+         [2, 5, 9]),
+    ]
+
+    failures = []
+    for name, run, oracle in CASES:
+        try:
+            sol = run()
+            dense = (sol.todense() if hasattr(sol, "todense")
+                     else jnp.asarray(sol))
+            finite = bool(jnp.all(jnp.isfinite(dense)))
+            if oracle == "resid":
+                yy = ys if name.startswith(("br", "fbr", "lace")) else y
+                AA = As if name.startswith(("br", "fbr", "lace")) else A
+                fit = float(jnp.linalg.norm(AA @ dense - yy))
+                ok = finite and fit < 3 * DELTA
+                detail = f"resid={fit:.2e}"
+            elif oracle == "superset":
+                got = sol_support(sol)
+                ok = finite and set(ref) <= set(got)
+                detail = f"support={got}"
+            else:
+                got = sol_support(sol)
+                ok = finite and got == sorted(int(i) for i in oracle)
+                detail = f"support={got}"
+            print(f"{'PASS' if ok else 'FAIL'} {name:12s} {detail}",
+                  flush=True)
+            if not ok:
+                failures.append(name)
+        except Exception as e:  # noqa: BLE001 — a smoke must not abort
+            print(f"FAIL {name:12s} raised {type(e).__name__}: {e}",
+                  flush=True)
+            traceback.print_exc(limit=2)
+            failures.append(name)
+
+    print(f"{len(CASES) - len(failures)}/{len(CASES)} passed"
+          + (f"; FAILURES: {failures}" if failures else ""), flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
