@@ -90,7 +90,52 @@ def main() -> int:
          [2, 5, 9]),
     ]
 
+    # batched entry points at the fused kernels' SMALL shape corner
+    # (m = 128, the minimum the VMEM gates accept; the benchmark suite
+    # only exercises m = 1024+): dispatch must pick the kernels and
+    # still recover exactly
+    kb2 = jax.random.PRNGKey(200)
+    A2 = jax.random.normal(kb2, (64, 128), jnp.float32)
+    A2 = A2 / jnp.sqrt(jnp.sum(A2 * A2, axis=0, keepdims=True))
+    sup2 = jax.vmap(lambda s: jax.random.permutation(s, 128)[:3])(
+        jax.random.split(jax.random.PRNGKey(201), 8))
+    X2 = jax.vmap(lambda s: jnp.zeros((128,), jnp.float32).at[s].set(1.0))(
+        sup2)
+    Bs2 = X2 @ A2.T
+    A3 = jax.random.normal(jax.random.PRNGKey(202), (128, 128), jnp.float32)
+    A3 = A3 / jnp.sqrt(jnp.sum(A3 * A3, axis=0, keepdims=True))
+    X3 = jax.vmap(lambda s: jnp.zeros((128,), jnp.float32).at[s].set(1.0))(
+        sup2)
+    Bs3 = X3 @ A3.T
+
+    def batch_recovery(sol, sup):
+        got = np.where(np.asarray(sol.mask), np.asarray(sol.idx), 10 ** 6)
+        planted = np.asarray(sup)
+        return all(set(planted[i]) <= set(got[i])
+                   for i in range(len(planted)))
+
+    BATCH_CASES = [
+        ("omp_batch_m128", lambda: cstpu.omp_batch(A2, Bs2, 3), sup2),
+        ("fr_batch_m128", lambda: cstpu.fr_batch(A2, Bs2, sparsity=3), sup2),
+        ("fbr_batch_m128", lambda: cstpu.fbr_batch(A3, Bs3, sparsity=3),
+         sup2),
+        ("lace_batch_m128", lambda: cstpu.lace_batch(A3, Bs3, sparsity=3),
+         sup2),
+    ]
+
     failures = []
+    for name, run, sup in BATCH_CASES:
+        try:
+            ok = batch_recovery(run(), sup)
+            print(f"{'PASS' if ok else 'FAIL'} {name:16s} batch recovery",
+                  flush=True)
+            if not ok:
+                failures.append(name)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name:16s} raised {type(e).__name__}: {e}",
+                  flush=True)
+            failures.append(name)
+
     for name, run, oracle in CASES:
         try:
             sol = run()
@@ -121,7 +166,8 @@ def main() -> int:
             traceback.print_exc(limit=2)
             failures.append(name)
 
-    print(f"{len(CASES) - len(failures)}/{len(CASES)} passed"
+    total = len(CASES) + len(BATCH_CASES)
+    print(f"{total - len(failures)}/{total} passed"
           + (f"; FAILURES: {failures}" if failures else ""), flush=True)
     return 1 if failures else 0
 

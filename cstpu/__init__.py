@@ -48,7 +48,8 @@ from cstpu.models.forward import fr, ols, oomp, ormp
 from cstpu.models.backward import br, fbr, lace
 from cstpu.models.twostage import sp, ompr, srr
 from cstpu.models.stepwise import rmp, foba
-from cstpu.models.sbl import sbl, fsbl, fsbl_traced, rmps, rmps_estimate_noise
+from cstpu.models.sbl import (sbl, fsbl, fsbl_traced, rmps, rmps_traced,
+                              rmps_estimate_noise)
 from cstpu.models.basis_pursuit import (
     bp,
     basispursuit,
@@ -85,7 +86,8 @@ __all__ = [
     "br", "fbr", "lace",
     "sp", "ompr", "srr",
     "rmp", "foba",
-    "sbl", "fsbl", "fsbl_traced", "rmps", "rmps_estimate_noise",
+    "sbl", "fsbl", "fsbl_traced", "rmps", "rmps_traced",
+    "rmps_estimate_noise",
     "bp", "basispursuit", "bp_candes", "bp_ard",
     "bpd", "basis_pursuit_denoising", "bpd_candes", "bpd_ard",
     "ista", "fista",

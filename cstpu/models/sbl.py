@@ -428,6 +428,63 @@ def _rmps_optimize(A, b, sigma, alpha0, maxiter: int, maxiter_acq: int,
     return st.alpha
 
 
+@partial(jax.jit, static_argnames=("maxiter", "maxiter_acq", "maxiter_del"))
+@_f32_matmuls
+def _rmps_traced(A, b, sigma, maxiter: int, maxiter_acq: int,
+                 maxiter_del: int, min_increase):
+    from cstpu.utils.diagnostics import RMPSTrace
+
+    m = A.shape[1]
+    st0 = _init_sq(A, b, sigma, jnp.full((m,), jnp.inf, A.dtype))
+    tr0 = RMPSTrace(*(jnp.zeros((maxiter,), jnp.int32) for _ in range(4)))
+
+    def count(mask):
+        return jnp.sum(mask).astype(jnp.int32)
+
+    def cond(c):
+        st, old, tr, t, done = c
+        return (t < maxiter) & ~done
+
+    def body(c):
+        st, old, tr, t, _ = c
+        st = _init_sq(A, b, sigma, st.alpha)
+        st = _acquisition_stage(A, st, maxiter_acq, jnp.bool_(True))
+        done1 = jnp.all(st.alpha == old)
+        old1 = st.alpha
+        st = _deletion_update_stage(A, st, maxiter_del, min_increase, ~done1)
+        done2 = jnp.all(st.alpha == old1)
+        fin0, fin1, fin2 = (jnp.isfinite(old), jnp.isfinite(old1),
+                            jnp.isfinite(st.alpha))
+        tr = RMPSTrace(
+            n_active=tr.n_active.at[t].set(count(fin2)),
+            n_added=tr.n_added.at[t].set(count(fin1 & ~fin0)),
+            n_deleted=tr.n_deleted.at[t].set(count(fin1 & ~fin2)),
+            n_updated=tr.n_updated.at[t].set(
+                count(fin1 & fin2 & (st.alpha != old1))),
+        )
+        return st, st.alpha, tr, t + 1, done1 | done2
+
+    st, _, tr, _, _ = lax.while_loop(
+        cond, body, (st0, st0.alpha, tr0, jnp.int32(0), jnp.bool_(False)))
+    return _posterior_mean(A, b, sigma, st.alpha), tr
+
+
+def rmps_traced(A, b, sigma, maxiter: int | None = None,
+                maxiter_acquisition: int | None = None,
+                maxiter_deletion: int | None = None,
+                min_increase: float = 1e-6):
+    """rmps returning (posterior mean, RMPSTrace): per-outer-iteration
+    acquisition/deletion/re-estimate counts and active-set size — the
+    staged-ascent observability complement to fsbl_traced."""
+    n, m = A.shape
+    maxiter = int(maxiter if maxiter is not None else n)
+    maxiter_acq = int(maxiter_acquisition if maxiter_acquisition is not None
+                      else n)
+    maxiter_del = int(maxiter_deletion if maxiter_deletion is not None else n)
+    return _rmps_traced(A, b, sigma, maxiter, maxiter_acq, maxiter_del,
+                        jnp.asarray(min_increase, A.dtype))
+
+
 def rmps(A, b, sigma, maxiter: int | None = None,
          maxiter_acquisition: int | None = None,
          maxiter_deletion: int | None = None,

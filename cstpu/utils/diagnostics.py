@@ -29,6 +29,16 @@ class SolveTrace(NamedTuple):
     score: jax.Array          # f[k] selection score (|<a,r>| for OMP)
 
 
+class RMPSTrace(NamedTuple):
+    """Per-OUTER-iteration history of the staged RMPS coordinate ascent
+    (acquisition stage to exhaustion, then deletion/update —
+    src/sbl.jl:381-406). Padded past convergence."""
+    n_active: jax.Array   # i32[T] active atoms after the iteration
+    n_added: jax.Array    # i32[T] acquisitions this iteration
+    n_deleted: jax.Array  # i32[T] deletions this iteration
+    n_updated: jax.Array  # i32[T] re-estimated (changed) alphas
+
+
 class SBLTrace(NamedTuple):
     """Fixed-shape per-action history of a marginal-likelihood ascent
     (fsbl): the delta-likelihood of each greedy action — the reference's

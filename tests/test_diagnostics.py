@@ -76,6 +76,23 @@ def test_fsbl_traced_matches_plain():
         np.abs(np.asarray(ref)) > 1e-12)
 
 
+def test_rmps_traced_matches_plain():
+    from cstpu import rmps, rmps_traced
+
+    A, x, b = sparse_data(jax.random.PRNGKey(95), n=32, m=48, k=3)
+    sigma = 1e-2
+    xs, tr = rmps_traced(A, b, sigma ** 2)
+    ref = rmps(A, b, sigma ** 2)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-10)
+    act = np.asarray(tr.n_active)
+    ran = act > 0
+    # the first outer iteration acquires the support; the final active
+    # count matches the returned solution's support size
+    assert np.asarray(tr.n_added)[0] >= 3
+    nnz = int(np.sum(np.abs(np.asarray(ref)) > 1e-12))
+    assert act[np.flatnonzero(ran)[-1]] == nnz
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from cstpu.ops import active_set as aset
     import jax.numpy as jnp
