@@ -37,7 +37,7 @@ def _build() -> str:
     if (not os.path.exists(_LIB)
             or os.path.getmtime(_LIB) < max(os.path.getmtime(s)
                                             for s in _SRCS)):
-        cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+        cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
                "-o", _LIB, *_SRCS]
         subprocess.run(cmd, check=True, capture_output=True)
     return _LIB
@@ -68,6 +68,18 @@ def _load():
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ]
+            lib.cstpu_lars_solve_batch.restype = ctypes.c_int
+            lib.cstpu_lars_solve_batch.argtypes = [
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int, ctypes.c_int,
             ]
             _lib = lib
     return _lib
@@ -162,6 +174,49 @@ def lasso_homotopy(A, b, lam: float, w=None, max_iter: int = 0):
     cstpu.ista/fista (parity target: src/basispursuit.jl:139-183)."""
     x, _ = _lars(A, b, w, 0, float(lam), max_iter)
     return x
+
+
+def _lars_batch(A, Bs, w, mode: int, target: float, max_iter: int,
+                n_threads: int):
+    lib = _load()
+    A = np.ascontiguousarray(A, np.float64)
+    Bs = np.ascontiguousarray(Bs, np.float64)
+    n, m = A.shape
+    if Bs.ndim != 2 or Bs.shape[1] != n:
+        raise ValueError("Bs must be (B, n)")
+    B = Bs.shape[0]
+    w = np.ones(m) if w is None else np.ascontiguousarray(w, np.float64)
+    X = np.zeros((B, m), np.float64)
+    lams = np.zeros(B, np.float64)
+    statuses = np.zeros(B, np.int32)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
+    rc = lib.cstpu_lars_solve_batch(
+        n, m, A.ctypes.data_as(dp), Bs.ctypes.data_as(dp), B,
+        w.ctypes.data_as(dp), int(mode), float(target),
+        X.ctypes.data_as(dp), lams.ctypes.data_as(dp),
+        statuses.ctypes.data_as(ip), int(max_iter), int(n_threads))
+    if rc:
+        raise HomotopyError(f"homotopy batch: {_LARS_STATUS.get(rc, rc)}")
+    return X, lams, statuses
+
+
+def lasso_homotopy_batch(A, Bs, lam: float, w=None, max_iter: int = 0,
+                         n_threads: int = 0):
+    """Exact weighted-LASSO solutions for a batch of measurement rows,
+    solved in parallel on host threads (the reference is single-threaded
+    even on host — src/CompressedSensing.jl:12 imports Base.Threads and
+    never uses it). Returns (X (B, m), statuses (B,)) — per-instance
+    statuses (0 ok) instead of a batch abort."""
+    X, _, st = _lars_batch(A, Bs, w, 0, float(lam), max_iter, n_threads)
+    return X, st
+
+
+def bpd_homotopy_batch(A, Bs, delta: float, w=None, max_iter: int = 0,
+                       n_threads: int = 0):
+    """Exact BPD solutions for a batch of measurement rows (threaded; see
+    lasso_homotopy_batch). Returns (X, lams, statuses)."""
+    return _lars_batch(A, Bs, w, 1, float(delta), max_iter, n_threads)
 
 
 def bpd_homotopy(A, b, delta: float, w=None, max_iter: int = 0):

@@ -29,8 +29,10 @@
 //     drift cannot accumulate along the path.
 //   * Zero dependencies; built on first import via cstpu.native.
 
+#include <atomic>
 #include <cmath>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -286,6 +288,42 @@ int cstpu_lars_solve(int n, int m, const double* A, const double* b,
   for (size_t p = 0; p < S.act.size(); ++p) x[S.act[p]] = S.xa[p];
   *lambda_out = lam;
   return 1;
+}
+
+// Threaded batch executor: B independent paths against ONE dictionary,
+// work-stealing over a thread pool. The reference is single-threaded even
+// on host (Base.Threads imported but never used,
+// /root/reference/src/CompressedSensing.jl:12); here each instance writes
+// its own status so one failure never aborts the batch (the framework's
+// per-instance failure-mask convention). n_threads <= 0 picks
+// hardware_concurrency.
+int cstpu_lars_solve_batch(int n, int m, const double* A, const double* Bs,
+                           int B, const double* w, int mode, double target,
+                           double* X, double* lambdas, int* statuses,
+                           int max_iter, int n_threads) {
+  if (B <= 0) return 3;
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  if (n_threads > B) n_threads = B;
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= B) return;
+      int iters = 0;
+      statuses[i] = cstpu_lars_solve(
+          n, m, A, Bs + static_cast<size_t>(i) * n, w, mode, target,
+          X + static_cast<size_t>(i) * m, lambdas + i, &iters, max_iter);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads - 1);
+  for (int t = 1; t < n_threads; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return 0;
 }
 
 }  // extern "C"

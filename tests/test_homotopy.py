@@ -109,6 +109,39 @@ def test_bpd_candes_homotopy_inner_solver():
                                np.asarray(x)[list(support(x))], atol=2e-2)
 
 
+def test_batch_matches_sequential():
+    from cstpu.native import bpd_homotopy_batch, lasso_homotopy_batch
+
+    A, x, b = _problem(99)
+    y = np.asarray(perturb(jax.random.PRNGKey(9), b, 1e-2 / 2))
+    Bs = np.stack([np.asarray(b), y, 2.0 * np.asarray(b)])
+
+    X, st = lasso_homotopy_batch(A, Bs, 0.05, n_threads=3)
+    assert list(st) == [0, 0, 0]
+    for i in range(3):
+        np.testing.assert_array_equal(X[i], lasso_homotopy(A, Bs[i], 0.05))
+
+    Xd, lams, std = bpd_homotopy_batch(A, Bs, 1e-2, n_threads=2)
+    assert list(std) == [0, 0, 0]
+    for i in range(3):
+        xi, li = bpd_homotopy(A, Bs[i], 1e-2)
+        np.testing.assert_array_equal(Xd[i], xi)
+        assert lams[i] == li
+
+
+def test_batch_per_instance_status():
+    # an infeasible instance is flagged, not aborting the batch
+    from cstpu.native import bpd_homotopy_batch
+
+    rng = np.random.default_rng(4)
+    A = rng.standard_normal((40, 8))
+    good = A @ rng.standard_normal(8)          # reachable (in range(A))
+    bad = rng.standard_normal(40)              # LS residual >> delta
+    X, lams, st = bpd_homotopy_batch(A, np.stack([good, bad]), 1e-6)
+    assert st[0] == 0 and st[1] == 4
+    assert np.linalg.norm(A @ X[0] - good) <= 1e-6 + 1e-9
+
+
 def test_homotopy_rejects_bad_weights():
     A, x, b = _problem(97)
     with pytest.raises(HomotopyError):
