@@ -69,7 +69,8 @@ from cstpu.models.batched import (
     rmp_batch, foba_batch, br_batch, fbr_batch, lace_batch,
 )
 from cstpu.utils.config import SolverConfig, solver_config
-from cstpu.utils.diagnostics import omp_traced, fr_traced, SolveTrace
+from cstpu.utils.diagnostics import (omp_traced, fr_traced, SolveTrace,
+                                     SBLTrace, RMPSTrace)
 from cstpu.utils.checkpoint import save_state, load_state
 from cstpu.utils.profiling import solve_cost, roofline_report
 
@@ -97,6 +98,7 @@ __all__ = [
     "sbl_batch", "rmp_batch", "foba_batch", "br_batch", "fbr_batch",
     "lace_batch",
     "SolverConfig", "solver_config",
-    "omp_traced", "fr_traced", "SolveTrace", "save_state", "load_state",
+    "omp_traced", "fr_traced", "SolveTrace", "SBLTrace", "RMPSTrace",
+    "save_state", "load_state",
     "solve_cost", "roofline_report",
 ]
