@@ -1,0 +1,56 @@
+"""A/B: per-instance fused FSBL kernel vs the TPU-default XLA path.
+
+Interleaves both paths per shape in one process so tunnel/session drift
+cancels. Each (n, m, B) triple is a separate compile; n >= 256 is the
+shape class whose all-batch predecessor hung the Mosaic compile.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site JAX_PLATFORMS=axon \
+           timeout 2400 python -u benchmarks/fsbl_kernel_ab.py [n,m,B ...]
+       (default shapes: 128,1024,8  256,1024,8)
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+import cstpu
+from cstpu.models.batched import fsbl_batch
+from cstpu.ops.fused_sbl import fsbl_fused_solve, supported_fsbl
+
+shapes = ([tuple(int(v) for v in a.split(",")) for a in sys.argv[1:]]
+          or [(128, 1024, 8), (256, 1024, 8)])
+k, sigma = 8, 1e-2
+
+
+def timeit(name, fn):
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn())
+    t1 = time.perf_counter()
+    reps = 3
+    t2 = time.perf_counter()
+    for _ in range(reps):
+        out = jax.block_until_ready(fn())
+    _ = float(jnp.sum(out))  # value fetch: block_until_ready under-syncs
+    t3 = time.perf_counter()
+    print(f"  {name}: compile+run {t1 - t0:.1f}s, steady "
+          f"{(t3 - t2) / reps * 1e3:.2f} ms/batch", flush=True)
+    return out
+
+
+for n, m, B in shapes:
+    kd = jax.random.PRNGKey(0)
+    keys = jax.random.split(kd, B + 1)
+    A, x, b = cstpu.sparse_data(keys[0], n=n, m=m, k=k, dtype=jnp.float32)
+    Bs = jnp.stack([cstpu.perturb(keys[i + 1], b, sigma) for i in range(B)])
+    print(f"n={n} m={m} B={B} k={k} "
+          f"supported={supported_fsbl(A, Bs, sigma ** 2)}", flush=True)
+
+    xf = timeit("fused", lambda: fsbl_fused_solve(A, Bs, sigma ** 2))
+    xr = timeit("xla  ", lambda: fsbl_batch(A, Bs, sigma ** 2))
+
+    err = float(jnp.max(jnp.abs(xf - xr)))
+    sup_f = jnp.abs(xf) > sigma
+    rec = float(jnp.mean(jax.vmap(
+        lambda s: (s == (jnp.abs(x) > 0)).all())(sup_f).astype(jnp.float32)))
+    print(f"  max|fused-xla|={err:.2e} recovery={rec:.3f}", flush=True)

@@ -1,34 +1,37 @@
-"""Whole-solve fused Fast SBL kernel (Pallas TPU).
+"""Whole-solve fused Fast SBL kernel (Pallas TPU), one instance per program.
 
 FSBL (Tipping & Faul 2003; parity /root/reference/src/sbl.jl:145-223) is a
 sequence of greedy add/delete/re-estimate actions on the per-atom
 sparsity/quality factors S, Q with an explicitly tracked C^-1 (n x n).
-Composed in XLA each action is a dozen small kernels plus a dictionary
-restage; fused, the whole optimization runs in one launch with A, C^-1,
-S, Q, alpha pinned in VMEM:
+Composed in XLA each action re-stages the dictionary AND C^-1 through HBM;
+fused, the whole optimization runs in one launch with the transposed
+dictionary, C^-1, S, Q, alpha all pinned in VMEM:
 
-  per action: action deltas (elementwise over m), argmax, one-hot column
-  extraction (MXU), v = C^-1 a (batched reduce), rank-one C^-1 downdate,
-  Av = v'A (MXU), S/Q rank-one updates — the exact update_SQC!/
-  update_C_inverse! math (src/sbl.jl:347-365).
+  per action: action deltas (elementwise over m), argmax, aligned-slab
+  column extraction from the transposed dictionary (free — no one-hot
+  GEMM), v = C^-1 a as two MXU matvecs (row and column form; C^-1 is
+  symmetric), rank-one C^-1 downdate, Av = v'A (MXU), S/Q rank-one
+  updates — the exact update_SQC!/update_C_inverse! math
+  (src/sbl.jl:347-365).
 
-Precision: EVERYTHING is f32 including both GEMMs (the SBL family is not
+Kernel shape discipline (learned the hard way — docs/DESIGN.md §3b): the
+grid is (B,) with ONE instance per program so every op inside the while
+body is 2D. The earlier all-batch formulation carried (B, n, n) ops inside
+the loop body, which HANGS the Mosaic compile at n >= 256 and loses to XLA
+even where it compiles; the per-instance form is the same restructure that
+made the fused backward kernel viable (ops/fused_backward.py).
+
+Precision: EVERYTHING is f32 including all GEMMs (the SBL family is not
 precision-tolerant — see cstpu.models.sbl._f32_matmuls); Mosaic lowers f32
 dot_general as 3-pass bf16 with f32-level fidelity. Initialization uses
 the empty-active-set closed form (C^-1 = I/sigma^2), so no in-kernel
 factorization is needed; the posterior mean is extracted outside the
 kernel from the returned alpha.
 
-The batch is limited by C^-1: (B, n, n) f32 must fit VMEM next to the
-dictionary (B <= 8 at n = 1024) — see `supported_fsbl`.
-
-Status (2026-08-16, v5e behind the compile tunnel): numerically validated
-on hardware at n=128 m=1024 (max err 4e-4 vs the XLA path) but ~1.5x
-slower there (37.8 vs 25.4 ms/8-batch) — the per-action cost is the
-(B,n,n) VPU-bound C^-1 update, which XLA schedules equally well, and the
-dictionary re-stage the fusion saves is small at SBL's n-dominated
-shapes. Larger-shape compiles (n=256+) currently hang in the tunnel.
-Hence fsbl_batch keeps the XLA path unless `fused=True` is passed.
+Status: interpret-mode conformant vs the XLA path (incl. a delete-heavy
+correlated-dictionary case, tests/test_fused_solve.py); hardware timing
+of this per-instance form is pending (compile-tunnel outage 2026-08-17),
+so `fsbl_batch` keeps the atom-sharded XLA path unless `fused=True`.
 """
 
 from __future__ import annotations
@@ -49,31 +52,31 @@ F32 = jnp.float32
 
 
 def _fsbl_kernel(sigma2: float, maxiter: int, min_increase: float,
-                 A_ref, Bs_ref, cn2_ref, alpha_ref,
-                 Cinv, S, Q, alpha):
-    B, n = Bs_ref.shape
-    m = A_ref.shape[1]
+                 AT_ref, cn2_ref, b_ref,
+                 alpha_ref,
+                 Cinv, S, Q, alpha, i_scr, s_scr):
+    m, n = AT_ref.shape
 
-    # empty-active-set closed form: C = sigma^2 I
-    ii = lax.broadcasted_iota(jnp.int32, (B, n, n), 1)
-    jj = lax.broadcasted_iota(jnp.int32, (B, n, n), 2)
-    Cinv[:, :, :] = (ii == jj).astype(F32) / sigma2
-    S[:, :] = jnp.broadcast_to(cn2_ref[0:1, :], (B, m)) / sigma2
-    Q[:, :] = lax.dot_general(Bs_ref[:, :], A_ref[:, :],
-                              (((1,), (0,)), ((), ())),
+    # empty-active-set closed form: C = sigma^2 I  (src/sbl.jl:73-87)
+    ii = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    Cinv[:, :] = (ii == jj).astype(F32) / sigma2
+    S[:, :] = cn2_ref[:, :] / sigma2
+    Q[:, :] = lax.dot_general(b_ref[0], AT_ref[:, :],
+                              (((1,), (1,)), ((), ())),
                               preferred_element_type=F32) / sigma2
-    alpha[:, :] = jnp.full((B, m), jnp.inf, F32)
+    alpha[:, :] = jnp.full((1, m), jnp.inf, F32)
 
-    col_iota = lax.broadcasted_iota(jnp.int32, (B, m), 1)
+    col_iota = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    off = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
     def gather(x, oh):
-        return jnp.sum(x * oh, axis=1, keepdims=True)            # (B, 1)
+        return jnp.sum(jnp.where(oh > 0, x, 0.0), axis=1, keepdims=True)
 
     def body(carry):
-        t, done = carry
-        gate = done < 0.5
+        t, _run = carry
 
-        # --- best action per atom, then globally (src/sbl.jl:165-176) ---
+        # --- best action over all atoms (src/sbl.jl:165-176) ------------
         s, q = _get_sq(S[:, :], Q[:, :], alpha[:, :])
         active = jnp.isfinite(alpha[:, :])
         relevant = s < q * q
@@ -85,10 +88,10 @@ def _fsbl_kernel(sigma2: float, maxiter: int, min_increase: float,
                       _delta_update(S[:, :], Q[:, :], alpha[:, :], alphan),
                       0.0)))
         d = jnp.where(jnp.isnan(d), 0.0, d)
-        dmax = jnp.max(d, axis=1, keepdims=True)                 # (B, 1)
+        dmax = jnp.max(d, axis=1, keepdims=True)                 # (1, 1)
         i = jnp.min(jnp.where(d == dmax, col_iota, INT_MAX),
                     axis=1, keepdims=True)
-        ok = gate & (dmax > 0)
+        ok = dmax > 0
         okf = ok.astype(F32)
 
         oh = (col_iota == i).astype(F32)
@@ -107,29 +110,43 @@ def _fsbl_kernel(sigma2: float, maxiter: int, min_increase: float,
         gamma_change = gamma_change * okf
         new_alpha_i = jnp.where(rel_i, an_i, jnp.inf)
 
-        # --- rank-one S/Q/C^-1 update (src/sbl.jl:347-365) ---------------
-        acol = lax.dot_general(oh, A_ref[:, :], (((1,), (1,)), ((), ())),
-                               preferred_element_type=F32)       # (B, n)
-        v = jnp.sum(Cinv[:, :, :] * acol[:, None, :], axis=2)    # (B, n)
+        # --- aligned-slab column extraction (row i of A') ---------------
+        i_scr[:, :] = jnp.minimum(i, m - 1)
+        ib = i_scr[0, 0]
+        base = (ib // 8) * 8
+        blk = AT_ref[pl.ds(base, 8), :]                          # (8, n)
+        acol = jnp.sum(blk * (off == ib - base).astype(F32), axis=0,
+                       keepdims=True)                            # (1, n)
+
+        # --- rank-one S/Q/C^-1 update (src/sbl.jl:347-365) --------------
+        # v = C^-1 a in both orientations (C^-1 symmetric): a transpose of
+        # either one would hang the Mosaic compile inside this while body
+        v = lax.dot_general(acol, Cinv[:, :], (((1,), (0,)), ((), ())),
+                            preferred_element_type=F32)          # (1, n)
+        vcol = lax.dot_general(Cinv[:, :], acol, (((1,), (1,)), ((), ())),
+                               preferred_element_type=F32)       # (n, 1)
         denom = 1.0 / jnp.where(gamma_change != 0, gamma_change, 1.0) + S_i
-        dinv = jnp.where(gamma_change != 0, okf / denom, 0.0)    # (B, 1)
-        Cinv[:, :, :] = Cinv[:, :, :] \
-            - dinv[:, :, None] * v[:, :, None] * v[:, None, :]
-        Av = lax.dot_general(v, A_ref[:, :], (((1,), (0,)), ((), ())),
-                             preferred_element_type=F32)         # (B, m)
+        dinv = jnp.where(gamma_change != 0, okf / denom, 0.0)    # (1, 1)
+        # Mosaic cannot broadcast a (1, 1) vector into both sublanes and
+        # lanes of the (n, n) update — stage it and read a TRUE scalar
+        s_scr[:, 0:1] = dinv
+        ds = s_scr[0, 0]
+        Cinv[:, :] = Cinv[:, :] - vcol * (v * ds)
+        Av = lax.dot_general(v, AT_ref[:, :], (((1,), (1,)), ((), ())),
+                             preferred_element_type=F32)         # (1, m)
         S[:, :] = S[:, :] - dinv * Av * Av
         Q[:, :] = Q[:, :] - dinv * Av * Q_i
         alpha[:, :] = jnp.where((oh > 0) & ok, new_alpha_i, alpha[:, :])
 
-        done2 = jnp.where(dmax < min_increase, 1.0, done)
-        return t + 1, done2
+        run = (dmax >= min_increase).astype(F32)
+        return t + 1, run
 
     def cond(carry):
-        t, done = carry
-        return (t < maxiter) & (jnp.min(done) < 0.5)
+        t, run = carry
+        return (t < maxiter) & (jnp.min(run) > 0.5)
 
-    lax.while_loop(cond, body, (jnp.int32(0), jnp.zeros((B, 1), F32)))
-    alpha_ref[:, :] = alpha[:, :]
+    lax.while_loop(cond, body, (jnp.int32(0), jnp.ones((1, 1), F32)))
+    alpha_ref[0, :, :] = alpha[:, :]
 
 
 @partial(jax.jit, static_argnames=("sigma2", "maxiter", "min_increase",
@@ -138,26 +155,43 @@ def _fsbl_fused_call(A, Bs, sigma2: float, maxiter: int,
                      min_increase: float, interpret: bool = False):
     n, m = A.shape
     B = Bs.shape[0]
-    A = A.astype(F32)
+    AT = A.astype(F32).T  # materialized once outside the kernel
     Bs = Bs.astype(F32)
-    cn2 = jnp.sum(A * A, axis=0)[None, :]
+    cn2 = jnp.sum(AT * AT, axis=1)[None, :]
 
-    return pl.pallas_call(
+    alpha = pl.pallas_call(
         partial(_fsbl_kernel, sigma2, maxiter, min_increase),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((B, m), F32)],
-        scratch_shapes=[
-            pltpu.VMEM((B, n, n), F32),        # C^-1
-            pltpu.VMEM((B, m), F32),           # S
-            pltpu.VMEM((B, m), F32),           # Q
-            pltpu.VMEM((B, m), F32),           # alpha
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((m, n), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),     # shared A'
+            pl.BlockSpec((1, m), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),     # shared col norms
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),     # this instance's b
         ],
+        out_specs=[pl.BlockSpec((1, 1, m), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, 1, m), F32)],
+        scratch_shapes=[
+            pltpu.VMEM((n, n), F32),           # C^-1
+            pltpu.VMEM((1, m), F32),           # S
+            pltpu.VMEM((1, m), F32),           # Q
+            pltpu.VMEM((1, m), F32),           # alpha
+            pltpu.VMEM((1, 1), jnp.int32),     # selected atom
+            pltpu.VMEM((1, 128), F32),         # scalar staging
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * maxiter * n * (m + 2 * n),
+            bytes_accessed=m * n * 4 + 2 * B * (n + m) * 4,
+            transcendentals=3 * B * maxiter * m,
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(A, Bs, cn2)[0]
+    )(AT, cn2, Bs[:, None, :])[0]
+    return alpha[:, 0, :]
 
 
 def fsbl_fused_solve(A, Bs, sigma, maxiter: int | None = None,
@@ -179,12 +213,14 @@ def fsbl_fused_solve(A, Bs, sigma, maxiter: int | None = None,
 
 
 def supported_fsbl(A, Bs, sigma) -> bool:
-    """VMEM gate: (B, n, n) C^-1 plus the f32 dictionary must fit."""
+    """VMEM gate: the transposed f32 dictionary plus ONE (n, n) C^-1 (the
+    kernel runs one instance per grid program) must fit with headroom."""
     n, m = A.shape
-    B = Bs.shape[0]
-    if n % 8 or m % 128 or B % 8:
+    if Bs.ndim != 2:
+        return False
+    if n % 8 or m % 128:
         return False
     if jnp.ndim(jnp.asarray(sigma)) != 0:
         return False  # full covariance takes the XLA path
-    vmem = n * m * 4 + B * n * n * 4 + 4 * B * m * 4 + 2 * B * n * 4
-    return vmem < 100 * 1024 * 1024
+    vmem = n * m * 4 + n * n * 4 + 6 * m * 4 + 3 * n * 4
+    return vmem < 90 * 1024 * 1024

@@ -234,6 +234,23 @@ def test_fsbl_fused_matches_xla_path():
     np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
 
 
+def test_fsbl_fused_delete_path_matches_xla():
+    # Correlated dictionary at small noise: the greedy ascent overshoots to
+    # 8 active atoms then DELETES back down to 3 (verified via fsbl_traced),
+    # exercising the kernel's delete/re-estimate branch — the trickiest
+    # gamma_change sign case (src/sbl.jl:319-321).
+    from cstpu import correlated_data, fsbl, perturb
+    from cstpu.ops.fused_sbl import fsbl_fused_solve
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(0))
+    A, x, b = correlated_data(kd, n=32, m=128, k=3, dtype=jnp.float32)
+    y = perturb(kn, b, 1e-2)
+    Bs = jnp.stack([b, y])
+    xs = fsbl_fused_solve(A, Bs, 1e-4, interpret=True)
+    ref = jax.vmap(lambda bb: fsbl(A, bb, 1e-4))(Bs)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-4)
+
+
 def test_rmp_fused_matches_xla_path():
     from cstpu import rmp
     from cstpu.ops.fused_twostage import rmp_fused_solve
