@@ -26,6 +26,7 @@ k, sigma = 8, 1e-2
 def timeit(name, fn):
     t0 = time.perf_counter()
     out = jax.block_until_ready(fn())
+    _ = float(jnp.sum(out))  # warm the fetch kernel OUTSIDE the timed window
     t1 = time.perf_counter()
     reps = 3
     t2 = time.perf_counter()

@@ -72,6 +72,10 @@ def main() -> int:
         ("rmps", lambda: cstpu.rmps(A, y, DELTA ** 2), ref),
         ("rmps_noise", lambda: cstpu.rmps_estimate_noise(
             A, y, DELTA ** 2, 1.0, DELTA ** 2)[0], ref),
+        # traced variants are separate jitted programs (trace scatters in
+        # the loop carry) — drive them on hardware too
+        ("fsbl_traced", lambda: cstpu.fsbl_traced(A, y, DELTA ** 2)[0], ref),
+        ("rmps_traced", lambda: cstpu.rmps_traced(A, y, DELTA ** 2)[0], ref),
         ("bp", lambda: cstpu.bp(A, b), ref),
         ("bp_candes", lambda: cstpu.bp_candes(A, b), ref),
         ("bp_ard", lambda: cstpu.bp_ard(A, b), ref),
@@ -143,9 +147,9 @@ def main() -> int:
                      else jnp.asarray(sol))
             finite = bool(jnp.all(jnp.isfinite(dense)))
             if oracle == "resid":
-                yy = ys if name.startswith(("br", "fbr", "lace")) else y
-                AA = As if name.startswith(("br", "fbr", "lace")) else A
-                fit = float(jnp.linalg.norm(AA @ dense - yy))
+                # every resid-oracle case solves against (A, y); backward
+                # solvers all use support oracles on the square system
+                fit = float(jnp.linalg.norm(A @ dense - y))
                 ok = finite and fit < 3 * DELTA
                 detail = f"resid={fit:.2e}"
             elif oracle == "superset":

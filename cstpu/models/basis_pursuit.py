@@ -340,11 +340,32 @@ def _ista(A, b, w, x0, stepsize, maxiter: int):
     return lax.fori_loop(0, maxiter, body, x0)
 
 
+@jax.jit
 def _auto_stepsize(A):
     """Largest provably-convergent gradient step for min ||Ax-b||^2 + l1:
-    just under 1/L with L = 2*sigma_max(A)^2."""
-    s = jnp.linalg.svd(A, compute_uv=False)[0]
-    return 0.99 / (2.0 * s * s)
+    just under 1/L with L = 2*sigma_max(A)^2. sigma_max^2 comes from 64
+    power iterations on the smaller Gram operator (two GEMVs per step,
+    O(nm)) rather than a full SVD (O(n^2 m) — hundreds of solver
+    iterations' worth at dictionary scale). The 0.95 margin covers the
+    Rayleigh-quotient underestimate: its error carries a
+    (lambda_1 - lambda_2) factor, so it is tiny both when the spectrum
+    has a gap (fast convergence) and when it does not (quotient already
+    near lambda_1)."""
+    n, m = A.shape
+    if n <= m:
+        G = lambda v: A @ (v @ A)          # top eig of A A'  (n, n)
+    else:
+        G = lambda v: (A @ v) @ A          # top eig of A'A   (m, m)
+    k = min(n, m)
+    v0 = 1.0 + 1e-3 * jnp.arange(k, dtype=A.dtype)  # never eigen-orthogonal
+
+    def body(_, v):
+        w = G(v)
+        return w / jnp.linalg.norm(w)
+
+    v = lax.fori_loop(0, 64, body, v0 / jnp.linalg.norm(v0))
+    lam1 = v @ G(v)                        # = sigma_max(A)^2
+    return 0.95 / (2.0 * lam1)
 
 
 def ista(A, b, lam, x0=None, maxiter: int = 1024,

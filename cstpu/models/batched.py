@@ -455,15 +455,14 @@ def fsbl_batch(A, Bs, sigma, maxiter=None, min_increase: float = 1e-6,
     """Batched fast SBL over measurement rows Bs (B, n) — dense (B, m) out.
 
     With `fused=True` (TPU, scalar noise, supported shapes) this runs the
-    whole-solve fused FSBL kernel (cstpu.ops.fused_sbl): the dictionary,
-    C^-1, and the S/Q factors stay pinned in VMEM across every
-    add/delete/re-estimate action, everything in f32 (the SBL family is
-    not precision-tolerant). The default stays on the vmapped XLA path:
-    measured at n=128 m=1024 B=8 the kernel is ~1.5x SLOWER (37.8 vs
-    25.4 ms — the per-action work is (B,n,n) VPU-bound, which XLA also
-    schedules well), and larger-shape compiles are currently impractical
-    through the compile tunnel. Opt in only where the kernel has been
-    measured to win.
+    whole-solve fused FSBL kernel (cstpu.ops.fused_sbl, one instance per
+    grid program): the transposed dictionary, C^-1, and the S/Q factors
+    stay pinned in VMEM across every add/delete/re-estimate action,
+    everything in f32 (the SBL family is not precision-tolerant). The
+    default stays on the atom-sharded XLA path until the restructured
+    kernel has been timed on hardware (benchmarks/fsbl_kernel_ab.py; its
+    all-batch predecessor measured ~1.5x slower than XLA at n=128
+    m=1024 B=8). Opt in only where the kernel has been measured to win.
     """
     import jax.numpy as jnp
 

@@ -186,6 +186,8 @@ def _lars_batch(A, Bs, w, mode: int, target: float, max_iter: int,
         raise ValueError("Bs must be (B, n)")
     B = Bs.shape[0]
     w = np.ones(m) if w is None else np.ascontiguousarray(w, np.float64)
+    if w.shape != (m,):
+        raise ValueError("weights shape mismatch")
     X = np.zeros((B, m), np.float64)
     lams = np.zeros(B, np.float64)
     statuses = np.zeros(B, np.int32)

@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 
 from cstpu import bpd, ista, perturb, sparse_data, support
-from cstpu.native import HomotopyError, bpd_homotopy, lasso_homotopy
+from cstpu.native import (HomotopyError, bpd_homotopy, lasso_homotopy,
+                          lasso_homotopy_batch)
 
 
 def _problem(seed, n=32, m=48, k=3):
@@ -146,6 +147,15 @@ def test_homotopy_rejects_bad_weights():
     A, x, b = _problem(97)
     with pytest.raises(HomotopyError):
         lasso_homotopy(A, b, 0.1, w=np.zeros(A.shape[1]))
+
+
+def test_batch_rejects_wrong_length_weights():
+    # the batch path must validate w BEFORE handing it to C (a short
+    # buffer would be read out of bounds by the native weight check)
+    A, x, b = _problem(98)
+    with pytest.raises(ValueError, match="weights"):
+        lasso_homotopy_batch(A, np.stack([b, b]), 0.1,
+                             w=np.ones(A.shape[1] - 1))
 
 
 def test_bpd_homotopy_infeasible_delta():
