@@ -1,4 +1,4 @@
-"""A/B: per-instance fused FSBL kernel vs the TPU-default XLA path.
+"""A/B: per-instance fused FSBL + RMPS kernels vs the TPU-default XLA paths.
 
 Interleaves both paths per shape in one process so tunnel/session drift
 cancels. Each (n, m, B) triple is a separate compile; n >= 256 is the
@@ -15,8 +15,9 @@ import jax
 import jax.numpy as jnp
 
 import cstpu
-from cstpu.models.batched import fsbl_batch
-from cstpu.ops.fused_sbl import fsbl_fused_solve, supported_fsbl
+from cstpu.models.batched import fsbl_batch, rmps_batch
+from cstpu.ops.fused_sbl import (fsbl_fused_solve, rmps_fused_solve,
+                                 supported_fsbl)
 
 shapes = ([tuple(int(v) for v in a.split(",")) for a in sys.argv[1:]]
           or [(128, 1024, 8), (256, 1024, 8)])
@@ -47,11 +48,18 @@ for n, m, B in shapes:
     print(f"n={n} m={m} B={B} k={k} "
           f"supported={supported_fsbl(A, Bs, sigma ** 2)}", flush=True)
 
-    xf = timeit("fused", lambda: fsbl_fused_solve(A, Bs, sigma ** 2))
-    xr = timeit("xla  ", lambda: fsbl_batch(A, Bs, sigma ** 2))
-
-    err = float(jnp.max(jnp.abs(xf - xr)))
-    sup_f = jnp.abs(xf) > sigma
-    rec = float(jnp.mean(jax.vmap(
-        lambda s: (s == (jnp.abs(x) > 0)).all())(sup_f).astype(jnp.float32)))
-    print(f"  max|fused-xla|={err:.2e} recovery={rec:.3f}", flush=True)
+    for label, fused_fn, xla_fn in (
+        ("fsbl", lambda: fsbl_fused_solve(A, Bs, sigma ** 2),
+         lambda: fsbl_batch(A, Bs, sigma ** 2)),
+        ("rmps", lambda: rmps_fused_solve(A, Bs, sigma ** 2),
+         lambda: rmps_batch(A, Bs, sigma ** 2)),
+    ):
+        xf = timeit(f"{label} fused", fused_fn)
+        xr = timeit(f"{label} xla  ", xla_fn)
+        err = float(jnp.max(jnp.abs(xf - xr)))
+        sup_f = jnp.abs(xf) > sigma
+        rec = float(jnp.mean(jax.vmap(
+            lambda s: (s == (jnp.abs(x) > 0)).all())(sup_f)
+            .astype(jnp.float32)))
+        print(f"  {label}: max|fused-xla|={err:.2e} recovery={rec:.3f}",
+              flush=True)

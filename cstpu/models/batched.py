@@ -422,7 +422,7 @@ def sbl_batch(A, Bs, sigma, maxiter=None, min_change: float = 1e-6):
                                    min_change=min_change))(jnp.asarray(Bs))
 
 
-def rmps_batch(A, Bs, sigma, **kw):
+def rmps_batch(A, Bs, sigma, fused: bool = False, **kw):
     """Batched RMPS over measurement rows Bs (B, n).
 
     On TPU with scalar noise this dispatches to the atom-sharded RMPS
@@ -432,14 +432,26 @@ def rmps_batch(A, Bs, sigma, **kw):
     build — measured 2x faster than the vmapped path at 1024x8192 even
     on a single chip, and it scales over the atom axis. Returns dense
     (B, m) weights either way.
+
+    `fused=True` (TPU, scalar noise, supported shapes) runs the
+    per-instance fused kernel (cstpu.ops.fused_sbl.rmps_fused_solve):
+    one launch per outer iteration, the refresh/acquisition/deletion
+    stages in VMEM. Opt-in until measured to win on hardware.
     """
     import jax.numpy as jnp
+
+    from cstpu.ops import fused_sbl
 
     A = jnp.asarray(A)
     Bs = jnp.asarray(Bs)
     shard_kw = {k_: v for k_, v in kw.items()
                 if k_ in ("maxiter", "maxiter_acquisition",
                           "maxiter_deletion", "min_increase")}
+    if (fused and A.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+            and shard_kw == kw
+            and fused_sbl.supported_rmps(A, Bs, sigma)):
+        return fused_sbl.rmps_fused_solve(A, Bs, sigma, **shard_kw)
     if (jax.default_backend() == "tpu" and Bs.ndim == 2
             and A.dtype == jnp.float32
             and jnp.ndim(jnp.asarray(sigma)) == 0

@@ -212,6 +212,280 @@ def fsbl_fused_solve(A, Bs, sigma, maxiter: int | None = None,
         alpha, jnp.asarray(Bs))
 
 
+# ---------------------------------------------------------------------------
+# RMPS: staged coordinate ascent, one OUTER iteration per kernel launch
+# ---------------------------------------------------------------------------
+
+def _rmps_kernel(sigma2: float, maxiter_acq: int, maxiter_del: int,
+                 min_increase: float,
+                 AT_ref, cn2_ref, b_ref, alpha_in_ref, done_in_ref,
+                 alpha_ref, done_ref,
+                 Cinv, S, Q, alpha, old1, i_scr, s_scr, d_scr, c_scr):
+    """One outer RMPS iteration (parity src/sbl.jl:381-406 body):
+    refresh S/Q/C^-1 from the incoming alpha, acquisition to exhaustion,
+    then the deletion/update stage — flattened into ONE while loop as a
+    three-stage state machine (Mosaic handles a single scf.while; the
+    XLA path's nested while loops would be nested scf regions).
+
+    The refresh (the XLA path's `_init_sq` re-factorization) is done by
+    re-ADDING each active atom to the empty-set closed form with the same
+    rank-one Woodbury update the stages use — mathematically exact, no
+    in-kernel Cholesky. Stage state lives in an i32 scratch row
+    (c_scr: [stage, refresh ptr, in-stage counter]); the kernel returns
+    the updated alpha plus a done flag (done1 | done2 — the outer loop's
+    convergence test), and the host wrapper drives outer iterations.
+    """
+    m, n = AT_ref.shape
+
+    # ---- prologue: empty-active-set closed form + stage reset ----------
+    ii = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    Cinv[:, :] = (ii == jj).astype(F32) / sigma2
+    S[:, :] = cn2_ref[:, :] / sigma2
+    Q[:, :] = lax.dot_general(b_ref[0], AT_ref[:, :],
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=F32) / sigma2
+    alpha[:, :] = alpha_in_ref[0]
+    old1[:, :] = alpha_in_ref[0]
+    d_scr[:, :] = done_in_ref[0]
+    lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    c_scr[:, :] = jnp.where(lane == 1, -1, 0)    # stage=0, ptr=-1, cnt=0
+
+    col_iota = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    off = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def gather(x, oh):
+        return jnp.sum(jnp.where(oh > 0, x, 0.0), axis=1, keepdims=True)
+
+    def allsame(x, y):
+        return jnp.min(jnp.where(x == y, 1.0, 0.0), axis=1, keepdims=True)
+
+    def body(carry):
+        t, _run = carry
+        stage = c_scr[0, 0]
+        ptr = c_scr[0, 1]
+        cnt = c_scr[0, 2]
+        is_ref = stage == 0
+        is_acq = stage == 1
+        is_del = stage == 2
+
+        # --- per-atom quantities (src/sbl.jl:195-201) -------------------
+        f = jnp.where(jnp.isfinite(alpha[:, :]),
+                      alpha[:, :] / (alpha[:, :] - S[:, :]), 1.0)
+        s, q = S[:, :] * f, Q[:, :] * f
+        active = jnp.isfinite(alpha[:, :])
+        relevant = s < q * q
+        an_all = jnp.where(relevant, s * s / (q * q - s), jnp.inf)
+
+        # --- stage candidates ------------------------------------------
+        # refresh: next active atom after ptr (re-add with gamma=1/alpha)
+        rsel = active & (col_iota > ptr)
+        ref_i = jnp.min(jnp.where(rsel, col_iota, INT_MAX),
+                        axis=1, keepdims=True)                   # (1, 1)
+        have_ref = ref_i < INT_MAX
+        # acquisition: best delta_add among passive relevant (sbl.jl:226-246)
+        val = jnp.where(~active & relevant,
+                        _delta_add(S[:, :], Q[:, :]), 0.0)
+        vmax = jnp.max(val, axis=1, keepdims=True)
+        ka = jnp.min(jnp.where(val == vmax, col_iota, INT_MAX),
+                     axis=1, keepdims=True)
+        do_add = vmax > 0
+        # deletion: min q^2/s among active irrelevant (sbl.jl:413-425)
+        dv = jnp.where(active & ~relevant, q * q / s, jnp.inf)
+        dvmin = jnp.min(dv, axis=1, keepdims=True)
+        kd = jnp.min(jnp.where(dv == dvmin, col_iota, INT_MAX),
+                     axis=1, keepdims=True)
+        do_del = dvmin < 1
+        # re-estimate: best delta_update among active relevant
+        uv = jnp.where(active & relevant,
+                       _delta_update(S[:, :], Q[:, :], alpha[:, :], an_all),
+                       0.0)
+        umax = jnp.max(uv, axis=1, keepdims=True)
+        ku = jnp.min(jnp.where(uv == umax, col_iota, INT_MAX),
+                     axis=1, keepdims=True)
+        do_upd = ~do_del & (umax > 0)
+        upd_gain = jnp.where(do_upd, umax, 0.0)
+
+        # --- stage-gated action selection ------------------------------
+        acq_lim = cnt >= maxiter_acq
+        del_lim = cnt >= maxiter_del
+        ref_act = is_ref & have_ref
+        add_act = is_acq & do_add & ~acq_lim
+        del_act = is_del & do_del & ~del_lim
+        upd_act = is_del & do_upd & ~del_lim
+        i = jnp.where(ref_act, ref_i,
+            jnp.where(is_acq, ka, jnp.where(do_del, kd, ku)))
+
+        oh = (col_iota == i).astype(F32)
+        a_i = gather(jnp.where(active, alpha[:, :], 0.0), oh)
+        a_i = jnp.where(gather(active.astype(F32), oh) > 0.5, a_i, jnp.inf)
+        an_i = gather(jnp.where(relevant, an_all, 0.0), oh)
+        S_i = gather(S[:, :], oh)
+        Q_i = gather(Q[:, :], oh)
+
+        gamma = jnp.where(ref_act, 1.0 / a_i,
+                jnp.where(add_act, 1.0 / an_i,
+                jnp.where(del_act, -1.0 / a_i,
+                jnp.where(upd_act, 1.0 / an_i - 1.0 / a_i, 0.0))))
+        new_alpha_i = jnp.where(add_act | upd_act, an_i,
+                      jnp.where(del_act, jnp.inf, a_i))
+
+        # --- rank-one S/Q/C^-1 update (src/sbl.jl:347-365) --------------
+        i_scr[:, :] = jnp.minimum(i, m - 1)
+        ib = i_scr[0, 0]
+        base = (ib // 8) * 8
+        blk = AT_ref[pl.ds(base, 8), :]                          # (8, n)
+        acol = jnp.sum(blk * (off == ib - base).astype(F32), axis=0,
+                       keepdims=True)                            # (1, n)
+        v = lax.dot_general(acol, Cinv[:, :], (((1,), (0,)), ((), ())),
+                            preferred_element_type=F32)          # (1, n)
+        vcol = lax.dot_general(Cinv[:, :], acol, (((1,), (1,)), ((), ())),
+                               preferred_element_type=F32)       # (n, 1)
+        denom = 1.0 / jnp.where(gamma != 0, gamma, 1.0) + S_i
+        dinv = jnp.where(gamma != 0, 1.0 / denom, 0.0)           # (1, 1)
+        s_scr[:, 0:1] = dinv
+        ds = s_scr[0, 0]
+        Cinv[:, :] = Cinv[:, :] - vcol * (v * ds)
+        Av = lax.dot_general(v, AT_ref[:, :], (((1,), (1,)), ((), ())),
+                             preferred_element_type=F32)         # (1, m)
+        S[:, :] = S[:, :] - dinv * Av * Av
+        Q[:, :] = Q[:, :] - dinv * Av * Q_i
+        any_act = ref_act | add_act | del_act | upd_act
+        alpha[:, :] = jnp.where((oh > 0) & any_act, new_alpha_i,
+                                alpha[:, :])
+
+        # --- transitions (all computed on post-update alpha) ------------
+        leave_ref = is_ref & ~have_ref
+        leave_acq = is_acq & (~do_add | acq_lim)
+        done1 = leave_acq & (allsame(alpha[:, :], alpha_in_ref[0]) > 0.5)
+        stop_del = ~do_del & (upd_gain < min_increase)
+        leave_del = is_del & (stop_del | del_lim)
+        done2 = leave_del & (allsame(alpha[:, :], old1[:, :]) > 0.5)
+
+        # snapshot old1 = post-acquisition alpha when entering deletion
+        enter_del = leave_acq & ~done1
+        old1[:, :] = jnp.where(enter_del, alpha[:, :], old1[:, :])
+
+        stage_new = jnp.where(leave_ref, 1, jnp.where(enter_del, 2, stage))
+        cnt_new = jnp.where(leave_ref | leave_acq, 0, cnt + 1)
+        # ib (a true scalar staged through i_scr) equals the refresh index
+        # whenever ref_act holds: the m-1 clamp only binds for INT_MAX
+        ptr_new = jnp.where(ref_act, ib, ptr)
+        c_scr[:, :] = jnp.where(lane == 0, stage_new,
+                      jnp.where(lane == 1, ptr_new,
+                      jnp.where(lane == 2, cnt_new, 0)))
+
+        done = (done1 | done2).astype(F32)                       # (1, 1)
+        d_scr[:, 0:1] = jnp.maximum(d_scr[:, 0:1], done)
+        run = jnp.where(done1 | leave_del, 0.0, 1.0)
+        return t + 1, run
+
+    def cond(carry):
+        t, run = carry
+        return (t < m + maxiter_acq + maxiter_del + 3) & \
+            (jnp.min(run) > 0.5)
+
+    run0 = jnp.where(d_scr[0:1, 0:1] > 0.5, 0.0, 1.0)
+    lax.while_loop(cond, body, (jnp.int32(0), run0))
+    alpha_ref[0, :, :] = alpha[:, :]
+    done_ref[0, :, :] = d_scr[:, :]
+
+
+@partial(jax.jit, static_argnames=("sigma2", "maxiter_acq", "maxiter_del",
+                                   "min_increase", "interpret"))
+def _rmps_outer_call(A, Bs, alpha, done, sigma2: float, maxiter_acq: int,
+                     maxiter_del: int, min_increase: float,
+                     interpret: bool = False):
+    n, m = A.shape
+    B = Bs.shape[0]
+    AT = A.astype(F32).T
+    cn2 = jnp.sum(AT * AT, axis=1)[None, :]
+
+    alpha_out, done_out = pl.pallas_call(
+        partial(_rmps_kernel, sigma2, maxiter_acq, maxiter_del,
+                min_increase),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((m, n), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),     # shared A'
+            pl.BlockSpec((1, m), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),     # shared col norms
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),     # this instance's b
+            pl.BlockSpec((1, 1, m), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),     # incoming alpha
+            pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),     # incoming done flag
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, m), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, 1, m), F32),
+                   jax.ShapeDtypeStruct((B, 1, 128), F32)],
+        scratch_shapes=[
+            pltpu.VMEM((n, n), F32),           # C^-1
+            pltpu.VMEM((1, m), F32),           # S
+            pltpu.VMEM((1, m), F32),           # Q
+            pltpu.VMEM((1, m), F32),           # alpha
+            pltpu.VMEM((1, m), F32),           # old1 (post-acquisition)
+            pltpu.VMEM((1, 1), jnp.int32),     # selected atom
+            pltpu.VMEM((1, 128), F32),         # scalar staging
+            pltpu.VMEM((1, 128), F32),         # done flag
+            pltpu.VMEM((1, 128), jnp.int32),   # stage / ptr / counter
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (maxiter_acq + maxiter_del) * n * (m + 2 * n),
+            bytes_accessed=m * n * 4 + 2 * B * (n + 2 * m) * 4,
+            transcendentals=4 * B * (maxiter_acq + maxiter_del) * m,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(AT, cn2, Bs.astype(F32)[:, None, :], alpha[:, None, :],
+      done[:, None, :])
+    return alpha_out[:, 0, :], done_out[:, 0, :]
+
+
+def rmps_fused_solve(A, Bs, sigma, maxiter: int | None = None,
+                     maxiter_acquisition: int | None = None,
+                     maxiter_deletion: int | None = None,
+                     min_increase: float = 1e-6, interpret: bool = False):
+    """Batched RMPS via the per-instance fused kernel (scalar noise only).
+
+    One kernel launch per OUTER iteration (refresh + acquisition +
+    deletion stages run in-kernel); the host loop stops when every
+    instance reports convergence — semantics of `vmap(cstpu.rmps)`.
+    Parity: src/sbl.jl:373-406 (incl. the alpha reset at optimize! entry,
+    :386-387, via the all-inf initial alpha).
+    """
+    from cstpu.models.sbl import _posterior_mean
+
+    n, m = A.shape
+    maxiter = int(maxiter if maxiter is not None else n)
+    maxiter_acq = int(maxiter_acquisition
+                      if maxiter_acquisition is not None else n)
+    maxiter_del = int(maxiter_deletion
+                      if maxiter_deletion is not None else n)
+    sigma2 = float(sigma)
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    B = Bs.shape[0]
+    alpha = jnp.full((B, m), jnp.inf, F32)
+    done = jnp.zeros((B, 128), F32)
+    for _ in range(maxiter):
+        alpha, done = _rmps_outer_call(A, Bs, alpha, done, sigma2,
+                                       maxiter_acq, maxiter_del,
+                                       float(min_increase), interpret)
+        if bool(jnp.all(done[:, 0] > 0.5)):
+            break
+    return jax.vmap(lambda al, bb: _posterior_mean(A, bb, sigma2, al))(
+        alpha, Bs)
+
+
 def supported_fsbl(A, Bs, sigma) -> bool:
     """VMEM gate: the transposed f32 dictionary plus ONE (n, n) C^-1 (the
     kernel runs one instance per grid program) must fit with headroom."""
@@ -224,3 +498,8 @@ def supported_fsbl(A, Bs, sigma) -> bool:
         return False  # full covariance takes the XLA path
     vmem = n * m * 4 + n * n * 4 + 6 * m * 4 + 3 * n * 4
     return vmem < 90 * 1024 * 1024
+
+
+def supported_rmps(A, Bs, sigma) -> bool:
+    """Same VMEM/shape gate as the FSBL kernel (one extra (1, m) scratch)."""
+    return supported_fsbl(A, Bs, sigma)

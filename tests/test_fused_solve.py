@@ -251,6 +251,23 @@ def test_fsbl_fused_delete_path_matches_xla():
     np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-4)
 
 
+def test_rmps_fused_matches_xla_path():
+    # one kernel launch per outer iteration; Gaussian (add-dominated) and
+    # correlated (delete-heavy) problems cover all three in-kernel stages
+    from cstpu import correlated_data, perturb, rmps, sparse_data
+    from cstpu.ops.fused_sbl import rmps_fused_solve
+
+    for seed, gen in ((3, sparse_data), (0, correlated_data)):
+        kd, kn = jax.random.split(jax.random.PRNGKey(seed))
+        A, x, b = gen(kd, n=32, m=128, k=3, dtype=jnp.float32)
+        y = perturb(kn, b, 1e-2)
+        Bs = jnp.stack([b, y])
+        xs = rmps_fused_solve(A, Bs, 1e-4, interpret=True)
+        ref = jax.vmap(lambda bb: rmps(A, bb, 1e-4))(Bs)
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(ref),
+                                   atol=1e-4)
+
+
 def test_rmp_fused_matches_xla_path():
     from cstpu import rmp
     from cstpu.ops.fused_twostage import rmp_fused_solve
