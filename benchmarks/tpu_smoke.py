@@ -76,6 +76,8 @@ def main() -> int:
         # the loop carry) — drive them on hardware too
         ("fsbl_traced", lambda: cstpu.fsbl_traced(A, y, DELTA ** 2)[0], ref),
         ("rmps_traced", lambda: cstpu.rmps_traced(A, y, DELTA ** 2)[0], ref),
+        ("rmps_noise_b", lambda: cstpu.rmps_estimate_noise_batch(
+            A, y[None, :], DELTA ** 2, 1.0, DELTA ** 2)[0][0], ref),
         ("bp", lambda: cstpu.bp(A, b), ref),
         ("bp_candes", lambda: cstpu.bp_candes(A, b), ref),
         ("bp_ard", lambda: cstpu.bp_ard(A, b), ref),

@@ -67,6 +67,7 @@ from cstpu.models.batched import (
     batch, omp_batch, fr_batch, mp_batch, sp_batch, gomp_batch,
     srr_batch, ompr_batch, rmps_batch, fsbl_batch, sbl_batch,
     rmp_batch, foba_batch, br_batch, fbr_batch, lace_batch,
+    rmps_estimate_noise_batch,
 )
 from cstpu.utils.config import SolverConfig, solver_config
 from cstpu.utils.diagnostics import (omp_traced, fr_traced, SolveTrace,
@@ -96,6 +97,7 @@ __all__ = [
     "batch", "omp_batch", "fr_batch", "mp_batch", "sp_batch",
     "gomp_batch", "srr_batch", "ompr_batch", "rmps_batch", "fsbl_batch",
     "sbl_batch", "rmp_batch", "foba_batch", "br_batch", "fbr_batch",
+    "rmps_estimate_noise_batch",
     "lace_batch",
     "SolverConfig", "solver_config",
     "omp_traced", "fr_traced", "SolveTrace", "SBLTrace", "RMPSTrace",

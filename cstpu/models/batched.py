@@ -462,6 +462,30 @@ def rmps_batch(A, Bs, sigma, fused: bool = False, **kw):
     return jax.vmap(lambda bb: rmps(A, bb, sigma, **kw))(Bs)
 
 
+def rmps_estimate_noise_batch(A, Bs, sigma2_init: float = 1e-2,
+                              a_sigma2: float = 0.0, b_sigma2: float = 0.0,
+                              maxiter=None, min_increase: float = 1e-6,
+                              maxouteriter: int = 16,
+                              min_change: float = 1e-12):
+    """Batched RMPS noise-variance learning over measurement rows Bs
+    (B, n): the outer EM loop re-estimating sigma^2 under an
+    Inverse-Gamma(a, b) prior, vmapped with per-instance convergence
+    (each instance stops its own EM loop; no batch-wide sync points).
+    Returns (X (B, m), sigma2 (B,)). Parity: src/sbl.jl:439-470."""
+    import jax.numpy as jnp
+
+    from cstpu.models.sbl import _rmps_noise_one
+
+    A = jnp.asarray(A)
+    Bs = jnp.asarray(Bs)
+    maxiter = int(maxiter if maxiter is not None else 2 * A.shape[1])
+    return jax.vmap(lambda bb: _rmps_noise_one(
+        A, bb, jnp.asarray(sigma2_init, A.dtype),
+        jnp.asarray(a_sigma2, A.dtype), jnp.asarray(b_sigma2, A.dtype),
+        maxiter, jnp.asarray(min_increase, A.dtype), int(maxouteriter),
+        jnp.asarray(min_change, A.dtype)))(Bs)
+
+
 def fsbl_batch(A, Bs, sigma, maxiter=None, min_increase: float = 1e-6,
                fused: bool = False):
     """Batched fast SBL over measurement rows Bs (B, n) — dense (B, m) out.

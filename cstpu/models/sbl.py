@@ -508,6 +508,38 @@ def rmps(A, b, sigma, maxiter: int | None = None,
     return x
 
 
+@partial(jax.jit, static_argnames=("maxiter", "maxouteriter"))
+@_f32_matmuls
+def _rmps_noise_one(A, b, sigma2_init, a_sigma2, b_sigma2, maxiter: int,
+                    min_increase, maxouteriter: int, min_change):
+    """Single-instance noise-learning EM loop as a pure lax.while_loop —
+    the vmappable core of rmps_estimate_noise_batch. Same semantics as
+    rmps_estimate_noise (parity src/sbl.jl:439-470) minus the host-side
+    early-exit float() round-trips."""
+    n, m = A.shape
+
+    def cond(c):
+        _alpha, _s2, t, done = c
+        return (t < maxouteriter) & ~done
+
+    def body(c):
+        alpha, s2, t, _ = c
+        alpha = _rmps_optimize(A, b, s2, alpha, maxiter, n, n, min_increase)
+        x = _posterior_mean(A, b, s2, alpha)
+        g = jnp.where(jnp.isfinite(alpha), 1.0 / alpha, 0.0)
+        s2_new = ((norm2(b - A @ x) + 2 * b_sigma2)
+                  / (n - jnp.sum(g) + 2 * a_sigma2))
+        done = jnp.abs(s2_new - s2) < min_change
+        return alpha, s2_new, t + 1, done
+
+    alpha0 = jnp.full((m,), jnp.inf, A.dtype)
+    alpha, s2, _, _ = lax.while_loop(
+        cond, body,
+        (alpha0, jnp.asarray(sigma2_init, A.dtype), jnp.int32(0),
+         jnp.bool_(False)))
+    return _posterior_mean(A, b, s2, alpha), s2
+
+
 def rmps_estimate_noise(A, b, sigma2_init: float = 1e-2, a_sigma2: float = 0.0,
                         b_sigma2: float = 0.0, maxiter: int | None = None,
                         min_increase: float = 1e-6, maxouteriter: int = 16,

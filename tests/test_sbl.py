@@ -76,6 +76,23 @@ def test_rmps_noise_learning():
     np.testing.assert_allclose(s2, SIGMA ** 2, rtol=2)
 
 
+def test_rmps_noise_learning_batch_matches_single():
+    from cstpu import perturb, rmps_estimate_noise_batch
+
+    A, x, b, y = _problem(54)
+    y2 = perturb(jax.random.PRNGKey(77), b, SIGMA / 2)
+    Bs = jnp.stack([y, y2])
+    X, s2s = rmps_estimate_noise_batch(A, Bs, SIGMA ** 2, a_sigma2=1.0,
+                                       b_sigma2=SIGMA ** 2)
+    assert X.shape == (2, A.shape[1]) and s2s.shape == (2,)
+    for i, yy in enumerate((y, y2)):
+        xs, s2 = rmps_estimate_noise(A, yy, SIGMA ** 2, a_sigma2=1.0,
+                                     b_sigma2=SIGMA ** 2)
+        np.testing.assert_allclose(np.asarray(X[i]), np.asarray(xs),
+                                   atol=1e-6)
+        np.testing.assert_allclose(float(s2s[i]), s2, rtol=1e-6)
+
+
 def test_rmp_zero_noise_limit():
     # oracle: test/sbl.jl:43-45
     A, x, b, y = _problem(55)
