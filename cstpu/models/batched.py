@@ -469,8 +469,11 @@ def rmps_estimate_noise_batch(A, Bs, sigma2_init: float = 1e-2,
                               min_change: float = 1e-12):
     """Batched RMPS noise-variance learning over measurement rows Bs
     (B, n): the outer EM loop re-estimating sigma^2 under an
-    Inverse-Gamma(a, b) prior, vmapped with per-instance convergence
-    (each instance stops its own EM loop; no batch-wide sync points).
+    Inverse-Gamma(a, b) prior, vmapped over instances. Convergence is
+    tracked per instance, but as with any vmapped lax.while_loop the
+    batch runs until the SLOWEST instance converges (finished instances
+    are masked, not stopped) — cost scales with the worst case, up to
+    maxouteriter full inner solves for every row.
     Returns (X (B, m), sigma2 (B,)). Parity: src/sbl.jl:439-470."""
     import jax.numpy as jnp
 

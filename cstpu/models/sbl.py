@@ -329,7 +329,17 @@ def _acquisition_stage(A, st: SQState, maxiter, enabled):
     """Add atoms (best delta_add first) until no add is beneficial.
 
     Parity: `sbl_acquisition!` (src/sbl.jl:226-246) driven to exhaustion
-    (src/sbl.jl:390-392)."""
+    (src/sbl.jl:390-392). Returns (state, starved) where `starved` means
+    the `maxiter` cap stopped the stage while a beneficial add was still
+    available — the outer loop must not declare convergence then (see
+    _rmps_optimize)."""
+    def _has_beneficial_add(st):
+        s, q = _get_sq(st.S, st.Q, st.alpha)
+        relevant = s < q * q
+        val = jnp.where(~jnp.isfinite(st.alpha) & relevant,
+                        _delta_add(st.S, st.Q), 0.0)
+        return jnp.max(val) > 0
+
     def cond(c):
         st, j, stop = c
         return (j < maxiter) & ~stop
@@ -349,7 +359,7 @@ def _acquisition_stage(A, st: SQState, maxiter, enabled):
         return st2, j + 1, ~do
 
     st, _, _ = lax.while_loop(cond, body, (st, jnp.int32(0), ~enabled))
-    return st
+    return st, enabled & _has_beneficial_add(st)
 
 
 def _deletion_update_stage(A, st: SQState, maxiter, min_increase, enabled):
@@ -415,11 +425,17 @@ def _rmps_optimize(A, b, sigma, alpha0, maxiter: int, maxiter_acq: int,
         # the f32 chains of hundreds of updates at n ~ 1000 accumulate
         # enough error to stall deletions on junk atoms.
         st = _init_sq(A, b, sigma, st.alpha)
-        st = _acquisition_stage(A, st, maxiter_acq, jnp.bool_(True))
+        st, starved = _acquisition_stage(A, st, maxiter_acq, jnp.bool_(True))
         done1 = jnp.all(st.alpha == old)
         old1 = st.alpha
         st = _deletion_update_stage(A, st, maxiter_del, min_increase, ~done1)
-        done2 = jnp.all(st.alpha == old1)
+        # done2 = "deletion stage changed nothing" — but a capped
+        # acquisition stage that still had beneficial adds pending has NOT
+        # converged (the re-estimate gain right after an optimal add is
+        # exactly zero in exact arithmetic, so without the guard this
+        # decision rides on a +-ulp sign and maxiter_acquisition < k
+        # terminates on a starved support)
+        done2 = jnp.all(st.alpha == old1) & ~starved
         return st, st.alpha, t + 1, done1 | done2
 
     st, _, _, _ = lax.while_loop(
@@ -448,11 +464,11 @@ def _rmps_traced(A, b, sigma, maxiter: int, maxiter_acq: int,
     def body(c):
         st, old, tr, t, _ = c
         st = _init_sq(A, b, sigma, st.alpha)
-        st = _acquisition_stage(A, st, maxiter_acq, jnp.bool_(True))
+        st, starved = _acquisition_stage(A, st, maxiter_acq, jnp.bool_(True))
         done1 = jnp.all(st.alpha == old)
         old1 = st.alpha
         st = _deletion_update_stage(A, st, maxiter_del, min_increase, ~done1)
-        done2 = jnp.all(st.alpha == old1)
+        done2 = jnp.all(st.alpha == old1) & ~starved
         fin0, fin1, fin2 = (jnp.isfinite(old), jnp.isfinite(old1),
                             jnp.isfinite(st.alpha))
         tr = RMPSTrace(

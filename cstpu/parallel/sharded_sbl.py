@@ -324,6 +324,13 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         eq = jnp.all((a == b_) | (jnp.isinf(a) & jnp.isinf(b_)), axis=1)
         return lax.pmin(eq.astype(jnp.int32), axis) > 0
 
+    def has_beneficial_add(alpha, S, Q):
+        s, q = _get_sq(S, Q, alpha)
+        val = jnp.where(~jnp.isfinite(alpha) & (s < q * q),
+                        _delta_add(S, Q), 0.0)
+        val = jnp.where(jnp.isnan(val), 0.0, val)
+        return lax.pmax(jnp.max(val, axis=1), axis) > 0
+
     alpha0 = jnp.full((B, m_local), jnp.inf, f)
 
     def outer(carry):
@@ -335,7 +342,13 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         old1 = alpha
         alpha, S, Q, Cinv = run_stage(deletion_update, maxiter_del,
                                       alpha, S, Q, Cinv, ~done1)
-        done2 = done1 | alpha_eq(alpha, old1)
+        # a capped acquisition stage with beneficial adds still pending has
+        # not converged even if deletion changed nothing (the re-estimate
+        # gain right after an optimal add is exactly zero in exact
+        # arithmetic — without this guard done2 rides a +-ulp sign; see
+        # models/sbl.py _rmps_optimize)
+        done2 = done1 | (alpha_eq(alpha, old1)
+                         & ~has_beneficial_add(alpha, S, Q))
         return alpha, alpha, t + 1, done2
 
     def outer_cond(carry):
