@@ -313,23 +313,29 @@ def test_rmps_capped_acquisition_not_starved():
     # "deletion changed nothing" convergence test used to ride a +-ulp
     # sign here and could terminate on a 1-atom starved support. With the
     # pending-adds guard both paths must keep iterating and recover.
-    from cstpu import correlated_data, perturb, rmps, support
+    # sparse_data seed 9 is a verified discriminator: the unguarded XLA
+    # path returns the single atom {102} on this well-separated Gaussian
+    # problem (where exact recovery is otherwise guaranteed); correlated
+    # seed 0 discriminates for the fused kernel's in-kernel guard.
+    from cstpu import correlated_data, perturb, rmps, sparse_data, support
     from cstpu.ops.fused_sbl import rmps_fused_solve
 
-    kd, kn = jax.random.split(jax.random.PRNGKey(0))
-    A, x, b = correlated_data(kd, n=32, m=128, k=3, dtype=jnp.float32)
-    y = perturb(kn, b, 1e-2)
-    planted = set(np.asarray(support(x)).tolist())
+    for seed, gen in ((9, sparse_data), (0, correlated_data)):
+        kd, kn = jax.random.split(jax.random.PRNGKey(seed))
+        A, x, b = gen(kd, n=32, m=128, k=3, dtype=jnp.float32)
+        y = perturb(kn, b, 1e-2)
+        planted = set(np.asarray(support(x)).tolist())
 
-    ref = rmps(A, y, 1e-4, maxiter_acquisition=1)
-    got_xla = set(np.flatnonzero(np.abs(np.asarray(ref)) > 1e-2).tolist())
-    assert planted <= got_xla, (got_xla, planted)
+        ref = rmps(A, y, 1e-4, maxiter_acquisition=1)
+        got_xla = set(np.flatnonzero(
+            np.abs(np.asarray(ref)) > 1e-2).tolist())
+        assert planted <= got_xla, (seed, got_xla, planted)
 
-    xs = rmps_fused_solve(A, y[None, :], 1e-4, maxiter_acquisition=1,
-                          interpret=True)
-    got_fused = set(np.flatnonzero(
-        np.abs(np.asarray(xs[0])) > 1e-2).tolist())
-    assert planted <= got_fused, (got_fused, planted)
+        xs = rmps_fused_solve(A, y[None, :], 1e-4, maxiter_acquisition=1,
+                              interpret=True)
+        got_fused = set(np.flatnonzero(
+            np.abs(np.asarray(xs[0])) > 1e-2).tolist())
+        assert planted <= got_fused, (seed, got_fused, planted)
 
 
 def test_rmp_fused_matches_xla_path():

@@ -309,6 +309,27 @@ def test_sharded_rmps_matches_single_device(mesh):
     np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
 
 
+def test_sharded_rmps_capped_acquisition_not_starved(mesh):
+    # maxiter_acquisition=1 adds at most one atom per outer iteration;
+    # without the pending-adds guard on the outer convergence test the
+    # solve can terminate on a starved support when the post-add
+    # re-estimate gain (exactly zero in exact arithmetic) rounds the
+    # wrong way (see models/sbl.py _rmps_optimize / sharded_sbl.py)
+    from cstpu import correlated_data
+    from cstpu.parallel.sharded_sbl import rmps_sharded
+
+    # seed 8 is a verified discriminator: without the guard this problem
+    # terminates after one outer iteration on a single-atom support
+    kd, kn = jax.random.split(jax.random.PRNGKey(8))
+    A, x, b = correlated_data(kd, n=32, m=128, k=3, dtype=jnp.float32)
+    y = perturb(kn, b, DELTA)
+    Bs = jnp.stack([y] * 8)
+    xs = rmps_sharded(A, Bs, 1e-4, mesh, maxiter_acquisition=1)
+    planted = set(np.asarray(support(x)).tolist())
+    got = set(np.flatnonzero(np.abs(np.asarray(xs[0])) > DELTA).tolist())
+    assert planted <= got, (got, planted)
+
+
 def test_sharded_fused_rmp_foba_match_single_device(mesh):
     from cstpu import rmp, foba
     from cstpu.parallel.sharded import rmp_sharded_fused, foba_sharded_fused
