@@ -127,9 +127,36 @@ def main() -> int:
          sup2),
         ("lace_batch_m128", lambda: cstpu.lace_batch(A3, Bs3, sparsity=3),
          sup2),
+        # every other fused-dispatching batch entry at the same corner
+        ("gomp_batch_m128", lambda: cstpu.gomp_batch(A2, Bs2, 2, 4), sup2),
+        ("sp_batch_m128", lambda: cstpu.sp_batch(A2, Bs2, 3, DELTA), sup2),
+        ("ompr_batch_m128", lambda: cstpu.ompr_batch(A2, Bs2, 3, DELTA),
+         sup2),
+        ("srr_batch_m128", lambda: cstpu.srr_batch(A2, Bs2, 3, DELTA),
+         sup2),
+        ("rmp_batch_m128", lambda: cstpu.rmp_batch(A2, Bs2, delta=DELTA,
+                                                   kmax=8), sup2),
+        ("foba_batch_m128", lambda: cstpu.foba_batch(A2, Bs2, DELTA,
+                                                     kmax=8), sup2),
     ]
 
+    # mp_batch returns dense (B, m) — residual-fit oracle like the `mp` case
+    def mp_batch_ok():
+        X = cstpu.mp_batch(A2, Bs2, 60)
+        r = jnp.linalg.norm(Bs2 - X @ A2.T, axis=1)
+        return bool(jnp.all(jnp.isfinite(X)) and jnp.all(r < 3 * DELTA))
+
     failures = []
+    try:
+        ok = mp_batch_ok()
+        print(f"{'PASS' if ok else 'FAIL'} {'mp_batch_m128':16s} "
+              f"batch residual", flush=True)
+        if not ok:
+            failures.append("mp_batch_m128")
+    except Exception as e:  # noqa: BLE001
+        print(f"FAIL {'mp_batch_m128':16s} raised "
+              f"{type(e).__name__}: {e}", flush=True)
+        failures.append("mp_batch_m128")
     for name, run, sup in BATCH_CASES:
         try:
             ok = batch_recovery(run(), sup)
@@ -172,7 +199,7 @@ def main() -> int:
             traceback.print_exc(limit=2)
             failures.append(name)
 
-    total = len(CASES) + len(BATCH_CASES)
+    total = len(CASES) + len(BATCH_CASES) + 1  # +1: mp_batch_m128
     print(f"{total - len(failures)}/{total} passed"
           + (f"; FAILURES: {failures}" if failures else ""), flush=True)
     return 1 if failures else 0
