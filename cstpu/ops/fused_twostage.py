@@ -105,6 +105,36 @@ class _Engine:
                     axis=1, keepdims=True)
         return i, smax
 
+    def nactive(self):
+        """Active-slot count per instance (B, 1) f32."""
+        return jnp.sum((self.idxs[:, :] < self.m).astype(F32), axis=1,
+                       keepdims=True)
+
+    def forward_score(self):
+        """OLS forward-selection candidate: argmax of q^2 / energetic norm
+        with degenerate (resc <= rtol * ||a||^2) and active atoms masked
+        (parity src/forward.jl:74-81). Requires resc/amask tracking.
+        Returns (i, dmax) — the shared scoring of the SRR/RMP/FoBa
+        kernels; keep it here so the three drivers cannot diverge."""
+        q = self.corr(self.r[:, :])
+        rmin = self.deg * self.cn2[0:1, :]
+        d2 = jnp.where(self.resc[:, :] > rmin, q * q / self.resc[:, :],
+                       jnp.float32(-jnp.inf))
+        d2 = jnp.where(self.amask[:, :] > 0, 0.0, d2)
+        return self.argmax_masked(d2)
+
+    def backward_min(self):
+        """Backward-deletion candidate: min coef^2 / gamma over active
+        slots with gamma = diag(Ginv) (parity src/backward.jl:69-83).
+        Returns (slot p, dmin) — shared by the SRR/RMP/FoBa kernels."""
+        d2 = jnp.where(self.idxs[:, :] < self.m,
+                       self.coefs[:, :] * self.coefs[:, :]
+                       / jnp.maximum(self.gram_diag(), 1e-30), jnp.inf)
+        dmin = jnp.min(d2, axis=1, keepdims=True)
+        p = jnp.min(jnp.where(d2 == dmin, self.slot_iota, self.BIG),
+                    axis=1, keepdims=True)
+        return p, dmin
+
     def append(self, i, gate):
         """Append atom i (B,1) at each instance's first free slot; exact
         no-op where `gate` is False, the atom is already active, capacity
@@ -247,7 +277,9 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         def one(_, sc):
             i, smax = eng.argmax_masked(sc)
             sc = jnp.where(eng.col_iota == i, -jnp.inf, sc)
-            eng.append(i, smax > -jnp.inf if gate is None else gate)
+            # the exhaustion guard must survive an explicit gate: once all
+            # m scores are -inf the argmax index is meaningless
+            eng.append(i, gate & (smax > -jnp.inf))
             return sc
 
         lax.fori_loop(0, k, one, sc)
@@ -390,13 +422,21 @@ def _ompr_kernel(k: int, maxiter: int, delta2: float, eta: float,
         sc = jnp.where(amask[:, :] > 0, -jnp.inf, jnp.abs(eta * q))
         i, best = eng.argmax_masked(sc)
         change = best > 0                       # twostage.jl:153 bail-out
+        # the reference's gradient iterate Ar = x + eta A'r is built from
+        # the PRE-append solution (src/twostage.jl:163-168; the appended
+        # atom scores eta * a_i'r since its coefficient is zero), but
+        # _Engine.append refits coefs to the expanded-support LS solution
+        # — snapshot the pre-append coefficients first
+        coef_pre = coefs[:, :] * (idxs[:, :] < m).astype(F32)
         ok = eng.append(i, gate & change)
         okf = ok.astype(F32)
 
-        # gradient step on all active slots: coef += eta * (a_s' r)
+        # gradient step on all active slots: coef_pre + eta * (a_s' r)
+        # (r is still the pre-append residual; cols now includes the new
+        # column, whose pre-append coefficient is zero)
         act = (idxs[:, :] < m).astype(F32)
         gr = jnp.sum(cols[:, :, :] * r[:, :][:, None, :], axis=2)
-        gcoef = jnp.where(ok, (coefs[:, :] + eta * gr) * act, coefs[:, :])
+        gcoef = jnp.where(ok, (coef_pre + eta * gr) * act, coefs[:, :])
 
         # delete the min-|gradient-coefficient| slot
         d2 = jnp.where((idxs[:, :] < m) & (okf > 0), jnp.abs(gcoef),
@@ -507,27 +547,21 @@ def _srr_kernel(k: int, l: int, maxiter: int, delta2: float,
                   amask=amask, resc=resc, cn2_ref=cn2_ref, AT_ref=AT_ref,
                   i_scr=i_scr, acol_scr=acol_scr)
     m = eng.m
-    slot_iota, BIG = eng.slot_iota, eng.BIG
-    deg = eng.deg
-    NEG = jnp.float32(-jnp.inf)
+    slot_iota = eng.slot_iota
 
     def forward_step(gate):
-        q = eng.corr(r[:, :])
-        rmin = deg * cn2_ref[0:1, :]
-        d2 = jnp.where(resc[:, :] > rmin, q * q / resc[:, :], NEG)
-        d2 = jnp.where(amask[:, :] > 0, 0.0, d2)
-        i, dmax = eng.argmax_masked(d2)
-        ok = eng.append(i, gate & (eng.rnorm2() > 0) & (dmax > 0))
+        i, dmax = eng.forward_score()
+        # the reference's accept rule also stops at n atoms
+        # (src/forward.jl:57: nnz(x) < size(P.A, 1)); without it an
+        # over-provisioned k+l > n run would rely on the f32 degeneracy
+        # test alone once the active set spans R^n
+        ok = eng.append(i, gate & (eng.rnorm2() > 0) & (dmax > 0)
+                        & (eng.nactive() < float(min(eng.n, m))))
         eng.refit_residual()
         return ok
 
     def backward_step(gate):
-        act = idxs[:, :] < m
-        d2 = jnp.where(act, coefs[:, :] * coefs[:, :]
-                       / jnp.maximum(eng.gram_diag(), 1e-30), jnp.inf)
-        dmin = jnp.min(d2, axis=1, keepdims=True)
-        p = jnp.min(jnp.where(d2 == dmin, slot_iota, BIG), axis=1,
-                    keepdims=True)
+        p, dmin = eng.backward_min()
         hasf = (gate & (dmin < jnp.inf)).astype(F32)
         ep = (slot_iota == p).astype(F32) * hasf
         eng.delete_ep(ep, hasf)
@@ -655,25 +689,16 @@ def _rmp_kernel(K: int, maxiter: int, delta2: float, kfinal: int,
                   amask=amask, resc=resc, cn2_ref=cn2_ref, AT_ref=AT_ref,
                   i_scr=i_scr, acol_scr=acol_scr)
     B, m = eng.B, eng.m
-    slot_iota, BIG = eng.slot_iota, eng.BIG
-    deg = eng.deg
-    NEG = jnp.float32(-jnp.inf)
+    slot_iota = eng.slot_iota
     delta2 = jnp.float32(delta2)
 
     eng.init()
     capped_ref[:, :] = jnp.zeros_like(capped_ref)
 
-    def nactive():
-        return jnp.sum((idxs[:, :] < m).astype(F32), axis=1, keepdims=True)
-
     def forward_step(gate):
         """One gated forward step; returns (still-advancing, capped)."""
-        q = eng.corr(r[:, :])
-        rmin = deg * cn2_ref[0:1, :]
-        d2 = jnp.where(resc[:, :] > rmin, q * q / resc[:, :], NEG)
-        d2 = jnp.where(amask[:, :] > 0, 0.0, d2)
-        i, dmax = eng.argmax_masked(d2)
-        nat = nactive()
+        i, dmax = eng.forward_score()
+        nat = eng.nactive()
         # the XLA accept rule also stops at min(n, m) atoms
         # (src/forward.jl:60: nnz < n and capacity); only a rejection
         # caused purely by the K-slot cap counts as capped
@@ -686,14 +711,9 @@ def _rmp_kernel(K: int, maxiter: int, delta2: float, kfinal: int,
 
     def backward_step(gate):
         """One gated backward deletion; returns accepted mask (B,1)."""
-        act = idxs[:, :] < m
-        d2 = jnp.where(act, coefs[:, :] * coefs[:, :]
-                       / jnp.maximum(eng.gram_diag(), 1e-30), jnp.inf)
-        dmin = jnp.min(d2, axis=1, keepdims=True)
-        p = jnp.min(jnp.where(d2 == dmin, slot_iota, BIG), axis=1,
-                    keepdims=True)
+        p, dmin = eng.backward_min()
         if kfinal >= 0:      # k variant: delete down to kfinal atoms
-            acc = gate & (nactive() > float(kfinal)) & (dmin < jnp.inf)
+            acc = gate & (eng.nactive() > float(kfinal)) & (dmin < jnp.inf)
         else:                # delta variant: while increase < delta^2
             acc = gate & (dmin < delta2)
         hasf = acc.astype(F32)
@@ -826,26 +846,17 @@ def _foba_kernel(K: int, maxiter: int, delta2: float,
                   amask=amask, resc=resc, cn2_ref=cn2_ref, AT_ref=AT_ref,
                   i_scr=i_scr, acol_scr=acol_scr)
     B, m = eng.B, eng.m
-    slot_iota, BIG = eng.slot_iota, eng.BIG
-    deg = eng.deg
-    NEG = jnp.float32(-jnp.inf)
+    slot_iota = eng.slot_iota
     delta2 = jnp.float32(delta2)
 
     eng.init()
     capped_ref[:, :] = jnp.zeros_like(capped_ref)
 
-    def nactive():
-        return jnp.sum((idxs[:, :] < m).astype(F32), axis=1, keepdims=True)
-
     def body(carry):
         t, alive = carry
         gate = alive > 0.5
-        q = eng.corr(r[:, :])
-        rmin = deg * cn2_ref[0:1, :]
-        d2 = jnp.where(resc[:, :] > rmin, q * q / resc[:, :], NEG)
-        d2 = jnp.where(amask[:, :] > 0, 0.0, d2)
-        i, dmax = eng.argmax_masked(d2)
-        nat = nactive()
+        i, dmax = eng.forward_score()
+        nat = eng.nactive()
         wanted = gate & (eng.rnorm2() > 0) & (dmax > delta2) \
             & (nat < float(min(eng.n, m)))
         full = nat >= float(K)
@@ -861,12 +872,7 @@ def _foba_kernel(K: int, maxiter: int, delta2: float,
 
         def bbody(c):
             j, g = c
-            act = idxs[:, :] < m
-            bd2 = jnp.where(act, coefs[:, :] * coefs[:, :]
-                            / jnp.maximum(eng.gram_diag(), 1e-30), jnp.inf)
-            dmin = jnp.min(bd2, axis=1, keepdims=True)
-            p = jnp.min(jnp.where(bd2 == dmin, slot_iota, BIG), axis=1,
-                        keepdims=True)
+            p, dmin = eng.backward_min()
             acc = (g > 0.5) & (dmin < bthresh)
             hasf = acc.astype(F32)
             ep = (slot_iota == p).astype(F32) * hasf

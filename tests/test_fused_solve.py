@@ -217,6 +217,31 @@ def test_ompr_fused_matches_xla_path():
                                atol=1e-4)
 
 
+def test_ompr_fused_preappend_gradient_score():
+    # the OMPR deletion score must be built from the PRE-append solution
+    # (reference: Ar = x + eta A'r, src/twostage.jl:163-168) — scoring the
+    # post-append LS refit instead roughly doubles the new atom's score
+    # and deletes a different slot. Correlated seeds 2 and 7 are verified
+    # discriminators: the post-append variant returns supports {8,53,116}
+    # / {21,27,120} where the XLA path returns {8,53,97} / {21,27,104}.
+    from cstpu import correlated_data, ompr, perturb
+    from cstpu.ops.fused_twostage import ompr_fused_solve
+
+    for seed in (2, 7):
+        kd, kn = jax.random.split(jax.random.PRNGKey(seed))
+        A, x, b = correlated_data(kd, n=32, m=128, k=3, dtype=jnp.float32)
+        y = perturb(kn, b, 5e-3)
+        Bs = jnp.stack([b, y])
+        sol, _ = ompr_fused_solve(A, Bs, 3, 1e-2, corr_dtype=jnp.float32,
+                                  interpret=True)
+        for row, bb in ((0, b), (1, y)):
+            ref = ompr(A, bb, 3, 1e-2)
+            got = sorted(np.asarray(sol.idx[row])[
+                np.asarray(sol.mask[row])].tolist())
+            want = sorted(np.asarray(ref.nzind).tolist())
+            assert got == want, (seed, row, got, want)
+
+
 def test_fsbl_fused_matches_xla_path():
     from cstpu import fsbl, perturb, sparse_data, support
     from cstpu.ops.fused_sbl import fsbl_fused_solve
