@@ -88,10 +88,17 @@ def _extract_cols(AT_ref, i_scr, acol_scr, B: int):
     0.55 ms solve at 64x1024x8192 k=32); this touches 8 rows (16 KB)
     per batch element instead of all of A and measures as free. Mosaic
     requires the dynamic sublane start to be provably 8-aligned — hence
-    the (i // 8) * 8 base + in-register select."""
+    the (i // 8) * 8 base + in-register select.
+
+    The index is clamped to m-1: a NaN-poisoned score row makes every
+    `scores == smax` comparison False, so the argmax reduction returns
+    INT_MAX — the clamp keeps the dynamic slice in bounds (the one-hot
+    GEMM this replaced degraded gracefully to a zero column; out-of-range
+    reads in Mosaic are undefined)."""
+    m = AT_ref.shape[0]
     off = lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     for b_ in range(B):
-        ib = i_scr[b_, 0]
+        ib = jnp.minimum(i_scr[b_, 0], m - 1)
         base = (ib // 8) * 8
         blk = AT_ref[pl.ds(base, 8), :].astype(jnp.float32)
         acol_scr[pl.ds(b_, 1), :] = jnp.sum(
@@ -424,6 +431,13 @@ def omp_stream_solve(A, Bs, k: int, corr_dtype=jnp.bfloat16,
     """
     n, m = A.shape
     k = int(min(k, n, m))
+    if _stream_tile(m, n, jnp.dtype(corr_dtype).itemsize,
+                    8 * 1024 * 1024) == 0:
+        raise ValueError(
+            f"omp_stream_solve: no valid atom tile for (n={n}, m={m}, "
+            f"{jnp.dtype(corr_dtype).name}) — m must be a multiple of 128 "
+            "and one 128-atom tile must fit the 8 MB tile budget "
+            "(check supported_stream before dispatching)")
     idx, coef, r = _omp_stream_call(jnp.asarray(A), jnp.asarray(Bs), k,
                                     corr_dtype, interpret)
     return _to_solution(idx, coef, m), r
@@ -448,9 +462,9 @@ def supported_stream(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
 # Forward regression (OLS selection rule), whole-solve fused
 # ---------------------------------------------------------------------------
 
-def _fr_kernel(k: int, max_eps2: float, min_d2: float,
-               A_ref, AT_ref, Bs_ref, cn2_ref, idx_ref, coef_ref, r_ref,
-               done_ref, cols, Ginv, coefs, idxs, r, resc, amask,
+def _fr_kernel(k: int,
+               A_ref, AT_ref, Bs_ref, cn2_ref, thr_ref, idx_ref, coef_ref,
+               r_ref, done_ref, cols, Ginv, coefs, idxs, r, resc, amask,
                i_scr, acol_scr):
     """Forward-regression solve with the OLS rule, dictionary pinned in VMEM.
 
@@ -469,6 +483,8 @@ def _fr_kernel(k: int, max_eps2: float, min_d2: float,
     m = A_ref.shape[1]
     f32 = jnp.float32
     cdt = A_ref.dtype
+    max_eps2 = thr_ref[0, 0]    # traced operands: changing thresholds
+    min_d2 = thr_ref[0, 1]      # must not recompile the kernel
 
     r[:, :] = Bs_ref[:, :]
     cols[:, :, :] = jnp.zeros_like(cols)
@@ -500,7 +516,6 @@ def _fr_kernel(k: int, max_eps2: float, min_d2: float,
         rnorm2 = jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
         accept = (rnorm2 > max_eps2) & (dmax > min_d2)
         ok = accept & (done < 0.5)
-        done2 = jnp.where(ok, done, 1.0)
 
         # --- append (same engine as the OMP kernel) ----------------------
         i_scr[:, :] = i
@@ -533,11 +548,11 @@ def _fr_kernel(k: int, max_eps2: float, min_d2: float,
         z = lax.dot_general(aperp.astype(cdt), A_ref[:, :],
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=f32)         # (B, m)
-        resc[:, :] = resc[:, :] - (okf / jnp.where(d > 0, d, 1.0)) * z * z
+        resc[:, :] = resc[:, :] - dinv * z * z
         amask[:, :] = amask[:, :] + (col_iota == i).astype(f32) * okf
         fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
         r[:, :] = Bs_ref[:, :] - fitted
-        return jnp.where(okb, done2, 1.0)  # failed append also latches
+        return jnp.where(okb, done, 1.0)  # failed append also latches
 
     done = lax.fori_loop(0, k, step, jnp.zeros((B, 1), f32))
 
@@ -547,9 +562,8 @@ def _fr_kernel(k: int, max_eps2: float, min_d2: float,
     done_ref[:, :] = done
 
 
-@partial(jax.jit, static_argnames=("k", "max_eps2", "min_d2", "corr_dtype",
-                                   "interpret"))
-def _fr_fused_call(A, Bs, k: int, max_eps2: float, min_d2: float,
+@partial(jax.jit, static_argnames=("k", "corr_dtype", "interpret"))
+def _fr_fused_call(A, Bs, k: int, max_eps2, min_d2,
                    corr_dtype, interpret: bool = False):
     n, m = A.shape
     B = Bs.shape[0]
@@ -557,10 +571,12 @@ def _fr_fused_call(A, Bs, k: int, max_eps2: float, min_d2: float,
     Ac = A.astype(corr_dtype)
     Bs = Bs.astype(f32)
     cn2 = jnp.sum(A.astype(f32) * A.astype(f32), axis=0)[None, :]
+    thr = jnp.stack([jnp.asarray(max_eps2, f32),
+                     jnp.asarray(min_d2, f32)])[None, :]
 
     idx, coef, r, done = pl.pallas_call(
-        partial(_fr_kernel, k, max_eps2, min_d2),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        partial(_fr_kernel, k),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((B, k), jnp.int32),
@@ -588,7 +604,7 @@ def _fr_fused_call(A, Bs, k: int, max_eps2: float, min_d2: float,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Ac, Ac.T, Bs, cn2)
+    )(Ac, Ac.T, Bs, cn2, thr)
     return idx, coef, r, done
 
 
@@ -618,7 +634,8 @@ def supported_fr(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
     if n % 8 or m % 128 or B % 8:
         return False
     itemsize = jnp.dtype(corr_dtype).itemsize
-    vmem = (n * m * itemsize + B * k * n * 4
+    vmem = (2 * n * m * itemsize      # A + A^T (extraction copy)
+            + B * k * n * 4
             + 2 * B * n * 4 + B * m * 4 * 4 + B * k * k * 4)
     return vmem < 100 * 1024 * 1024
 
@@ -627,8 +644,8 @@ def supported_fr(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
 # Generalized OMP (top-l acquisitions per iteration), whole-solve fused
 # ---------------------------------------------------------------------------
 
-def _gomp_kernel(k: int, l: int, rem: int, eps2: float,
-                 A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
+def _gomp_kernel(k: int, l: int, rem: int,
+                 A_ref, AT_ref, Bs_ref, thr_ref, idx_ref, coef_ref, r_ref,
                  cols, Ginv, coefs, idxs, r, kcnt, i_scr, acol_scr):
     """GOMP: add the top-l correlated atoms per iteration, one LS refit.
 
@@ -647,6 +664,8 @@ def _gomp_kernel(k: int, l: int, rem: int, eps2: float,
     f32 = jnp.float32
     cdt = A_ref.dtype
     cap = min(n, k)
+    eps2 = thr_ref[0, 0]        # traced operand: changing the tolerance
+    #                             must not recompile the kernel
 
     r[:, :] = Bs_ref[:, :]
     cols[:, :, :] = jnp.zeros_like(cols)
@@ -723,19 +742,20 @@ def _gomp_kernel(k: int, l: int, rem: int, eps2: float,
     r_ref[:, :] = r[:, :]
 
 
-@partial(jax.jit, static_argnames=("l", "k", "eps2", "corr_dtype",
-                                   "interpret"))
-def _gomp_fused_call(A, Bs, l: int, k: int, eps2: float, corr_dtype,
+@partial(jax.jit, static_argnames=("l", "k", "corr_dtype", "interpret"))
+def _gomp_fused_call(A, Bs, l: int, k: int, eps2, corr_dtype,
                      interpret: bool = False):
     n, m = A.shape
     B = Bs.shape[0]
     f32 = jnp.float32
     Ac = A.astype(corr_dtype)
     Bs = Bs.astype(f32)
+    thr = jnp.stack([jnp.asarray(eps2, f32),
+                     jnp.zeros((), f32)])[None, :]
 
     idx, coef, r = pl.pallas_call(
-        partial(_gomp_kernel, k, l, k % l, eps2),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        partial(_gomp_kernel, k, l, k % l),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((B, k), jnp.int32),
@@ -756,7 +776,7 @@ def _gomp_fused_call(A, Bs, l: int, k: int, eps2: float, corr_dtype,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(Ac, Ac.T, Bs)
+    )(Ac, Ac.T, Bs, thr)
     return idx, coef, r
 
 
@@ -768,10 +788,12 @@ def gomp_fused_solve(A, Bs, l: int, k: int, max_residual: float = 0.0,
     src/matchingpursuit.jl:95-148 (fixed k atoms, l per iteration,
     epsilon stopping between iterations, unconditional remainder step).
     """
-    from cstpu.utils.sparse import SparseSolution
-
     n, m = A.shape
-    k = int(min(k, m))
+    # clamp by n as well: supported() (the dispatch gate) sizes the
+    # (B, k, k) Ginv scratch with min(k, n, m), and appends beyond n are
+    # impossible anyway (the in-kernel cap) — an unclamped k > n would
+    # allocate scratch the gate never accounted for
+    k = int(min(k, n, m))
     idx, coef, r = _gomp_fused_call(jnp.asarray(A), jnp.asarray(Bs),
                                     int(l), k, float(max_residual) ** 2,
                                     corr_dtype, interpret)

@@ -390,7 +390,7 @@ def supported_sp(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
     if n % 8 or m % 128 or B % 8 or K2 > n:
         return False
     itemsize = jnp.dtype(corr_dtype).itemsize
-    vmem = (n * m * itemsize + B * K2 * n * 4
+    vmem = (2 * n * m * itemsize + B * K2 * n * 4
             + 2 * B * n * 4 + B * m * 4 * 2 + B * K2 * K2 * 4)
     return vmem < 100 * 1024 * 1024
 
@@ -522,7 +522,7 @@ def supported_ompr(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
     if n % 8 or m % 128 or B % 8:
         return False
     itemsize = jnp.dtype(corr_dtype).itemsize
-    vmem = (n * m * itemsize + B * K * n * 4
+    vmem = (2 * n * m * itemsize + B * K * n * 4
             + 2 * B * n * 4 + B * m * 4 * 3 + B * K * K * 4)
     return vmem < 100 * 1024 * 1024
 
@@ -660,7 +660,7 @@ def supported_srr(A, Bs, k: int, l: int = 1,
     if n % 8 or m % 128 or B % 8:
         return False
     itemsize = jnp.dtype(corr_dtype).itemsize
-    vmem = (n * m * itemsize + B * K * n * 4
+    vmem = (2 * n * m * itemsize + B * K * n * 4
             + 2 * B * n * 4 + B * m * 4 * 4 + B * K * K * 4)
     return vmem < 100 * 1024 * 1024
 
@@ -955,6 +955,6 @@ def supported_rmp(A, Bs, kmax: int, corr_dtype=jnp.bfloat16) -> bool:
     if n % 8 or m % 128 or B % 8:
         return False
     itemsize = jnp.dtype(corr_dtype).itemsize
-    vmem = (n * m * itemsize + B * K * n * 4
+    vmem = (2 * n * m * itemsize + B * K * n * 4
             + 2 * B * n * 4 + B * m * 4 * 4 + B * K * K * 4)
     return vmem < 100 * 1024 * 1024

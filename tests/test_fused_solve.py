@@ -196,6 +196,37 @@ def test_srr_fused_matches_xla_path():
                                    np.asarray(dense_r), atol=1e-4)
 
 
+def test_fused_nan_row_is_memory_safe():
+    # a NaN-poisoned instance makes every `scores == smax` comparison
+    # False, so the argmax reduction returns INT_MAX — _extract_cols must
+    # clamp before the dynamic slice (OOB reads are undefined in Mosaic,
+    # and the one-hot GEMM this replaced degraded gracefully). Clean rows
+    # in the same batch must still solve exactly.
+    A, x, b, y = _problem(930)
+    bad = b.at[0].set(jnp.nan)
+    Bs = jnp.stack([bad, y])
+    sol, _ = omp_fused_solve(A, Bs, 3, corr_dtype=jnp.float32,
+                             interpret=True)
+    ref = omp(A, y, 3)
+    got = np.asarray(sol.idx[1])[np.asarray(sol.mask[1])]
+    np.testing.assert_array_equal(np.sort(got),
+                                  np.sort(np.asarray(ref.nzind)))
+
+
+def test_gomp_fused_k_exceeding_n_clamped():
+    # k > n used to allocate a (B, k, k) Ginv scratch that supported()
+    # (which clamps by min(k, n, m)) never accounted for; the solve now
+    # clamps the same way — appends beyond n are impossible regardless
+    from cstpu.ops.fused_solve import gomp_fused_solve
+
+    A, x, b, y = _problem(931, n=32, m=128)
+    sol, _ = gomp_fused_solve(A, y[None, :], 2, 128,
+                              corr_dtype=jnp.float32, interpret=True)
+    assert sol.idx.shape[1] == 32
+    got = set(np.asarray(sol.idx[0])[np.asarray(sol.mask[0])].tolist())
+    assert set(np.asarray(support(x)).tolist()) <= got
+
+
 def test_ompr_fused_matches_xla_path():
     from cstpu import ompr
     from cstpu.ops.fused_twostage import ompr_fused_solve
