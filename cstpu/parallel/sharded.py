@@ -62,6 +62,70 @@ def _broadcast_column(A_local, gidx, axis: str):
     return lax.psum(jnp.where(owner, local, 0.0), axis)
 
 
+def _bcast_cols(A_local, gsel, axis: str):
+    """Batched owner-gathers-then-psum broadcast of the selected columns:
+    the owning shard reads its full-precision columns (indexed read,
+    n-scale traffic), everyone psums. Returns (cols (B, n), owner (B,))."""
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    owner = (gsel // m_local) == shard
+    lcol = jnp.take(A_local, gsel % m_local, axis=1).T
+    return lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis), owner
+
+
+def _merge_topl(lval, gidx, ll: int, axis: str):
+    """All-gather the per-shard top-l candidates (B, l) and select the
+    global top-`ll`, value-descending with lowest-global-index ties —
+    exactly the vmapped `topl(|A'r|)` order. Returns ll (B,) index
+    arrays, best first. Shared by the GOMP/SP/OMPR/SRR sharded bodies."""
+    B = lval.shape[0]
+    av = jnp.moveaxis(lax.all_gather(lval, axis), 0, 1).reshape(B, -1)
+    ai = jnp.moveaxis(lax.all_gather(gidx, axis), 0, 1).reshape(B, -1)
+    sels = []
+    for _ in range(ll):
+        gmax = jnp.max(av, axis=1, keepdims=True)
+        sel = jnp.min(jnp.where(av == gmax, ai, INT_MAX), axis=1,
+                      keepdims=True)
+        av = jnp.where(ai == sel, -jnp.inf, av)
+        sels.append(sel[:, 0])
+    return sels
+
+
+def _w_of(s, a):
+    """Orthonormalized direction of column `a` against the active set
+    (single instance — vmap over the batch): w = a_perp / sqrt(d). The
+    deferred forward-rescaling downdate channel shared by the FR/SRR/
+    RMP/FoBa sharded bodies."""
+    g = jnp.where(s.mask, s.cols.T @ a, 0)
+    u = s.Ginv @ g
+    aperp = a - s.cols @ u
+    ata = a @ a
+    d = jnp.maximum(ata - g @ u, 1e-12 * jnp.maximum(ata, 1e-30))
+    return aperp * jnp.sqrt(1.0 / d)
+
+
+def _require_stream_ok(n: int, m_local: int, B: int, b_shards: int,
+                       corr_dtype, entry: str) -> None:
+    """The per-shard streaming kernels need n % 8 == 0, a per-shard batch
+    that is a multiple of 8, a 128-multiple per-shard atom width, and one
+    atom tile inside the 8 MB VMEM budget — fail with the real constraint
+    up front instead of a ZeroDivisionError deep inside the shard_map
+    trace."""
+    from cstpu.ops.stream_select import _stream_tile
+
+    itemsize = jnp.dtype(corr_dtype).itemsize
+    bad_batch = (B % b_shards) or ((B // b_shards) % 8)
+    if (n % 8 or bad_batch or m_local % 128
+            or _stream_tile(m_local, n, itemsize, 8 * 1024 * 1024) == 0):
+        raise ValueError(
+            f"{entry}: unsupported shard shape (n={n}, per-shard atom "
+            f"width {m_local}, B={B} over {b_shards} batch shards, "
+            f"{jnp.dtype(corr_dtype).name}) — needs n % 8 == 0, a "
+            "per-shard batch that is a multiple of 8, and a per-shard "
+            "atom width that is a multiple of 128 with one tile inside "
+            "the 8 MB VMEM budget")
+
+
 def _omp_shard_body(A_local, b, k: int, eps, m: int, axis: str):
     """One full OMP solve with a column-sharded dictionary (single b)."""
     n = A_local.shape[0]
@@ -99,7 +163,6 @@ def omp_sharded(A, b, k: int, mesh: Mesh, max_residual: float = 0.0,
     """
     n, m = A.shape
     k = int(min(k if k is not None else n, n, m))
-    eps = jnp.asarray(max_residual, A.dtype)
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
@@ -185,9 +248,7 @@ def _omp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, eps, m: int,
         gmax = lax.pmax(lval, axis)
         cand = jnp.where(lval == gmax, gidx, INT_MAX)
         gsel = lax.pmin(cand, axis)                                # (B,)
-        owner = (gsel // m_local) == shard
-        lcol = jnp.take(A_local, gsel % m_local, axis=1).T          # (B, n)
-        col = lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)  # (B, n)
+        col, _ = _bcast_cols(A_local, gsel, axis)                   # (B, n)
 
         present = jax.vmap(aset.contains)(st, gsel)
         full = st.k >= jnp.minimum(n, k)
@@ -223,6 +284,9 @@ def omp_sharded_fused(A, Bs, k: int, mesh: Mesh, max_residual: float = 0.0,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    _require_stream_ok(n, m // n_shards, Bs.shape[0],
+                       mesh.shape[batch_axis], corr_dtype,
+                       "omp_sharded_fused")
     fn = _omp_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, m,
                                 float(max_residual), A.dtype.name,
                                 jnp.dtype(corr_dtype).name, bool(interpret))
@@ -277,33 +341,19 @@ def _gomp_fused_shard_body(A_local, Ac_local, Bs_local, l: int, k: int,
     st0 = jax.vmap(lambda _: aset.empty(n, k, m, A_local.dtype))(
         jnp.arange(B))
 
-    def merge_topl(lval, gidx, ll):
-        """(B, S*l) candidates -> ll selected (B,) indices, best-first."""
-        av = lax.all_gather(lval, axis)                       # (S, B, l)
-        ai = lax.all_gather(gidx, axis)
-        av = jnp.moveaxis(av, 0, 1).reshape(B, -1)            # (B, S*l)
-        ai = jnp.moveaxis(ai, 0, 1).reshape(B, -1)
-        sels = []
-        for _ in range(ll):
-            gmax = jnp.max(av, axis=1, keepdims=True)
-            sel = jnp.min(jnp.where(av == gmax, ai, INT_MAX), axis=1,
-                          keepdims=True)                      # (B, 1)
-            av = jnp.where(ai == sel, -jnp.inf, av)
-            sels.append(sel[:, 0])
-        return sels
-
-    def group_step(st, ll):
+    def group_step(st, ll, gate):
         r = jax.vmap(aset.residual)(st, Bs_local)
         lval, lidx = correlate_select_topl_stream(
             Ac_local, r, ll, interpret=interpret)
         gidx = shard * m_local + lidx.astype(jnp.int32)       # (B, ll)
         notfull = st.k < n                                    # (B,)
-        for gsel in merge_topl(lval, gidx, ll):
-            owner = (gsel // m_local) == shard
-            lcol = jnp.take(A_local, gsel % m_local, axis=1).T
-            col = lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+        for gsel in _merge_topl(lval, gidx, ll, axis):
+            col, _ = _bcast_cols(A_local, gsel, axis)
             present = jax.vmap(aset.contains)(st, gsel)
-            ok = ~present & (st.k < cap) & notfull
+            # `gate` carries the per-row done latch: converged rows must
+            # stop acquiring (the XLA while_loop exits per instance —
+            # here the batch loop runs until ALL rows are done)
+            ok = gate & ~present & (st.k < cap) & notfull
             st = jax.vmap(aset.append_col_gated)(
                 col, Bs_local, st, gsel, ok)
         st = jax.vmap(aset.refit)(st)
@@ -315,7 +365,7 @@ def _gomp_fused_shard_body(A_local, Ac_local, Bs_local, l: int, k: int,
 
     def body(carry):
         st, t, done = carry
-        st2, notfull = group_step(st, l)
+        st2, notfull = group_step(st, l, ~done)
         r2 = jax.vmap(aset.residual)(st2, Bs_local)
         done2 = done | ~notfull | (jnp.linalg.norm(r2, axis=1) < eps)
         return st2, t + 1, done2
@@ -323,7 +373,7 @@ def _gomp_fused_shard_body(A_local, Ac_local, Bs_local, l: int, k: int,
     st, _, _ = lax.while_loop(
         cond, body, (st0, jnp.int32(0), jnp.zeros((B,), bool)))
     if rem > 0:  # unconditional remainder step, as in the reference
-        st, _ = group_step(st, rem)
+        st, _ = group_step(st, rem, jnp.ones((B,), bool))
     return jax.vmap(lambda s: aset.finalize(s, m))(st)
 
 
@@ -340,6 +390,9 @@ def gomp_sharded_fused(A, Bs, l: int, k: int, mesh: Mesh,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    _require_stream_ok(n, m // n_shards, Bs.shape[0],
+                       mesh.shape[batch_axis], corr_dtype,
+                       "gomp_sharded_fused")
     fn = _gomp_sharded_fused_jit(mesh, atoms_axis, batch_axis, l, k, k % l,
                                  m, float(max_residual), A.dtype.name,
                                  jnp.dtype(corr_dtype).name, bool(interpret))
@@ -420,28 +473,12 @@ def _sp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, maxiter: int,
     st0 = jax.vmap(lambda _: aset.empty(n, kmax, m, A_local.dtype))(
         jnp.arange(B))
 
-    def merge_topl(lval, gidx):
-        av = lax.all_gather(lval, axis)
-        ai = lax.all_gather(gidx, axis)
-        av = jnp.moveaxis(av, 0, 1).reshape(B, -1)
-        ai = jnp.moveaxis(ai, 0, 1).reshape(B, -1)
-        sels = []
-        for _ in range(k):
-            gmax = jnp.max(av, axis=1, keepdims=True)
-            sel = jnp.min(jnp.where(av == gmax, ai, INT_MAX), axis=1,
-                          keepdims=True)
-            av = jnp.where(ai == sel, -jnp.inf, av)
-            sels.append(sel[:, 0])
-        return sels
-
     def acquire(st, r, gate):
         lval, lidx = correlate_select_topl_stream(
             Ac_local, r, k, interpret=interpret)
         gidx = shard * m_local + lidx.astype(jnp.int32)
-        for gsel in merge_topl(lval, gidx):
-            owner = (gsel // m_local) == shard
-            lcol = jnp.take(A_local, gsel % m_local, axis=1).T
-            col = lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+        for gsel in _merge_topl(lval, gidx, k, axis):
+            col, _ = _bcast_cols(A_local, gsel, axis)
             present = jax.vmap(aset.contains)(st, gsel)
             ok = ~present & (st.k < cap) & gate
             st = jax.vmap(aset.append_col_gated)(
@@ -490,6 +527,9 @@ def sp_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    _require_stream_ok(n, m // n_shards, Bs.shape[0],
+                       mesh.shape[batch_axis], corr_dtype,
+                       "sp_sharded_fused")
     fn = _sp_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, maxiter, m,
                                float(delta), A.dtype.name,
                                jnp.dtype(corr_dtype).name, bool(interpret))
@@ -569,21 +609,10 @@ def _fr_fused_shard_body(A_local, Ac_local, Bs_local, k: int, max_eps,
         rnorm2 = jnp.sum(r * r, axis=1)
         accept = (~done & (rnorm2 > max_eps2) & (dmax > min_d2)
                   & (st.k < kcap))
-        owner = (gsel // m_local) == shard
-        lcol = jnp.take(A_local, gsel % m_local, axis=1).T
-        acol = lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+        acol, owner = _bcast_cols(A_local, gsel, axis)
 
         # w for the NEXT sweep's rescaling downdate (pre-append state)
-        def w_of(s, a):
-            g = jnp.where(s.mask, s.cols.T @ a, 0)
-            u = s.Ginv @ g
-            aperp = a - s.cols @ u
-            ata = a @ a
-            d = jnp.maximum(ata - g @ u,
-                            1e-12 * jnp.maximum(ata, 1e-30))
-            return aperp * jnp.sqrt(1.0 / d)
-
-        W2 = jax.vmap(w_of)(st, acol) * accept[:, None]
+        W2 = jax.vmap(_w_of)(st, acol) * accept[:, None]
         il2 = jnp.where(accept & owner,
                         (gsel % m_local).astype(jnp.int32), -1)
         st2 = jax.vmap(
@@ -613,6 +642,9 @@ def fr_sharded_fused(A, Bs, sparsity: int, mesh: Mesh,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    _require_stream_ok(n, m // n_shards, Bs.shape[0],
+                       mesh.shape[batch_axis], corr_dtype,
+                       "fr_sharded_fused")
     fn = _fr_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, m,
                                float(max_residual), float(min_decrease),
                                A.dtype.name, jnp.dtype(corr_dtype).name,
@@ -667,16 +699,19 @@ def _mp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, m: int,
 
     def body(_, carry):
         x_local, r = carry
-        _, lidx = correlate_select_stream(Ac_local, r, interpret=interpret)
-        lval = jnp.abs(jnp.sum(
-            r * jnp.take(A_local, lidx, axis=1).T, axis=1))      # exact f32
+        # shards are merged on the KERNEL's own scores — re-scoring the
+        # local winner in f32 before the pmax made the selected atom
+        # depend on the shard count (a bf16 intra-shard tie can resolve
+        # differently than the f32 cross-shard compare), breaking the
+        # sharding-invariance contract; the accepted coefficient is
+        # computed in exact f32 from the broadcast column below either way
+        lval, lidx = correlate_select_stream(Ac_local, r,
+                                             interpret=interpret)
         gidx = shard * m_local + lidx.astype(jnp.int32)
         gmax = lax.pmax(lval, axis)
         cand = jnp.where(lval == gmax, gidx, INT_MAX)
         gsel = lax.pmin(cand, axis)                              # (B,)
-        owner = (gsel // m_local) == shard
-        lcol = jnp.take(A_local, gsel % m_local, axis=1).T
-        col = lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+        col, owner = _bcast_cols(A_local, gsel, axis)
         p = jnp.sum(r * col, axis=1)                             # signed
         sel_local = jnp.where(owner, gsel % m_local, -1)
         x_local = x_local + jnp.where(
@@ -694,13 +729,17 @@ def mp_sharded_fused(A, Bs, k: int, mesh: Mesh,
                      corr_dtype=jnp.bfloat16, interpret: bool = False):
     """Column-sharded batched matching pursuit via the streaming select
     kernel. Returns the dense (B, m) coefficients (sharded over both mesh
-    axes). Semantics of cstpu.mp; selection re-scored in exact f32 on the
-    local winner so the accepted coefficient is full-precision."""
+    axes). Semantics of cstpu.mp; shards are merged on the kernel's own
+    scores (sharding-invariant selection) and the accepted coefficient is
+    re-computed in exact f32 from the broadcast column."""
     n, m = A.shape
     k = int(k)
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    _require_stream_ok(n, m // n_shards, Bs.shape[0],
+                       mesh.shape[batch_axis], corr_dtype,
+                       "mp_sharded_fused")
     fn = _mp_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, m,
                                A.dtype.name, jnp.dtype(corr_dtype).name,
                                bool(interpret))
@@ -747,9 +786,8 @@ def _ompr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
         jnp.arange(B))
 
     def bcast_col(gsel):
-        owner = (gsel // m_local) == shard
-        lcol = jnp.take(A_local, gsel % m_local, axis=1).T
-        return owner, lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+        col, owner = _bcast_cols(A_local, gsel, axis)
+        return owner, col
 
     def mask_set(M, gsel, on, value):
         owner = (gsel // m_local) == shard
@@ -762,15 +800,7 @@ def _ompr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
     lval, lidx = correlate_select_topl_stream(
         Ac_local, Bs_local, k, interpret=interpret)
     gidx = shard * m_local + lidx.astype(jnp.int32)
-    av = lax.all_gather(lval, axis)
-    ai = lax.all_gather(gidx, axis)
-    av = jnp.moveaxis(av, 0, 1).reshape(B, -1)
-    ai = jnp.moveaxis(ai, 0, 1).reshape(B, -1)
-    for _ in range(k):
-        gmax = jnp.max(av, axis=1, keepdims=True)
-        gsel = jnp.min(jnp.where(av == gmax, ai, INT_MAX), axis=1,
-                       keepdims=True)[:, 0]
-        av = jnp.where(ai == gsel[:, None], -jnp.inf, av)
+    for gsel in _merge_topl(lval, gidx, k, axis):
         owner, col = bcast_col(gsel)
         present = jax.vmap(aset.contains)(st, gsel)
         ok = ~present
@@ -837,6 +867,9 @@ def ompr_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    _require_stream_ok(n, m // n_shards, Bs.shape[0],
+                       mesh.shape[batch_axis], corr_dtype,
+                       "ompr_sharded_fused")
     fn = _ompr_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, maxiter,
                                  m, float(delta), float(eta), A.dtype.name,
                                  jnp.dtype(corr_dtype).name,
@@ -907,23 +940,16 @@ def _srr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
         jnp.arange(B))
 
     def bcast_col(gsel):
-        owner = (gsel // m_local) == shard
-        lcol = jnp.take(A_local, gsel % m_local, axis=1).T
-        return owner, lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
+        col, owner = _bcast_cols(A_local, gsel, axis)
+        return owner, col
 
     # --- oblivious top-k init -------------------------------------------
     st = st0
     lval, lidx = correlate_select_topl_stream(
         Ac_local, Bs_local, k, interpret=interpret)
     gidx = shard * m_local + lidx.astype(jnp.int32)
-    av = jnp.moveaxis(lax.all_gather(lval, axis), 0, 1).reshape(B, -1)
-    ai = jnp.moveaxis(lax.all_gather(gidx, axis), 0, 1).reshape(B, -1)
     active_local = jnp.zeros((B, m_local), bool)
-    for _ in range(k):
-        gmax = jnp.max(av, axis=1, keepdims=True)
-        gsel = jnp.min(jnp.where(av == gmax, ai, INT_MAX), axis=1,
-                       keepdims=True)[:, 0]
-        av = jnp.where(ai == gsel[:, None], -jnp.inf, av)
+    for gsel in _merge_topl(lval, gidx, k, axis):
         owner, col = bcast_col(gsel)
         present = jax.vmap(aset.contains)(st, gsel)
         ok = ~present
@@ -941,14 +967,6 @@ def _srr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
     res0 = jnp.linalg.norm(jax.vmap(aset.residual)(st, Bs_local), axis=1)
     W0 = jnp.zeros((B, n), jnp.float32)
     il0 = jnp.full((B,), -1, jnp.int32)
-
-    def w_of(s, a):
-        g = jnp.where(s.mask, s.cols.T @ a, 0)
-        u = s.Ginv @ g
-        aperp = a - s.cols @ u
-        ata = a @ a
-        d = jnp.maximum(ata - g @ u, 1e-12 * jnp.maximum(ata, 1e-30))
-        return aperp * jnp.sqrt(1.0 / d)
 
     def cond(carry):
         st, resc, W, V, ilm, ilr, res, t, done = carry
@@ -969,7 +987,7 @@ def _srr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
         rnorm2 = jnp.sum(r * r, axis=1)
         accept = gate & (rnorm2 > 0) & (dmax > 0) & (st.k < kmax)
         owner, col = bcast_col(gsel)
-        W2 = jax.vmap(w_of)(st, col) * accept[:, None]
+        W2 = jax.vmap(_w_of)(st, col) * accept[:, None]
         ilm2 = jnp.where(accept & owner,
                          (gsel % m_local).astype(jnp.int32), -1)
         st2 = jax.vmap(
@@ -1033,6 +1051,9 @@ def srr_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    _require_stream_ok(n, m // n_shards, Bs.shape[0],
+                       mesh.shape[batch_axis], corr_dtype,
+                       "srr_sharded_fused")
     fn = _srr_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, maxiter,
                                 m, float(delta), A.dtype.name,
                                 jnp.dtype(corr_dtype).name,
@@ -1096,14 +1117,6 @@ def _rmp_fused_shard_body(A_local, Ac_local, Bs_local, kmax: int,
     Af32 = A_local.astype(jnp.float32)
     cn2 = jnp.sum(Af32 * Af32, axis=0)[None, :]
 
-    def w_of(s, a):
-        g = jnp.where(s.mask, s.cols.T @ a, 0)
-        u = s.Ginv @ g
-        aperp = a - s.cols @ u
-        ata = a @ a
-        d = jnp.maximum(ata - g @ u, 1e-12 * jnp.maximum(ata, 1e-30))
-        return aperp * jnp.sqrt(1.0 / d)
-
     def forward_step(st, W, il, resc, gate, capped):
         r = jax.vmap(aset.residual)(st, Bs_local)
         il2c = jnp.stack([il, jnp.full_like(il, -1)], axis=1)
@@ -1119,10 +1132,8 @@ def _rmp_fused_shard_body(A_local, Ac_local, Bs_local, kmax: int,
         full = st.k >= kmax
         accept = wanted & ~full
         capped = capped | (wanted & full)
-        owner = (gsel // m_local) == shard
-        lcol = jnp.take(A_local, gsel % m_local, axis=1).T
-        acol = lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis)
-        W2 = jax.vmap(w_of)(st, acol) * accept[:, None]
+        acol, owner = _bcast_cols(A_local, gsel, axis)
+        W2 = jax.vmap(_w_of)(st, acol) * accept[:, None]
         il2 = jnp.where(accept & owner,
                         (gsel % m_local).astype(jnp.int32), -1)
         st2 = jax.vmap(
@@ -1132,9 +1143,9 @@ def _rmp_fused_shard_body(A_local, Ac_local, Bs_local, kmax: int,
         pend = jnp.where(accept, gsel, -1)
         return st2, W2, il2, resc, accept, capped, dmax, pend
 
-    def delete_step(st, resc, gate):
-        """One gated deletion with an EAGER rescaling update + restore."""
-        from cstpu.ops.util import masked_argmin
+    def delete_step(st):
+        """Deletion candidate + freed span direction (the gating and the
+        eager rescaling update happen in apply_delete)."""
 
         gam = jax.vmap(aset.gamma)(st)
         d2 = jnp.where(st.mask, st.coef * st.coef
@@ -1175,7 +1186,7 @@ def _rmp_fused_shard_body(A_local, Ac_local, Bs_local, kmax: int,
     def bwd_once(st, resc, W, il, pend, g, rule):
         """One gated delete under `rule(dmin)`; cancels the pending
         forward channels when the deleted atom IS the pending one."""
-        pos, dmin, didx, v = delete_step(st, resc, g)
+        pos, dmin, didx, v = delete_step(st)
         acc = g & rule(dmin)
         same = acc & (pend >= 0) & (didx == pend)
         st, resc = apply_delete(st, resc, pos, didx, v, acc, same)
@@ -1257,6 +1268,9 @@ def _rmp_foba_sharded(A, Bs, mesh: Mesh, kmax: int, maxiter: int,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    _require_stream_ok(n, m // n_shards, Bs.shape[0],
+                       mesh.shape[batch_axis], corr_dtype,
+                       "rmp/foba_sharded_fused")
     fn = _rmp_sharded_jit(mesh, atoms_axis, batch_axis, int(kmax),
                           int(maxiter), m, float(delta) ** 2, A.dtype.name,
                           jnp.dtype(corr_dtype).name, bool(interpret),
@@ -1415,10 +1429,21 @@ def omp_sharded_rows(A, b, k: int, mesh: Mesh, max_residual: float = 0.0,
     """
     n, m = A.shape
     k = int(min(k if k is not None else n, n, m))
-    eps = jnp.asarray(max_residual, A.dtype)
     n_shards = mesh.shape[meas_axis]
     if n % n_shards:
         raise ValueError(f"n = {n} not divisible by shards {n_shards}")
+    fn = _omp_rows_jit(mesh, meas_axis, k, m, float(max_residual),
+                       A.dtype.name)
+    return fn(A, b)
+
+
+@lru_cache(maxsize=64)
+def _omp_rows_jit(mesh: Mesh, meas_axis: str, k: int, m: int,
+                  max_residual: float, dtype_name: str):
+    """Memoized like every other entry point — rebuilding shard_map + jit
+    per call costs ~1 s of retracing per solve."""
+    dtype = jnp.dtype(dtype_name)
+    eps = jnp.asarray(max_residual, dtype)
 
     def shard_fn(A_local, b_local):
         return _omp_rows_body(A_local, b_local, k, eps, m, meas_axis)
@@ -1426,14 +1451,13 @@ def omp_sharded_rows(A, b, k: int, mesh: Mesh, max_residual: float = 0.0,
     from cstpu.utils.sparse import SparseSolution
     out_struct = SparseSolution(
         idx=jax.ShapeDtypeStruct((k,), jnp.int32),
-        val=jax.ShapeDtypeStruct((k,), A.dtype),
+        val=jax.ShapeDtypeStruct((k,), dtype),
         mask=jax.ShapeDtypeStruct((k,), jnp.bool_),
         m=m,
     )
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(meas_axis, None), P(meas_axis)),
         out_specs=jax.tree.map(lambda _: P(), out_struct),
         check_vma=False,
-    )
-    return jax.jit(fn)(A, b)
+    ))

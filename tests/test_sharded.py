@@ -309,6 +309,34 @@ def test_sharded_rmps_matches_single_device(mesh):
     np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
 
 
+def test_sharded_gomp_converged_rows_stop_acquiring(mesh):
+    # the batch outer loop runs until ALL rows are done, so a row that
+    # hit max_residual early must be gated out of later group steps —
+    # verified discriminator: without the gate the early-converged noisy
+    # row acquires 6 atoms where vmap(gomp) stops at 2 (a noiseless row
+    # does NOT discriminate: its residual is ~0 and the spurious appends
+    # happen to be rejected)
+    from cstpu import gomp
+    from cstpu.parallel.sharded import gomp_sharded_fused
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(40))
+    A, x, b = sparse_data(kd, n=64, m=1024, k=2, dtype=jnp.float32)
+    y0 = perturb(kn, b, 5e-3)      # 2-sparse: converges below eps fast
+    k2 = jax.random.permutation(jax.random.PRNGKey(41), 1024)[:6]
+    b2 = A @ jnp.zeros((1024,), jnp.float32).at[k2].set(1.0)
+    y1 = perturb(jax.random.PRNGKey(42), b2, 5e-3)  # 6-sparse: runs on
+    Bs = jnp.stack([y0] * 4 + [y1] * 4)
+    sol = gomp_sharded_fused(A, Bs, 2, 8, mesh, max_residual=1e-2,
+                             corr_dtype=jnp.float32, interpret=True)
+    ref = jax.vmap(lambda bb: gomp(A, bb, 2, 8, 1e-2))(Bs)
+    for i in range(8):
+        got = sorted(np.asarray(sol.idx[i])[np.asarray(sol.mask[i])]
+                     .tolist())
+        want = sorted(np.asarray(ref.idx[i])[np.asarray(ref.mask[i])]
+                      .tolist())
+        assert got == want, (i, got, want)
+
+
 def test_sharded_rmps_capped_acquisition_not_starved(mesh):
     # maxiter_acquisition=1 adds at most one atom per outer iteration;
     # without the pending-adds guard on the outer convergence test the
