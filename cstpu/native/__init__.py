@@ -33,13 +33,25 @@ _lib = None
 
 
 def _build() -> str:
-    """Compile the native library if missing or stale."""
+    """Compile the native library if missing or stale.
+
+    The compiler writes to a process-unique temp file that is atomically
+    os.replace'd into place: concurrent importing processes (pytest-xdist
+    workers, batch jobs) must never dlopen a half-written .so. The
+    staleness test uses <= so a source touched within the same filesystem
+    timestamp tick as the cached library still triggers a rebuild."""
     if (not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < max(os.path.getmtime(s)
-                                            for s in _SRCS)):
+            or os.path.getmtime(_LIB) <= max(os.path.getmtime(s)
+                                             for s in _SRCS)):
+        tmp = f"{_LIB}.{os.getpid()}.tmp"
         cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-               "-o", _LIB, *_SRCS]
-        subprocess.run(cmd, check=True, capture_output=True)
+               "-o", tmp, *_SRCS]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, _LIB)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     return _LIB
 
 

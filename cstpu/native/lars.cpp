@@ -76,6 +76,8 @@ struct Lars {
   // append atom j; false if its out-of-span component is numerically zero
   bool append(int j, double sign_j) {
     int k = static_cast<int>(act.size());
+    if (k >= kmax) return false;  // hard bound: a spuriously-passed d2
+    //                               guard must not write past L
     double ata = 0;
     for (int i = 0; i < n; ++i) {
       double aij = A[static_cast<size_t>(i) * m + j];
@@ -185,6 +187,7 @@ int cstpu_lars_solve(int n, int m, const double* A, const double* b,
   if (!S.append(j0, c[j0] > 0 ? 1.0 : -1.0)) return 2;
 
   const double TINY = 1e-13;
+  int last_dropped = -1;  // one-event rejoin exclusion after a leave
   for (int it = 0; it < max_iter; ++it) {
     *iters_out = it + 1;
     int k = static_cast<int>(S.act.size());
@@ -221,6 +224,19 @@ int cstpu_lars_solve(int n, int m, const double* A, const double* b,
         double t = num / den;
         if (t > TINY && t < t_evt - TINY) {
           t_evt = t; join_j = j; join_sign = sg; leave_p = -1;
+        } else if (t > -TINY && t <= TINY && sg * den < -TINY &&
+                   j != last_dropped && t < t_evt - TINY) {
+          // TIED join: this atom reached the equicorrelation boundary at
+          // the SAME event as the atom admitted last iteration (num ~ 0),
+          // and staying inactive would grow its KKT violation
+          // (sg*den < 0). One join per event, so ties are admitted by
+          // consecutive zero-length steps; without this branch the tied
+          // atom is rejected forever and the path silently violates KKT
+          // (e.g. lasso(eye(2), [1,1]) returned [x, 0]). The
+          // last_dropped exclusion prevents a drop -> instant-rejoin
+          // cycle at the event where a coefficient crosses zero.
+          t_evt = t > 0 ? t : 0.0;
+          join_j = j; join_sign = sg; leave_p = -1;
         }
       }
     }
@@ -279,7 +295,9 @@ int cstpu_lars_solve(int n, int m, const double* A, const double* b,
       // one means the constraint is unreachable on this path
       return (mode == 1) ? 4 : 0;
     }
+    if (t_evt > TINY) last_dropped = -1;  // exclusion lasts one event
     if (leave_p >= 0) {
+      last_dropped = S.act[leave_p];
       if (!S.remove(leave_p)) return 2;
     } else {
       if (!S.append(join_j, join_sign)) return 2;

@@ -13,11 +13,17 @@
 // Implementation notes:
 //   * Phase 1 with artificial variables (rows sign-flipped so b >= 0),
 //     Phase 2 with the original costs.
+//   * Redundant-but-consistent rows leave their artificial basic at zero
+//     level after Phase 1 with no possible drive-out pivot; those
+//     artificials get Phase-2 cost ZERO (their level is structurally
+//     forced to 0 by the independent rows, so this is exact) — a big-M
+//     cost there poisons the dual vector y with ~1e30 and drowns every
+//     reduced cost in cancellation noise, failing plainly feasible LPs.
 //   * Dantzig pricing with a Bland's-rule fallback after a stall budget,
 //     guaranteeing termination without cycling.
-//   * The basis system is re-solved each iteration by dense Gaussian
-//     elimination with partial pivoting — O(n^3) per iteration is
-//     negligible at the sizes this path serves (n = #measurements).
+//   * The basis matrix is LU-factored ONCE per iteration (partial
+//     pivoting); the factors serve the basic solution, the transposed
+//     dual solve, and the entering-column solve.
 
 #include <cmath>
 #include <cstdlib>
@@ -26,48 +32,85 @@
 
 namespace {
 
-// Solve M x = rhs (n x n, row-major), Gaussian elimination w/ partial pivot.
-// Returns false if singular to working precision.
-bool dense_solve(int n, const double* M, const double* rhs, double* x,
-                 std::vector<double>& work) {
-  work.resize(static_cast<size_t>(n) * (n + 1));
-  double* a = work.data();
-  for (int i = 0; i < n; ++i) {
-    std::memcpy(a + static_cast<size_t>(i) * (n + 1), M + static_cast<size_t>(i) * n,
-                sizeof(double) * n);
-    a[static_cast<size_t>(i) * (n + 1) + n] = rhs[i];
-  }
-  const int stride = n + 1;
-  for (int col = 0; col < n; ++col) {
-    int piv = col;
-    double best = std::fabs(a[static_cast<size_t>(col) * stride + col]);
-    for (int r = col + 1; r < n; ++r) {
-      double v = std::fabs(a[static_cast<size_t>(r) * stride + col]);
-      if (v > best) { best = v; piv = r; }
+// In-place LU with partial pivoting of an n x n row-major matrix.
+// Combined L (unit diagonal, strictly lower) and U stored in `lu`;
+// `perm` records row swaps: (PA) = LU with (PA)_i = A_{perm[i]}.
+struct LU {
+  int n = 0;
+  std::vector<double> lu;
+  std::vector<int> perm;
+
+  bool factor(int n_, const double* M) {
+    n = n_;
+    lu.assign(static_cast<size_t>(n) * n, 0.0);
+    std::memcpy(lu.data(), M, sizeof(double) * n * n);
+    perm.resize(n);
+    for (int i = 0; i < n; ++i) perm[i] = i;
+    for (int col = 0; col < n; ++col) {
+      int piv = col;
+      double best = std::fabs(lu[static_cast<size_t>(col) * n + col]);
+      for (int r = col + 1; r < n; ++r) {
+        double v = std::fabs(lu[static_cast<size_t>(r) * n + col]);
+        if (v > best) { best = v; piv = r; }
+      }
+      if (best < 1e-13) return false;
+      if (piv != col) {
+        for (int j = 0; j < n; ++j)
+          std::swap(lu[static_cast<size_t>(col) * n + j],
+                    lu[static_cast<size_t>(piv) * n + j]);
+        std::swap(perm[col], perm[piv]);
+      }
+      const double d = lu[static_cast<size_t>(col) * n + col];
+      for (int r = col + 1; r < n; ++r) {
+        double f = lu[static_cast<size_t>(r) * n + col] / d;
+        lu[static_cast<size_t>(r) * n + col] = f;
+        if (f == 0.0) continue;
+        for (int j = col + 1; j < n; ++j)
+          lu[static_cast<size_t>(r) * n + j] -=
+              f * lu[static_cast<size_t>(col) * n + j];
+      }
     }
-    if (best < 1e-13) return false;
-    if (piv != col) {
-      for (int j = col; j <= n; ++j)
-        std::swap(a[static_cast<size_t>(col) * stride + j],
-                  a[static_cast<size_t>(piv) * stride + j]);
+    return true;
+  }
+
+  // x = A^-1 rhs  (Ly = P rhs forward, Ux = y backward)
+  void solve(const double* rhs, double* x) const {
+    for (int i = 0; i < n; ++i) {
+      double s = rhs[perm[i]];
+      const double* Li = lu.data() + static_cast<size_t>(i) * n;
+      for (int j = 0; j < i; ++j) s -= Li[j] * x[j];
+      x[i] = s;
     }
-    const double d = a[static_cast<size_t>(col) * stride + col];
-    for (int r = col + 1; r < n; ++r) {
-      const double f = a[static_cast<size_t>(r) * stride + col] / d;
-      if (f == 0.0) continue;
-      for (int j = col; j <= n; ++j)
-        a[static_cast<size_t>(r) * stride + j] -=
-            f * a[static_cast<size_t>(col) * stride + j];
+    for (int i = n - 1; i >= 0; --i) {
+      double s = x[i];
+      const double* Ui = lu.data() + static_cast<size_t>(i) * n;
+      for (int j = i + 1; j < n; ++j) s -= Ui[j] * x[j];
+      x[i] = s / Ui[i];
     }
   }
-  for (int r = n - 1; r >= 0; --r) {
-    double s = a[static_cast<size_t>(r) * stride + n];
-    for (int j = r + 1; j < n; ++j)
-      s -= a[static_cast<size_t>(r) * stride + j] * x[j];
-    x[r] = s / a[static_cast<size_t>(r) * stride + r];
+
+  // y = A^-T rhs: A' y = rhs with PA = LU gives U'L'(Py) = rhs —
+  // forward-substitute U', backward-substitute L' (unit diagonal),
+  // then undo the permutation.
+  void solve_t(const double* rhs, double* y,
+               std::vector<double>& scratch) const {
+    scratch.resize(n);
+    double* z = scratch.data();
+    for (int i = 0; i < n; ++i) {  // U' z = rhs (U' lower triangular)
+      double s = rhs[i];
+      for (int j = 0; j < i; ++j)
+        s -= lu[static_cast<size_t>(j) * n + i] * z[j];
+      z[i] = s / lu[static_cast<size_t>(i) * n + i];
+    }
+    for (int i = n - 1; i >= 0; --i) {  // L' w = z (unit upper)
+      double s = z[i];
+      for (int j = i + 1; j < n; ++j)
+        s -= lu[static_cast<size_t>(j) * n + i] * z[j];
+      z[i] = s;
+    }
+    for (int i = 0; i < n; ++i) y[perm[i]] = z[i];
   }
-  return true;
-}
+};
 
 struct Tableau {
   int n;                       // rows (constraints)
@@ -77,47 +120,52 @@ struct Tableau {
   std::vector<double> c;       // N
   std::vector<int> basis;      // n basic column indices
   std::vector<double> xB;      // basic values
-  std::vector<double> Bmat, y, u, work;
+  std::vector<double> Bmat, y, u, scratch;
+  LU lu;
 
   void column(int j, std::vector<double>& out) const {
     out.resize(n);
     for (int i = 0; i < n; ++i) out[i] = A[static_cast<size_t>(i) * N + j];
   }
 
-  bool refresh() {  // recompute basic solution xB = B^-1 b
+  bool factor_basis() {  // gather B and LU-factor it
     Bmat.resize(static_cast<size_t>(n) * n);
     for (int i = 0; i < n; ++i)
       for (int r = 0; r < n; ++r)
         Bmat[static_cast<size_t>(r) * n + i] =
             A[static_cast<size_t>(r) * N + basis[i]];
+    return lu.factor(n, Bmat.data());
+  }
+
+  bool refresh() {  // recompute basic solution xB = B^-1 b
+    if (!factor_basis()) return false;
     xB.resize(n);
-    return dense_solve(n, Bmat.data(), b.data(), xB.data(), work);
+    lu.solve(b.data(), xB.data());
+    return true;
   }
 
   // returns: 0 optimal, 2 unbounded, 3 iter limit, 4 singular
   int iterate(int max_iter, double tol) {
-    std::vector<double> cB(n), aj(n), Bt(static_cast<size_t>(n) * n);
+    std::vector<double> cB(n), aj(n);
+    std::vector<char> is_basic(static_cast<size_t>(N), 0);
     int stall = 0;
     for (int it = 0; it < max_iter; ++it) {
-      if (!refresh()) return 4;
+      if (!refresh()) return 4;  // one LU per iteration, reused below
       for (int i = 0; i < n; ++i) cB[i] = c[basis[i]];
-      // y solves B' y = cB
-      for (int r = 0; r < n; ++r)
-        for (int s = 0; s < n; ++s)
-          Bt[static_cast<size_t>(r) * n + s] = Bmat[static_cast<size_t>(s) * n + r];
       y.resize(n);
-      if (!dense_solve(n, Bt.data(), cB.data(), y.data(), work)) return 4;
+      lu.solve_t(cB.data(), y.data(), scratch);
 
       // pricing: Dantzig normally; Bland after a stall budget
       const bool bland = stall > 2 * n + 20;
       int enter = -1;
       double best_red = -tol;
-      std::vector<char> is_basic(static_cast<size_t>(N), 0);
+      std::fill(is_basic.begin(), is_basic.end(), 0);
       for (int i = 0; i < n; ++i) is_basic[basis[i]] = 1;
       for (int j = 0; j < N; ++j) {
         if (is_basic[j]) continue;
         double red = c[j];
-        for (int i = 0; i < n; ++i) red -= y[i] * A[static_cast<size_t>(i) * N + j];
+        for (int i = 0; i < n; ++i)
+          red -= y[i] * A[static_cast<size_t>(i) * N + j];
         if (red < best_red) {
           enter = j;
           if (bland) break;  // first improving index
@@ -128,7 +176,7 @@ struct Tableau {
 
       column(enter, aj);
       u.resize(n);
-      if (!dense_solve(n, Bmat.data(), aj.data(), u.data(), work)) return 4;
+      lu.solve(aj.data(), u.data());
 
       // ratio test (Bland tie-break: smallest basis column index)
       int leave = -1;
@@ -203,7 +251,7 @@ int cstpu_simplex_solve(int n, int N, const double* A_in, const double* b_in,
         if (T.basis[r] == j) { basic = true; break; }
       if (basic) continue;
       T.column(j, aj);
-      if (!dense_solve(n, T.Bmat.data(), aj.data(), u.data(), T.work)) continue;
+      T.lu.solve(aj.data(), u.data());
       if (std::fabs(u[i]) > 1e-7) { replacement = j; break; }
     }
     if (replacement >= 0) {
@@ -212,10 +260,17 @@ int cstpu_simplex_solve(int n, int N, const double* A_in, const double* b_in,
     }
   }
 
-  // Phase 2: original costs (artificials pinned by +inf-ish cost)
+  // Phase 2: original costs. Nonbasic artificials are pinned out by a
+  // big-M cost (their reduced cost stays hugely positive). An artificial
+  // that COULD NOT be driven out marks a redundant-but-consistent row:
+  // its level is structurally forced to 0 by the independent rows, so it
+  // gets cost 0 — a big-M cost on a BASIC variable would put 1e30 into
+  // cB and poison the dual vector with cancellation noise.
   T.c.assign(T.N, 0.0);
   for (int j = 0; j < N; ++j) T.c[j] = c_in[j];
   for (int i = 0; i < n; ++i) T.c[N + i] = 1e30;
+  for (int i = 0; i < n; ++i)
+    if (T.basis[i] >= N) T.c[T.basis[i]] = 0.0;
   rc = T.iterate(max_iter, tol);
   if (rc != 0 && rc != 3) return rc;
   if (!T.refresh()) return 4;

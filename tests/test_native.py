@@ -62,3 +62,44 @@ def test_bp_simplex_weighted():
     w[support(x)] = 1.0
     xs = bp_simplex(np.asarray(A), np.asarray(b), w)
     assert list(np.flatnonzero(np.abs(xs) > 1e-9)) == list(support(x))
+
+
+def test_lasso_homotopy_tied_joins():
+    # atoms whose correlations tie at the same event lambda must ALL join
+    # the path (consecutive zero-length steps); before the fix only one
+    # joined and lasso(eye(2), [1,1], 0.25) returned [0.75, 0] — a silent
+    # KKT violation (|c_1| = 1 >> lambda = 0.25)
+    from cstpu.native import lasso_homotopy
+
+    x = lasso_homotopy(np.eye(2), np.array([1.0, 1.0]), 0.25)
+    np.testing.assert_allclose(x, [0.75, 0.75], atol=1e-12)
+    x4 = lasso_homotopy(np.eye(4), np.ones(4), 0.5)
+    np.testing.assert_allclose(x4, 0.5, atol=1e-12)
+
+
+def test_bpd_homotopy_tied_joins_feasible():
+    # the same tie previously walked the path to lambda == 0 without a
+    # delta crossing and raised "target unreachable" for a plainly
+    # feasible delta
+    from cstpu.native import bpd_homotopy
+
+    x, lam = bpd_homotopy(np.eye(2), np.array([1.0, 1.0]), 0.5)
+    assert np.linalg.norm(x - 1.0) <= 0.5 + 1e-9
+    np.testing.assert_allclose(x[0], x[1], atol=1e-12)
+
+
+def test_bp_simplex_redundant_rows():
+    # a consistent LP with linearly dependent rows leaves a zero-level
+    # artificial basic after Phase 1 with no drive-out pivot; its Phase-2
+    # cost must be 0 (its level is structurally forced to 0), not big-M —
+    # the big-M in cB poisoned the dual vector and reported feasible
+    # bounded problems unbounded
+    for t in range(3):
+        A, x, b = sparse_data(jax.random.PRNGKey(90 + t), n=32, m=48, k=3)
+        A = np.asarray(A)
+        b = np.asarray(b)
+        A2 = np.vstack([A, A[0] - 2.0 * A[3], A[1]])
+        b2 = np.concatenate([b, [b[0] - 2.0 * b[3]], [b[1]]])
+        xs = bp_simplex(A2, b2)
+        np.testing.assert_allclose(A2 @ xs, b2, atol=1e-7)
+        assert list(np.flatnonzero(np.abs(xs) > 1e-7)) == list(support(x))
