@@ -45,12 +45,20 @@ def _one_device_mesh():
     return Mesh(devs, ("batch", "atoms"))
 
 
-def _stream_ok(A, Bs):
-    """Gate for the streaming-select hybrid path (beyond-VMEM scale)."""
+def _stream_ok(A, Bs, precision=None):
+    """Gate for the streaming-select hybrid path (beyond-VMEM scale).
+
+    The gate must check the dtype the dictionary will actually be
+    streamed in: precision="f32" halves the largest streamable n, and a
+    bf16-width check would admit shapes the kernel then rejects (a crash
+    where the contract promises an XLA fallback)."""
+    import jax.numpy as jnp
+
     from cstpu.ops.stream_select import supported_select
 
+    cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
     return (A.dtype == jnp.float32 and Bs.ndim == 2
-            and supported_select(A, Bs.shape[0]))
+            and supported_select(A, Bs.shape[0], cdt))
 
 
 def omp_batch(A, Bs, k=None, max_residual: float = 0.0, precision=None):
@@ -121,7 +129,7 @@ def fr_batch(A, Bs, max_residual: float = 0.0, min_decrease: float = 0.0,
             A, Bs, int(sparsity), max_residual, min_decrease, corr_dtype=cdt)
         return sol
     if (precision in (None, "bf16", "f32") and sparsity is not None
-            and jax.default_backend() == "tpu" and _stream_ok(A, Bs)):
+            and jax.default_backend() == "tpu" and _stream_ok(A, Bs, precision)):
         from cstpu.parallel.sharded import fr_sharded_fused
 
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
@@ -154,7 +162,7 @@ def mp_batch(A, Bs, k: int, precision=None):
         x, _ = fused_solve.mp_fused_solve(A, Bs, int(k), corr_dtype=cdt)
         return x
     if (precision in (None, "bf16", "f32")
-            and jax.default_backend() == "tpu" and _stream_ok(A, Bs)):
+            and jax.default_backend() == "tpu" and _stream_ok(A, Bs, precision)):
         from cstpu.parallel.sharded import mp_sharded_fused
 
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
@@ -189,7 +197,7 @@ def sp_batch(A, Bs, k, delta: float = 1e-12, maxiter=None, precision=None):
                                                maxiter, corr_dtype=cdt)
         return sol
     if (precision in (None, "bf16", "f32")
-            and jax.default_backend() == "tpu" and _stream_ok(A, Bs)):
+            and jax.default_backend() == "tpu" and _stream_ok(A, Bs, precision)):
         from cstpu.parallel.sharded import sp_sharded_fused
 
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
@@ -224,7 +232,7 @@ def gomp_batch(A, Bs, l, k=None, max_residual: float = 0.0, precision=None):
                                               max_residual, corr_dtype=cdt)
         return sol
     if (precision in (None, "bf16", "f32")
-            and jax.default_backend() == "tpu" and _stream_ok(A, Bs)):
+            and jax.default_backend() == "tpu" and _stream_ok(A, Bs, precision)):
         from cstpu.parallel.sharded import gomp_sharded_fused
 
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
@@ -563,7 +571,7 @@ def srr_batch(A, Bs, k: int, delta: float = 1e-12, maxiter=None,
         return sol
     if (precision in (None, "bf16", "f32") and initialization == 1
             and int(l) == 1 and jax.default_backend() == "tpu"
-            and _stream_ok(A, Bs)):
+            and _stream_ok(A, Bs, precision)):
         from cstpu.parallel.sharded import srr_sharded_fused
 
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
@@ -599,7 +607,7 @@ def ompr_batch(A, Bs, k: int, delta: float, eta: float = 1.0,
                                                  maxiter, corr_dtype=cdt)
         return sol
     if (precision in (None, "bf16", "f32")
-            and jax.default_backend() == "tpu" and _stream_ok(A, Bs)):
+            and jax.default_backend() == "tpu" and _stream_ok(A, Bs, precision)):
         from cstpu.parallel.sharded import ompr_sharded_fused
 
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16

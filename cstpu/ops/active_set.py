@@ -119,23 +119,39 @@ def append_col_gated(a, b, st: ActiveSet, i, ok) -> ActiveSet:
 
     A leafwise `tree_where(ok, appended, st)` select costs a full pass over
     `cols` (the dominant state leaf) every step; here the gate rides the
-    written values instead: the appended column is zeroed when not ok (slot
-    p is inactive, i.e. already zero), and only the small Gram/index leaves
-    carry selects. This is the accept/reject idiom for the hot loop.
+    written values instead, and only the small Gram/index leaves carry
+    selects. This is the accept/reject idiom for the hot loop.
+
+    Two rejections are enforced INTERNALLY so the no-op contract holds for
+    any caller-supplied gate:
+      * capacity — at st.k == kmax the write slot is clamped and every
+        write preserves the existing value (an unclamped index would
+        silently corrupt the LAST active slot under JAX's
+        promise-in-bounds indexing);
+      * degeneracy — a column numerically inside the active span is
+        rejected (d <= rtol * ||a||^2, same rule as the fused kernels and
+        the native LARS): accepting it makes the exact Gram singular and
+        the next `refresh` Cholesky returns silent NaNs.
     """
-    p = st.k
-    okf = ok.astype(a.dtype) if hasattr(ok, "astype") else jnp.float32(ok)
+    kmax = st.idx.shape[0]
+    ok = jnp.asarray(ok) & (st.k < kmax)
+    p = jnp.minimum(st.k, kmax - 1)
+    a1 = a * ok.astype(a.dtype)
+    # probe the out-of-span energy against the OLD active set (slot p is
+    # untouched so far; if previously inactive its cached column is zero)
+    g = jnp.where(st.mask, st.cols.T @ a1, 0)
+    ata = a1 @ a1
+    u = st.Ginv @ g
+    d = ata - g @ u
+    ok = ok & (d > 1e-12 * ata)
+    okf = ok.astype(a.dtype)
     a_eff = a * okf                      # zero column when rejected
-    cols = st.cols.at[:, p].set(a_eff)
+    cols = st.cols.at[:, p].set(jnp.where(ok, a_eff, st.cols[:, p]))
     gfull = cols.T @ a_eff
     G = jnp.where(ok, st.G.at[p, :].set(gfull).at[:, p].set(gfull), st.G)
 
-    g = jnp.where(st.mask, gfull, 0)
-    ata = a_eff @ a_eff
-    u = st.Ginv @ g
-    d = ata - g @ u
     d = jnp.maximum(d, 1e-12 * jnp.maximum(ata, 1e-30))
-    dinv = 1.0 / d
+    dinv = okf / d
     Ginv = st.Ginv + dinv * jnp.outer(u, u)
     Ginv = Ginv.at[p, :].set(-dinv * u).at[:, p].set(-dinv * u)
     Ginv = Ginv.at[p, p].set(dinv)
@@ -144,12 +160,12 @@ def append_col_gated(a, b, st: ActiveSet, i, ok) -> ActiveSet:
     return ActiveSet(
         idx=st.idx.at[p].set(jnp.where(ok, jnp.asarray(i, jnp.int32),
                                        st.idx[p])),
-        mask=st.mask.at[p].set(ok),
+        mask=st.mask.at[p].set(st.mask[p] | ok),
         k=st.k + ok.astype(jnp.int32),
         cols=cols,
         G=G,
         Ginv=Ginv,
-        Atb=st.Atb.at[p].set(a_eff @ b),
+        Atb=st.Atb.at[p].set(jnp.where(ok, a_eff @ b, st.Atb[p])),
         coef=st.coef,
     )
 

@@ -33,8 +33,21 @@ from jax.experimental.pallas import tpu as pltpu
 INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-def _select_kernel(T: int, tm: int, A_ref, R_ref, val_ref, idx_ref):
-    B, n = R_ref.shape
+def _argmax_update(scores, j, tm: int, val_ref, idx_ref):
+    """Fold one tile's scores into the running (max, lowest-index argmax)
+    pair — the accumulation step shared by every streaming kernel here.
+    Ties inside a tile resolve to the lowest index; ties ACROSS tiles keep
+    the earlier (lower-global-index) entry via the strict > test."""
+    tile_iota = lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    tmax = jnp.max(scores, axis=1, keepdims=True)
+    tloc = jnp.min(jnp.where(scores == tmax, tile_iota, INT_MAX),
+                   axis=1, keepdims=True)                         # (B, 1)
+    better = tmax > val_ref[:, :]                                 # (B, 1)
+    idx_ref[:, :] = jnp.where(better, tloc + j * tm, idx_ref[:, :])
+    val_ref[:, :] = jnp.where(better, tmax, val_ref[:, :])
+
+
+def _select_kernel(tm: int, A_ref, R_ref, val_ref, idx_ref):
     f32 = jnp.float32
     cdt = A_ref.dtype
     j = pl.program_id(0)
@@ -44,17 +57,11 @@ def _select_kernel(T: int, tm: int, A_ref, R_ref, val_ref, idx_ref):
         val_ref[:, :] = jnp.full_like(val_ref, -jnp.inf)
         idx_ref[:, :] = jnp.zeros_like(idx_ref)
 
-    tile_iota = lax.broadcasted_iota(jnp.int32, (B, tm), 1)
     scores = jnp.abs(
         lax.dot_general(R_ref[:, :].astype(cdt), A_ref[:, :],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=f32))              # (B, tm)
-    tmax = jnp.max(scores, axis=1, keepdims=True)
-    tloc = jnp.min(jnp.where(scores == tmax, tile_iota, INT_MAX),
-                   axis=1, keepdims=True)                         # (B, 1)
-    better = tmax > val_ref[:, :]                                 # (B, 1)
-    idx_ref[:, :] = jnp.where(better, tloc + j * tm, idx_ref[:, :])
-    val_ref[:, :] = jnp.where(better, tmax, val_ref[:, :])
+    _argmax_update(scores, j, tm, val_ref, idx_ref)
 
 
 def _stream_tile(m: int, n: int, itemsize: int, target_bytes: int) -> int:
@@ -79,7 +86,7 @@ def correlate_select_stream(A, R, interpret: bool = False):
     T = m // tm
 
     val, idx = pl.pallas_call(
-        partial(_select_kernel, T, tm),
+        partial(_select_kernel, tm),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((n, tm), lambda j: (0, j),
@@ -111,15 +118,20 @@ def correlate_select_stream(A, R, interpret: bool = False):
     return val[:, 0], idx[:, 0]
 
 
-def supported_select(A, B: int) -> bool:
-    """Gate: batch/measurement tiling and a streamable tile size exist."""
+def supported_select(A, B: int, corr_dtype=jnp.bfloat16) -> bool:
+    """Gate: batch/measurement tiling and a streamable tile size exist.
+
+    `corr_dtype` must be the dtype the dictionary is actually streamed in:
+    an f32 correlation path halves the largest streamable n, and a gate
+    checked at bf16 width would admit shapes the kernel then rejects."""
     n, m = A.shape
     if n % 8 or B % 8 or m % 128:
         return False
-    return _stream_tile(m, n, 2, 8 * 1024 * 1024) > 0
+    itemsize = jnp.dtype(corr_dtype).itemsize
+    return _stream_tile(m, n, itemsize, 8 * 1024 * 1024) > 0
 
 
-def _select_topl_kernel(T: int, tm: int, l: int,
+def _select_topl_kernel(tm: int, l: int,
                         A_ref, R_ref, val_ref, idx_ref):
     """Running top-l over tiles: each tile contributes its own top-l
     (at most l of a tile's atoms can make the global top-l), inserted
@@ -173,7 +185,7 @@ def correlate_select_topl_stream(A, R, l: int, interpret: bool = False):
     T = m // tm
 
     val, idx = pl.pallas_call(
-        partial(_select_topl_kernel, T, tm, int(l)),
+        partial(_select_topl_kernel, tm, int(l)),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((n, tm), lambda j: (0, j),
@@ -205,9 +217,8 @@ def correlate_select_topl_stream(A, R, l: int, interpret: bool = False):
     return val, idx
 
 
-def _fr_step_kernel(T: int, tm: int, deg: float,
-                    A_ref, R_ref, W_ref, V_ref, il_ref, cn2_ref, resc_ref,
-                    val_ref, idx_ref, resc_out):
+def _fr_step_kernel(tm: int, deg: float, use_v: bool,
+                    A_ref, R_ref, W_ref, *refs):
     """One forward-regression step over a streamed dictionary (shard):
     fold the PREVIOUS append's rescaling downdate (resc -= (w'a_j)^2, with
     w the scaled orthogonalized column) into the same tile pass that
@@ -223,6 +234,10 @@ def _fr_step_kernel(T: int, tm: int, deg: float,
     flags this call's appended atom as active (-1 for none), `restore`
     resurrects a deleted atom (its exact post-delete rescaling is the
     V update on a 0 base; -1 for none)."""
+    if use_v:
+        V_ref, il_ref, cn2_ref, resc_ref, val_ref, idx_ref, resc_out = refs
+    else:
+        il_ref, cn2_ref, resc_ref, val_ref, idx_ref, resc_out = refs
     B, n = R_ref.shape
     f32 = jnp.float32
     cdt = A_ref.dtype
@@ -241,9 +256,6 @@ def _fr_step_kernel(T: int, tm: int, deg: float,
     z = lax.dot_general(W_ref[:, :].astype(cdt), A_ref[:, :],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=f32)               # (B, tm)
-    zv = lax.dot_general(V_ref[:, :].astype(cdt), A_ref[:, :],
-                         (((1,), (0,)), ((), ())),
-                         preferred_element_type=f32)              # (B, tm)
     gidx = tile_iota + j * tm
     mark = il_ref[:, 0:1]
     rest = il_ref[:, 1:2]
@@ -253,18 +265,19 @@ def _fr_step_kernel(T: int, tm: int, deg: float,
     # and its own append subtracts exactly d); restore 0 and let the V
     # update add the exact post-delete value (v'a_p)^2/gamma_pp
     resc = jnp.where(gidx == rest, 0.0, resc)
-    resc = resc - z * z + zv * zv
+    resc = resc - z * z
+    if use_v:  # deferred-deletion dual update — the no-deletion FR path
+        #        skips this third MXU pass entirely (use_v is static)
+        zv = lax.dot_general(V_ref[:, :].astype(cdt), A_ref[:, :],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)          # (B, tm)
+        resc = resc + zv * zv
     resc = jnp.where(gidx == mark, -1.0, resc)
     resc_out[:, :] = resc
 
     rmin = deg * cn2_ref[0:1, :]
     d2 = jnp.where(resc > rmin, q * q / resc, NEG)
-    tmax = jnp.max(d2, axis=1, keepdims=True)
-    tloc = jnp.min(jnp.where(d2 == tmax, tile_iota, INT_MAX),
-                   axis=1, keepdims=True)
-    better = tmax > val_ref[:, :]
-    idx_ref[:, :] = jnp.where(better, tloc + j * tm, idx_ref[:, :])
-    val_ref[:, :] = jnp.where(better, tmax, val_ref[:, :])
+    _argmax_update(d2, j, tm, val_ref, idx_ref)
 
 
 @partial(jax.jit, static_argnames=("deg", "interpret"))
@@ -285,28 +298,31 @@ def fr_step_select(A, R, W, il, cn2, resc, deg: float,
     B = R.shape[0]
     tm = _stream_tile(m, n, A.dtype.itemsize, 8 * 1024 * 1024)
     T = m // tm
-    if V is None:
-        V = jnp.zeros_like(R)
+    use_v = V is not None
+
+    bn_spec = pl.BlockSpec((B, n), lambda j: (0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((n, tm), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),                # A tile
+        bn_spec,                                              # R
+        bn_spec,                                              # W
+        *([bn_spec] if use_v else []),                        # V
+        pl.BlockSpec((B, 2), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),                # il
+        pl.BlockSpec((1, tm), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),                # cn2 tile
+        pl.BlockSpec((B, tm), lambda j: (0, j),
+                     memory_space=pltpu.VMEM),                # resc tile
+    ]
+    operands = [A, R.astype(jnp.float32), W.astype(jnp.float32),
+                *([V.astype(jnp.float32)] if use_v else []),
+                il.reshape(B, 2).astype(jnp.int32), cn2, resc]
 
     val, idx, resc2 = pl.pallas_call(
-        partial(_fr_step_kernel, T, tm, float(deg)),
+        partial(_fr_step_kernel, tm, float(deg), use_v),
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((n, tm), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),                # A tile
-            pl.BlockSpec((B, n), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),                # R
-            pl.BlockSpec((B, n), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),                # W
-            pl.BlockSpec((B, n), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),                # V
-            pl.BlockSpec((B, 2), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),                # il
-            pl.BlockSpec((1, tm), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),                # cn2 tile
-            pl.BlockSpec((B, tm), lambda j: (0, j),
-                         memory_space=pltpu.VMEM),                # resc tile
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((B, 1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -320,29 +336,27 @@ def fr_step_select(A, R, W, il, cn2, resc, deg: float,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, m), jnp.float32),
         ],
-        input_output_aliases={6: 2},
+        input_output_aliases={len(operands) - 1: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 4 * B * n * m,
+            flops=2 * (4 if use_v else 3) * B * n * m,
             bytes_accessed=n * m * A.dtype.itemsize + 2 * B * m * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(A, R.astype(jnp.float32), W.astype(jnp.float32),
-      V.astype(jnp.float32), il.reshape(B, 2).astype(jnp.int32), cn2, resc)
+    )(*operands)
     return val[:, 0], idx[:, 0], resc2
 
 
-def _select_masked_kernel(T: int, tm: int, A_ref, R_ref, M_ref,
+def _select_masked_kernel(tm: int, A_ref, R_ref, M_ref,
                           val_ref, idx_ref):
     """Top-1 |corr| with an additive per-atom mask tile (0 = eligible,
     -inf = excluded) — the passive-atom selection of OMPR
     (src/twostage.jl:134-180: passive scores are eta*|<a,r>| since the
     dense coefficient is zero off-support; active atoms are excluded)."""
-    B, n = R_ref.shape
     f32 = jnp.float32
     cdt = A_ref.dtype
     j = pl.program_id(0)
@@ -352,17 +366,11 @@ def _select_masked_kernel(T: int, tm: int, A_ref, R_ref, M_ref,
         val_ref[:, :] = jnp.full_like(val_ref, -jnp.inf)
         idx_ref[:, :] = jnp.zeros_like(idx_ref)
 
-    tile_iota = lax.broadcasted_iota(jnp.int32, (B, tm), 1)
     scores = jnp.abs(
         lax.dot_general(R_ref[:, :].astype(cdt), A_ref[:, :],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=f32)) + M_ref[:, :]
-    tmax = jnp.max(scores, axis=1, keepdims=True)
-    tloc = jnp.min(jnp.where(scores == tmax, tile_iota, INT_MAX),
-                   axis=1, keepdims=True)
-    better = tmax > val_ref[:, :]
-    idx_ref[:, :] = jnp.where(better, tloc + j * tm, idx_ref[:, :])
-    val_ref[:, :] = jnp.where(better, tmax, val_ref[:, :])
+    _argmax_update(scores, j, tm, val_ref, idx_ref)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -375,7 +383,7 @@ def correlate_select_masked_stream(A, R, M, interpret: bool = False):
     T = m // tm
 
     val, idx = pl.pallas_call(
-        partial(_select_masked_kernel, T, tm),
+        partial(_select_masked_kernel, tm),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((n, tm), lambda j: (0, j),

@@ -88,3 +88,60 @@ def test_fr_step_select_restore_semantics():
                                  V=V, interpret=True)
     want = np.asarray(V @ A[:, p]) ** 2
     np.testing.assert_allclose(np.asarray(resc2[:, p]), want, rtol=1e-5)
+
+
+def test_append_col_gated_noop_at_capacity():
+    # the documented no-op contract must hold for ok gates that do not
+    # themselves check capacity: at st.k == kmax the write slot used to
+    # index one past the buffer and (under clamping lowerings) silently
+    # zero the LAST active column
+    from cstpu.ops import active_set as aset
+
+    key = jax.random.PRNGKey(3)
+    A = jax.random.normal(key, (16, 8), jnp.float64)
+    A = A / jnp.linalg.norm(A, axis=0, keepdims=True)
+    b = A[:, 0] + 0.5 * A[:, 1]
+    st = aset.empty(16, 2, 8, jnp.float64)
+    st = aset.append(A, b, st, 0)
+    st = aset.append(A, b, st, 1)
+    st = aset.refit(st)
+    full = aset.append_gated(A, b, st, 2, jnp.bool_(True))  # at capacity
+    assert int(full.k) == 2
+    np.testing.assert_array_equal(np.asarray(full.mask),
+                                  np.asarray(st.mask))
+    np.testing.assert_allclose(np.asarray(full.cols), np.asarray(st.cols))
+    np.testing.assert_allclose(np.asarray(full.Atb), np.asarray(st.Atb))
+    np.testing.assert_allclose(np.asarray(full.Ginv), np.asarray(st.Ginv))
+
+
+def test_append_col_gated_rejects_in_span_column():
+    # a column numerically inside the active span must be rejected: if it
+    # enters, the exact Gram is singular and the next refresh/delete
+    # Cholesky silently returns NaN for the whole solve
+    from cstpu.ops import active_set as aset
+
+    key = jax.random.PRNGKey(4)
+    A0 = jax.random.normal(key, (16, 4), jnp.float64)
+    A = jnp.concatenate([A0, A0[:, 0:1]], axis=1)  # col 4 duplicates col 0
+    A = A / jnp.linalg.norm(A, axis=0, keepdims=True)
+    b = A[:, 0] + A[:, 1]
+    st = aset.empty(16, 4, 5, jnp.float64)
+    st = aset.append_gated(A, b, st, 0, jnp.bool_(True))
+    dup = aset.append_gated(A, b, st, 4, jnp.bool_(True))  # same column
+    assert int(dup.k) == 1  # rejected
+    st = aset.append_gated(A, b, dup, 1, jnp.bool_(True))
+    st = aset.refit(aset.delete(st, jnp.int32(0), 5))
+    assert bool(jnp.all(jnp.isfinite(st.Ginv)))
+    assert bool(jnp.all(jnp.isfinite(st.coef)))
+
+
+def test_supported_select_respects_corr_dtype():
+    # an f32 correlation stream halves the largest streamable n: the gate
+    # must check the ACTUAL streaming dtype or dispatch crashes where the
+    # contract promises an XLA fallback (n in (16384, 32768] fits a
+    # 128-atom bf16 tile in the 8 MB budget but not an f32 one)
+    from cstpu.ops.stream_select import supported_select
+
+    A = jax.ShapeDtypeStruct((20480, 1024), jnp.float32)
+    assert supported_select(A, 8, jnp.bfloat16)
+    assert not supported_select(A, 8, jnp.float32)
