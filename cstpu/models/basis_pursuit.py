@@ -85,10 +85,12 @@ def _bp_admm(A, b, w, rho, maxiter: int, tol, z0=None, u0=None):
 
     z_init = x0 if z0 is None else z0
     u_init = jnp.zeros((m,), A.dtype) if u0 is None else u0
-    _, z, u, _, _, _ = lax.while_loop(
+    _, z, u, rho_f, _, _ = lax.while_loop(
         cond, body, (x0, z_init, u_init, rho, jnp.int32(0),
                      jnp.bool_(False)))
-    return z, u
+    # rho_f must accompany (z, u) into any warm start: u is the SCALED
+    # dual y/rho, so a restart at a different rho misinterprets it
+    return z, u, rho_f
 
 
 def bp(A, b, w=None, rho: float = 1.0, maxiter: int = 20000,
@@ -117,8 +119,8 @@ def bp(A, b, w=None, rho: float = 1.0, maxiter: int = 20000,
     w = jnp.asarray(w, A.dtype)
     if tol is None:
         tol = 1e-9 if A.dtype == jnp.float64 else 1e-6
-    z, _ = _bp_admm(A, b, w, jnp.asarray(rho, A.dtype), int(maxiter),
-                    jnp.asarray(tol, A.dtype))
+    z, _, _ = _bp_admm(A, b, w, jnp.asarray(rho, A.dtype), int(maxiter),
+                       jnp.asarray(tol, A.dtype))
     return z
 
 
@@ -148,7 +150,8 @@ def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
     def project_ball(v):
         d = v - b
         nd = jnp.linalg.norm(d)
-        return b + d * jnp.minimum(1.0, delta / jnp.maximum(nd, 1e-300))
+        tiny = jnp.finfo(A.dtype).tiny  # 1e-300 underflows to 0 in f32
+        return b + d * jnp.minimum(1.0, delta / jnp.maximum(nd, tiny))
 
     thresh = w / rho
 
@@ -173,7 +176,7 @@ def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
     z0 = jnp.zeros((m,), A.dtype)
     _, z, _, _, _, _, _ = lax.while_loop(
         cond, body,
-        (z0, z0, jnp.asarray(b), z0, jnp.zeros((n,), A.dtype),
+        (z0, z0, jnp.asarray(b, A.dtype), z0, jnp.zeros((n,), A.dtype),
          jnp.int32(0), jnp.bool_(False)))
     return z
 
@@ -229,10 +232,12 @@ def basispursuit_reweighting(A, b, reweight, maxiter: int = 8,
     w = jnp.ones((m,), A.dtype)
     rho = jnp.asarray(1.0, A.dtype)
     tol = jnp.asarray(1e-9 if A.dtype == jnp.float64 else 1e-6, A.dtype)
-    x, u = _bp_admm(A, b, w, rho, 20000, tol)
+    x, u, rho = _bp_admm(A, b, w, rho, 20000, tol)
     for _ in range(1, int(maxiter)):
         w = reweight(w, x)
-        xs, u = _bp_admm(A, b, w, rho, 20000, tol, z0=x, u0=u)
+        # restart at the ADAPTED rho: u is the scaled dual y/rho, so a
+        # reset to rho=1 would hand the next solve a mis-scaled dual
+        xs, u, rho = _bp_admm(A, b, w, rho, 20000, tol, z0=x, u0=u)
         if float(jnp.linalg.norm(xs - x)) < min_decrease:
             return xs
         x = xs
@@ -278,7 +283,16 @@ def _ard_weights(A, x, w, eps, iters: int):
         wx = jnp.abs(x) / w
         K = eps * jnp.eye(n, dtype=A.dtype) + (A * wx[None, :]) @ A.T
         KA = cho_solve((jnp.linalg.cholesky(K), True), A)
-        return jnp.sqrt(jnp.maximum(jnp.sum(A * KA, axis=0), 0.0))
+        q = jnp.sum(A * KA, axis=0)
+        # the quadratic form is positive in exact arithmetic; a rounding-
+        # negative value for a fully-pruned atom must not clamp to an
+        # exact 0 weight — the next iteration's |x|/w would NaN the whole
+        # solve (the same f32 mode as the MacKay denominator clamp in
+        # models/sbl.py). Floor at a dtype-eps fraction of the largest
+        # form instead.
+        floor = jnp.maximum(8 * jnp.finfo(A.dtype).eps * jnp.max(q),
+                            jnp.finfo(A.dtype).tiny)
+        return jnp.sqrt(jnp.maximum(q, floor))
 
     return lax.fori_loop(0, iters, body, w)
 
@@ -373,7 +387,7 @@ def ista(A, b, lam, x0=None, maxiter: int = 1024,
     """Proximal gradient for the weighted-l1 LASSO
     min ||Ax-b||^2 + sum w_i |x_i| (lam scalar or per-atom weights).
     Parity: src/basispursuit.jl:164-183 (same fixed-stepsize default);
-    `stepsize=None` uses the spectral step 0.99/(2 sigma_max^2)."""
+    `stepsize=None` uses the spectral step 0.95/(2 sigma_max^2)."""
     m = A.shape[1]
     w = jnp.broadcast_to(jnp.asarray(lam, A.dtype), (m,))
     x0 = jnp.zeros((m,), A.dtype) if x0 is None else jnp.asarray(x0, A.dtype)
@@ -405,7 +419,7 @@ def fista(A, b, lam, x0=None, maxiter: int = 1024,
     The reference's FISTA is unfinished/broken (undefined `xkn`/`xk`,
     src/basispursuit.jl:186-204); this is the correct Beck-Teboulle
     iteration with the same objective convention as `ista`.
-    `stepsize=None` uses the spectral step 0.99/(2 sigma_max^2)."""
+    `stepsize=None` uses the spectral step 0.95/(2 sigma_max^2)."""
     m = A.shape[1]
     w = jnp.broadcast_to(jnp.asarray(lam, A.dtype), (m,))
     x0 = jnp.zeros((m,), A.dtype) if x0 is None else jnp.asarray(x0, A.dtype)

@@ -25,12 +25,9 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from cstpu.models.basis_pursuit import _shrink
 from cstpu.models.sbl import _f32_matmuls
 from jax.scipy.linalg import cho_solve
-
-
-def _shrink(x, t):
-    return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
 
 
 @_f32_matmuls
@@ -47,63 +44,80 @@ def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
         return v_local - cho_solve((L, True), Av - b) @ A_local
 
     x0 = cho_solve((L, True), b) @ A_local  # min-norm feasible point (local)
-    thresh = w_local / rho
     relax = jnp.asarray(1.8, A_local.dtype)   # over-relaxation
-
-    def gnorm(v_local):
-        return jnp.sqrt(lax.psum(jnp.sum(v_local * v_local), axis))
+    mu = jnp.asarray(10.0, A_local.dtype)     # residual balancing
+    tau = jnp.asarray(2.0, A_local.dtype)
 
     def cond(c):
-        x, z, u, t, done = c
+        x, z, u, rho_, t, done = c
         return (t < maxiter) & ~done
 
     def body(c):
-        x, z, u, t, _ = c
+        x, z, u, rho_, t, _ = c
         x = project(z - u)
         xh = relax * x + (1.0 - relax) * z
-        z_new = _shrink(xh + u, thresh)
+        z_new = _shrink(xh + u, w_local / rho_)
         u = u + xh - z_new
-        pri = gnorm(x - z_new)
-        dua = rho * gnorm(z_new - z)
-        scale = 1.0 + gnorm(z_new)
+        # the three convergence norms ride ONE packed scalar collective
+        # (each separate psum is a full latency-bound round trip on DCN)
+        sq = lax.psum(jnp.stack([
+            jnp.sum((x - z_new) * (x - z_new)),
+            jnp.sum((z_new - z) * (z_new - z)),
+            jnp.sum(z_new * z_new)]), axis)
+        pri = jnp.sqrt(sq[0])
+        dua = rho_ * jnp.sqrt(sq[1])
+        scale = 1.0 + jnp.sqrt(sq[2])
         done = (pri < tol * scale) & (dua < tol * scale)
-        return x, z_new, u, t + 1, done
+        # adaptive rho, identical to the unsharded _bp_admm (the docstring
+        # promises matching semantics): rebalance every 64 iterations,
+        # rescale the scaled dual with it
+        adapt = (t % 64) == 63
+        up = adapt & (pri > mu * dua)
+        dn = adapt & (dua > mu * pri)
+        fac = jnp.where(up, tau, jnp.where(dn, 1.0 / tau, 1.0))
+        rho_new = jnp.clip(rho_ * fac, 1e-4, 1e6)
+        fac = rho_new / rho_
+        return x, z_new, u / fac, rho_new, t + 1, done
 
     z_init = x0 if z0_local is None else z0_local
     u_init = (jnp.zeros((m_local,), A_local.dtype)
               if u0_local is None else u0_local)
-    _, z, u, _, _ = lax.while_loop(
-        cond, body, (x0, z_init, u_init, jnp.int32(0), jnp.bool_(False)))
-    return z, u
+    _, z, u, rho_f, _, _ = lax.while_loop(
+        cond, body, (x0, z_init, u_init, rho, jnp.int32(0),
+                     jnp.bool_(False)))
+    # rho_f must accompany (z, u) into any warm start (u is y/rho)
+    return z, u, rho_f
 
 
 @lru_cache(maxsize=64)
-def _bp_jit(mesh: Mesh, atoms_axis: str, maxiter: int, rho: float,
-            tol: float, warm: bool):
+def _bp_jit(mesh: Mesh, atoms_axis: str, maxiter: int, tol: float,
+            warm: bool):
     """Memoized jitted sharded-BP callable.
 
     Rebuilding shard_map + jit per call costs ~1.3 s of retracing on every
     solve (dwarfing the actual ADMM time); callables are cached per
-    (mesh, axis, maxiter, rho, tol, warm-start arity). Shape changes
-    retrace inside the cached jit as usual.
+    (mesh, axis, maxiter, tol, warm-start arity). rho is a traced operand
+    (the adaptive loop returns its final value for warm restarts). Shape
+    changes retrace inside the cached jit as usual.
     """
-    body = partial(_bp_admm_shard_body, rho=rho, maxiter=maxiter, tol=tol,
+    body = partial(_bp_admm_shard_body, maxiter=maxiter, tol=tol,
                    axis=atoms_axis)
     if not warm:
         return jax.jit(jax.shard_map(
-            lambda A_l, b_l, w_l: body(A_l, b_l, w_l),
+            lambda A_l, b_l, w_l, rho: body(A_l, b_l, w_l, rho),
             mesh=mesh,
-            in_specs=(P(None, atoms_axis), P(None), P(atoms_axis)),
-            out_specs=(P(atoms_axis), P(atoms_axis)),
+            in_specs=(P(None, atoms_axis), P(None), P(atoms_axis), P()),
+            out_specs=(P(atoms_axis), P(atoms_axis), P()),
             check_vma=False,
         ))
     return jax.jit(jax.shard_map(
-        lambda A_l, b_l, w_l, z_l, u_l: body(A_l, b_l, w_l, z0_local=z_l,
-                                             u0_local=u_l),
+        lambda A_l, b_l, w_l, rho, z_l, u_l: body(A_l, b_l, w_l, rho,
+                                                  z0_local=z_l,
+                                                  u0_local=u_l),
         mesh=mesh,
-        in_specs=(P(None, atoms_axis), P(None), P(atoms_axis),
+        in_specs=(P(None, atoms_axis), P(None), P(atoms_axis), P(),
                   P(atoms_axis), P(atoms_axis)),
-        out_specs=(P(atoms_axis), P(atoms_axis)),
+        out_specs=(P(atoms_axis), P(atoms_axis), P()),
         check_vma=False,
     ))
 
@@ -113,10 +127,12 @@ def bp_sharded(A, b, w=None, mesh: Mesh = None, rho: float = 1.0,
                atoms_axis: str = "atoms", warm=None):
     """(Weighted) basis pursuit with a column-sharded dictionary.
 
-    Semantics match cstpu.bp (ADMM); x/z/u/w live sharded with the columns.
-    Returns (z, u) — pass `warm=(z, u)` to warm-start the next solve (the
-    reweighting driver does). NOTE: callers wanting just the solution take
-    element 0.
+    Semantics match cstpu.bp (ADMM, incl. the adaptive-rho rebalancing);
+    x/z/u/w live sharded with the columns. Returns (z, u, rho_final) —
+    pass `warm=(z, u, rho_final)` to warm-start the next solve (the
+    reweighting driver does; u is the SCALED dual y/rho so the adapted
+    rho must travel with it). NOTE: callers wanting just the solution
+    take element 0.
     """
     n, m = A.shape
     if tol is None:
@@ -128,13 +144,13 @@ def bp_sharded(A, b, w=None, mesh: Mesh = None, rho: float = 1.0,
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
 
-    rho = float(rho)
     tol = float(tol)
+    rho = jnp.asarray(rho, A.dtype)
     if warm is None:
-        fn = _bp_jit(mesh, atoms_axis, int(maxiter), rho, tol, False)
-        return fn(A, b, w)
-    fn = _bp_jit(mesh, atoms_axis, int(maxiter), rho, tol, True)
-    return fn(A, b, w, warm[0], warm[1])
+        fn = _bp_jit(mesh, atoms_axis, int(maxiter), tol, False)
+        return fn(A, b, w, rho)
+    fn = _bp_jit(mesh, atoms_axis, int(maxiter), tol, True)
+    return fn(A, b, w, jnp.asarray(warm[2], A.dtype), warm[0], warm[1])
 
 
 @_f32_matmuls
@@ -148,7 +164,14 @@ def _ard_weights_shard_body(A_local, x_local, w_local, eps, iters: int,
         K = eps * jnp.eye(n, dtype=A_local.dtype) + lax.psum(
             (A_local * wx[None, :]) @ A_local.T, axis)
         KA = cho_solve((jnp.linalg.cholesky(K), True), A_local)
-        return jnp.sqrt(jnp.maximum(jnp.sum(A_local * KA, axis=0), 0.0))
+        q = jnp.sum(A_local * KA, axis=0)
+        # dtype-eps floor (global max over shards): a rounding-negative
+        # form for a pruned atom must not clamp to an exact 0 weight —
+        # the next |x|/w would NaN the solve (models/basis_pursuit.py)
+        floor = jnp.maximum(
+            8 * jnp.finfo(A_local.dtype).eps * lax.pmax(jnp.max(q), axis),
+            jnp.finfo(A_local.dtype).tiny)
+        return jnp.sqrt(jnp.maximum(q, floor))
 
     return lax.fori_loop(0, iters, body, w_local)
 
@@ -169,6 +192,9 @@ def _ard_jit(mesh: Mesh, atoms_axis: str, eps: float, iters: int):
 def ard_weights_sharded(A, x, w, mesh: Mesh, eps: float, iters: int = 8,
                         atoms_axis: str = "atoms"):
     """Column-sharded ARD weights (see module docstring)."""
+    if bool(jnp.any(w == 0)):
+        raise ValueError("weights cannot be zero")  # parity with the
+    #                     unsharded rule (src/basispursuit.jl:50-51)
     return _ard_jit(mesh, atoms_axis, float(eps), int(iters))(A, x, w)
 
 
@@ -182,12 +208,13 @@ def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
     iteration: one sharded BP solve + one sharded ARD weight fixed point.
     """
     m = A.shape[1]
-    x, u = bp_sharded(A, b, None, mesh, atoms_axis=atoms_axis, **bp_kwargs)
+    x, u, rho = bp_sharded(A, b, None, mesh, atoms_axis=atoms_axis,
+                           **bp_kwargs)
     w = jnp.ones((m,), A.dtype)
     for _ in range(1, int(maxiter)):
         w = ard_weights_sharded(A, x, w, mesh, eps, atoms_axis=atoms_axis)
-        xs, u = bp_sharded(A, b, w, mesh, atoms_axis=atoms_axis,
-                           warm=(x, u), **bp_kwargs)
+        xs, u, rho = bp_sharded(A, b, w, mesh, atoms_axis=atoms_axis,
+                                warm=(x, u, rho), **bp_kwargs)
         if float(jnp.linalg.norm(xs - x)) < min_decrease:
             return xs
         x = xs
@@ -205,9 +232,6 @@ def _ista_shard_body(A_local, b, w_local, stepsize, maxiter: int,
     is the n-length psum of the partial fits A_s x_s per iteration; the
     gradient's correlation (r @ A_s) and the shrinkage are local.
     Parity: cstpu.models.basis_pursuit._ista/_fista."""
-    from jax import lax
-    import jax.numpy as jnp
-
     m_local = A_local.shape[1]
 
     def fit(x_local):

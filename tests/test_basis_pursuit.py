@@ -108,3 +108,31 @@ def test_weighted_bp_prefers_low_weight_atoms():
     w[support(x)] = 1e-6
     xl = _droptol(bp(A, b, w), 1e-5)
     assert set(support(xl)) <= set(support(x))
+
+
+def test_bp_ard_f32_finite():
+    # f32 (the TPU dtype): a fully-pruned atom's ARD quadratic form can
+    # round slightly negative; a clamp at exactly 0 made the weight 0 and
+    # the next iteration's |x|/w NaN'd the whole solve. The dtype-eps
+    # floor must keep the reweighted solve finite and recovering.
+    import jax.numpy as jnp
+
+    A, x, b = sparse_data(jax.random.PRNGKey(31), n=32, m=48, k=3,
+                          dtype=jnp.float32)
+    xs = bp_ard(A, b)
+    assert bool(jnp.all(jnp.isfinite(xs)))
+    got = np.flatnonzero(np.abs(np.asarray(xs)) > 1e-3)
+    np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
+
+
+def test_bpd_delta_zero_f32_finite():
+    # delta=0 with an exactly-feasible iterate hits the projection's
+    # divide guard; the old 1e-300 floor underflows to 0 in f32 and the
+    # solve went NaN. BPD at delta=0 is equality BP.
+    import jax.numpy as jnp
+
+    A, x, b = sparse_data(jax.random.PRNGKey(32), n=32, m=48, k=3,
+                          dtype=jnp.float32)
+    xs = bpd(A, b, 0.0)
+    assert bool(jnp.all(jnp.isfinite(xs)))
+    assert float(jnp.linalg.norm(A @ xs - b)) < 1e-3
