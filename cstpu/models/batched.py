@@ -394,9 +394,14 @@ def fbr_batch(A, Bs, max_residual=None, max_increase=None,
 
 
 def lace_batch(A, Bs, max_residual=None, max_increase=None,
-               sparsity: int = 0):
+               sparsity: int = 0, return_failed: bool = False):
     """Batched LACE. On TPU dispatches to the fused deletion kernel
-    (min-|coefficient| selection) — see cstpu.ops.fused_backward."""
+    (min-|coefficient| selection) — see cstpu.ops.fused_backward.
+
+    With `return_failed=True` also returns the per-instance (B,)
+    instability flags (fused path only — a failed instance conservatively
+    stops deleting; the XLA path's exact refits have no failure mode and
+    report all-False)."""
     import jax.numpy as jnp
 
     from cstpu.models.backward import lace
@@ -411,9 +416,12 @@ def lace_batch(A, Bs, max_residual=None, max_increase=None,
     Bs = jnp.asarray(Bs)
     if (jax.default_backend() == "tpu"
             and fused_backward.supported_backward(A, Bs)):
-        return fused_backward.lace_fused_solve(
+        sol, failed = fused_backward.lace_fused_solve(
             A, Bs, sparsity=sparsity, **kw)
-    return jax.vmap(lambda bb: lace(A, bb, sparsity=sparsity, **kw))(Bs)
+    else:
+        sol = jax.vmap(lambda bb: lace(A, bb, sparsity=sparsity, **kw))(Bs)
+        failed = jnp.zeros((Bs.shape[0],), bool)
+    return (sol, failed) if return_failed else sol
 
 
 def sbl_batch(A, Bs, sigma, maxiter=None, min_change: float = 1e-6):

@@ -97,7 +97,12 @@ def _bw_kernel(nsteps: int, select_abs: bool,
                       keepdims=True)                       # (1, 1)
 
         # --- accept test (src/backward.jl:57-59) ------------------------
-        fail = (d2p + nr2) < 0  # reference throws here (backward.jl:169)
+        # the reference throws here (backward.jl:169). The predicate is
+        # written as a NEGATED >= so NaN state (e.g. a NaN Cholesky init
+        # from a rank-deficient Gram) latches the failure flag instead of
+        # silently comparing False; an invalid selection (~valid, which
+        # only happens with NaN scores) latches it too.
+        fail = ~((d2p + nr2) >= 0) | ~valid
         newnr2 = jnp.maximum(nr2 + d2p, 0.0)
         acc = valid & (~fail) & (newnr2 < max_eps2) & (d2p < max_delta2)
         accf = acc.astype(f32)                             # (1, 1)
@@ -270,24 +275,28 @@ def lace_fused_solve(A, Bs, max_residual: float = math.inf,
     in f32, near-threshold accept decisions can therefore differ from the
     XLA path's refit-based test by rounding (support-identical on
     well-conditioned problems — the conformance tests' regime).
-    Returns a SparseSolution.
+    Returns (SparseSolution, failed (B,) bool) — a failed instance stops
+    deleting (conservative: its support is a superset of the XLA path's)
+    and reports True, mirroring fbr_fused_solve.
     """
     n, m = A.shape
     if n < m:
         raise ValueError(f"A must be overdetermined but is ({n}, {m})")
-    coef, alive, _ = _bw_fused_call(
+    coef, alive, failed = _bw_fused_call(
         jnp.asarray(A), jnp.asarray(Bs), int(sparsity),
         float(max_residual) ** 2, float(max_increase) ** 2,
         True, interpret)
-    return _to_solution(coef, alive, m)
+    return _to_solution(coef, alive, m), failed[:, 0] > 0.5
 
 
 def supported_backward(A, Bs) -> bool:
-    """Shape gate for the fused backward kernel on hardware: lane-aligned
-    m, the (m, m) Gram inverse (shared block + private scratch copy) must
-    fit VMEM with headroom. n never enters the kernel (the Cholesky init
-    runs in XLA outside), so it is unconstrained."""
+    """Shape gate for the fused backward kernel on hardware: f32 input
+    (the kernel computes in f32 — an f64 call must take the dtype-
+    preserving XLA fallback), lane-aligned m, and the (m, m) Gram inverse
+    (shared block + private scratch copy) must fit VMEM with headroom.
+    n never enters the kernel (the Cholesky init runs in XLA outside),
+    so it is unconstrained."""
     n, m = A.shape
-    if Bs.ndim != 2 or m % 128 or m < 128:
+    if A.dtype != jnp.float32 or Bs.ndim != 2 or m % 128 or m < 128:
         return False
     return 2 * m * m * 4 < 90 * 1024 * 1024

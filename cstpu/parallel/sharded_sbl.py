@@ -34,6 +34,29 @@ from cstpu.models.sbl import (_delta_add, _delta_delete, _delta_update,
 INT_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _rebuild_C(A_local, gamma, sigma2, axis: str):
+    """C = sigma^2 I + A diag(gamma) A' rebuilt EXACTLY from per-shard
+    Gram partials (one psum) — the numerically sensitive refresh anchor
+    shared by the FSBL/RMPS posterior means and the RMPS per-outer-
+    iteration state refresh."""
+    B = gamma.shape[0]
+    n, m_local = A_local.shape
+    eye = jnp.eye(n, dtype=A_local.dtype)
+    Cpart = jnp.einsum("bik,bjk->bij",
+                       A_local[None, :, :] * gamma[:, None, :],
+                       jnp.broadcast_to(A_local, (B, n, m_local)))
+    return lax.psum(Cpart, axis) + sigma2 * eye[None, :, :]
+
+
+def _posterior_mean_local(A_local, Bs_local, alpha, sigma2, axis: str):
+    """mu = Gamma A' C^-1 b with C rebuilt exactly from the final alpha
+    (discards the downdate chain's f32 drift). Returns the LOCAL slice."""
+    gamma = jnp.where(jnp.isfinite(alpha), 1.0 / alpha, 0.0)
+    C = _rebuild_C(A_local, gamma, sigma2, axis)
+    Cb = jax.vmap(lambda Cb_, bb: jnp.linalg.solve(Cb_, bb))(C, Bs_local)
+    return gamma * (Cb @ A_local)
+
+
 def _fsbl_shard_body(A_local, Bs_local, sigma2, maxiter: int,
                      min_increase, m: int, axis: str):
     """Batched FSBL with atom-sharded (alpha, S, Q). Parity:
@@ -128,15 +151,8 @@ def _fsbl_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         cond, body, (alpha0, S0, Q0, Cinv0, jnp.int32(0),
                      jnp.zeros((B,), bool)))
 
-    # posterior mean via mu = Gamma A' C^-1 b, with C rebuilt EXACTLY from
-    # the final alpha (one psum of per-shard Gram partials — the refresh
-    # anchor that discards the downdate chain's f32 drift)
-    gamma = jnp.where(jnp.isfinite(alpha), 1.0 / alpha, 0.0)
-    Cpart = jnp.einsum("bik,bjk->bij", A_local[None, :, :] * gamma[:, None, :],
-                       jnp.broadcast_to(A_local, (B, n, m_local)))
-    C = lax.psum(Cpart, axis) + sigma2 * eye[None, :, :]
-    Cb = jax.vmap(lambda Cb_, bb: jnp.linalg.solve(Cb_, bb))(C, Bs_local)
-    return gamma * (Cb @ A_local)                             # (B, m_local)
+    # posterior mean via mu = Gamma A' C^-1 b (exact refresh anchor)
+    return _posterior_mean_local(A_local, Bs_local, alpha, sigma2, axis)
 
 
 def fsbl_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
@@ -154,27 +170,30 @@ def fsbl_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    b_shards = mesh.shape[batch_axis]
+    if Bs.shape[0] % b_shards:
+        raise ValueError(f"B = {Bs.shape[0]} not divisible by batch "
+                         f"shards {b_shards}")
     fn = _fsbl_sharded_jit(mesh, atoms_axis, batch_axis, maxiter, m,
-                           float(sigma), float(min_increase), A.dtype.name)
-    return fn(A, Bs)
+                           A.dtype.name)
+    # sigma2/min_increase ride as traced operands: per-dataset noise
+    # levels must not recompile the shard_map program (the convention
+    # fused_backward's thr operands established)
+    return fn(A, Bs, jnp.asarray(sigma, A.dtype),
+              jnp.asarray(min_increase, A.dtype))
 
 
 @lru_cache(maxsize=64)
 def _fsbl_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
-                      maxiter: int, m: int, sigma2: float,
-                      min_increase: float, dtype_name: str):
-    dtype = jnp.dtype(dtype_name)
-    s2 = jnp.asarray(sigma2, dtype)
-    mi = jnp.asarray(min_increase, dtype)
-
+                      maxiter: int, m: int, dtype_name: str):
     @_f32_matmuls
-    def shard_fn(A_local, Bs_local):
+    def shard_fn(A_local, Bs_local, s2, mi):
         return _fsbl_shard_body(A_local, Bs_local, s2, maxiter, mi, m,
                                 atoms_axis)
 
     return jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(None, atoms_axis), P(batch_axis, None)),
+        in_specs=(P(None, atoms_axis), P(batch_axis, None), P(), P()),
         out_specs=P(batch_axis, atoms_axis),
         check_vma=False,
     ))
@@ -189,14 +208,10 @@ def _sq_refresh(A_local, Bs_local, alpha, sigma2, axis: str):
     refresh anchor (cstpu.models.sbl._rmps_optimize): C comes from one
     psum of per-shard Gram partials, the per-shard solves stay local."""
     B, n = Bs_local.shape
-    m_local = A_local.shape[1]
     f = A_local.dtype
     eye = jnp.eye(n, dtype=f)
     gamma = jnp.where(jnp.isfinite(alpha), 1.0 / alpha, 0.0)
-    Cpart = jnp.einsum("bik,bjk->bij",
-                       A_local[None, :, :] * gamma[:, None, :],
-                       jnp.broadcast_to(A_local, (B, n, m_local)))
-    C = lax.psum(Cpart, axis) + sigma2 * eye[None, :, :]
+    C = _rebuild_C(A_local, gamma, sigma2, axis)
     Cinv = jax.vmap(lambda Cb: jnp.linalg.solve(Cb, eye))(C)
     CA = jnp.einsum("bij,jk->bik", Cinv, A_local)             # (B, n, ml)
     S = jnp.einsum("bik,ik->bk", CA, A_local)
@@ -205,10 +220,11 @@ def _sq_refresh(A_local, Bs_local, alpha, sigma2, axis: str):
 
 
 def _apply_action(A_local, alpha, S, Q, Cinv, gsel, gamma_change,
-                  new_alpha_i, S_i, gate, axis: str):
+                  new_alpha_i, S_i, Q_i, gate, axis: str):
     """Shared rank-one action update: replicated C^-1 downdate + LOCAL
     Av sweep + S/Q/alpha updates (parity: update_SQC!, src/sbl.jl:347-365).
-    gamma_change must already be zeroed where gate is False."""
+    gamma_change must already be zeroed where gate is False; S_i/Q_i are
+    the owner's scalars (callers pack them into one psum)."""
     B = alpha.shape[0]
     m_local = A_local.shape[1]
     f = A_local.dtype
@@ -223,8 +239,6 @@ def _apply_action(A_local, alpha, S, Q, Cinv, gsel, gamma_change,
     dinv = jnp.where(gamma_change != 0, gate.astype(f) / denom, 0.0)
     Cinv = Cinv - dinv[:, None, None] * v[:, :, None] * v[:, None, :]
     Av = v @ A_local
-    Q_i = lax.psum(jnp.take_along_axis(Q, sel[:, None], 1)[:, 0]
-                   * owner.astype(f), axis)
     S2 = S - dinv[:, None] * Av * Av
     Q2 = Q - dinv[:, None] * Av * Q_i[:, None]
     sel_mark = jnp.where(owner & gate, gsel % m_local, -1)
@@ -258,11 +272,16 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         cand = jnp.where(lext == gext, shard * m_local + lloc, INT_MAX)
         return gext, lax.pmin(cand, axis)
 
-    def owner_scalar(x, gsel):
+    def owner_scalars(xs, gsel):
+        """Owner's values for several per-atom arrays in ONE packed psum
+        (each separate psum is a full latency-bound round trip on DCN)."""
         owner = (gsel // m_local) == shard
         sel = jnp.where(owner, gsel % m_local, 0)
-        return lax.psum(jnp.take_along_axis(x, sel[:, None], 1)[:, 0]
-                        * owner.astype(f), axis)
+        packed = jnp.stack(
+            [jnp.take_along_axis(x, sel[:, None], 1)[:, 0] for x in xs],
+            axis=1) * owner.astype(f)[:, None]
+        packed = lax.psum(packed, axis)
+        return [packed[:, i] for i in range(len(xs))]
 
     def acquisition(carry):
         alpha, S, Q, Cinv, j, stop = carry
@@ -273,12 +292,12 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         val = jnp.where(jnp.isnan(val), 0.0, val)
         gmax, gsel = gmaxmin(val, True)
         do = ~stop & (gmax > 0)
-        an = owner_scalar(jnp.where(~active & relevant,
-                                    _optimal_alpha(s, q), 0.0), gsel)
-        S_i = owner_scalar(S, gsel)
+        an, S_i, Q_i = owner_scalars(
+            [jnp.where(~active & relevant, _optimal_alpha(s, q), 0.0),
+             S, Q], gsel)
         gc = jnp.where(do, 1.0 / an, 0.0)
         alpha, S, Q, Cinv = _apply_action(
-            A_local, alpha, S, Q, Cinv, gsel, gc, an, S_i, do, axis)
+            A_local, alpha, S, Q, Cinv, gsel, gc, an, S_i, Q_i, do, axis)
         return alpha, S, Q, Cinv, j + 1, stop | ~do
 
     def deletion_update(carry):
@@ -298,16 +317,17 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         upd_gain = jnp.where(do_upd, umax, 0.0)
 
         gsel = jnp.where(do_del, kd, ku)
-        a_sel = owner_scalar(jnp.where(active, alpha, 0.0), gsel)
-        an_sel = owner_scalar(jnp.where(relevant, alphan, 0.0), gsel)
-        S_i = owner_scalar(S, gsel)
+        a_sel, an_sel, S_i, Q_i = owner_scalars(
+            [jnp.where(active, alpha, 0.0),
+             jnp.where(relevant, alphan, 0.0), S, Q], gsel)
         do = ~stop & (do_del | do_upd)
         gc = jnp.where(do_del, -1.0 / a_sel,
              jnp.where(do_upd, 1.0 / an_sel - 1.0 / a_sel, 0.0))
         gc = jnp.where(do, gc, 0.0)
         new_a = jnp.where(do_del, jnp.inf, an_sel)
         alpha, S, Q, Cinv = _apply_action(
-            A_local, alpha, S, Q, Cinv, gsel, gc, new_a, S_i, do, axis)
+            A_local, alpha, S, Q, Cinv, gsel, gc, new_a, S_i, Q_i, do,
+            axis)
         stop2 = stop | (~do_del & (upd_gain < min_increase))
         return alpha, S, Q, Cinv, j + 1, stop2
 
@@ -360,14 +380,7 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
                             jnp.zeros((B,), bool)))
 
     # exact posterior mean (refresh anchor, as in fsbl_sharded)
-    gamma = jnp.where(jnp.isfinite(alpha), 1.0 / alpha, 0.0)
-    eye = jnp.eye(n, dtype=f)
-    Cpart = jnp.einsum("bik,bjk->bij",
-                       A_local[None, :, :] * gamma[:, None, :],
-                       jnp.broadcast_to(A_local, (B, n, m_local)))
-    C = lax.psum(Cpart, axis) + sigma2 * eye[None, :, :]
-    Cb = jax.vmap(lambda Cb_, bb: jnp.linalg.solve(Cb_, bb))(C, Bs_local)
-    return gamma * (Cb @ A_local)
+    return _posterior_mean_local(A_local, Bs_local, alpha, sigma2, axis)
 
 
 def rmps_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
@@ -389,28 +402,28 @@ def rmps_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    b_shards = mesh.shape[batch_axis]
+    if Bs.shape[0] % b_shards:
+        raise ValueError(f"B = {Bs.shape[0]} not divisible by batch "
+                         f"shards {b_shards}")
     fn = _rmps_sharded_jit(mesh, atoms_axis, batch_axis, maxiter, macq,
-                           mdel, m, float(sigma), float(min_increase),
-                           A.dtype.name)
-    return fn(A, Bs)
+                           mdel, m, A.dtype.name)
+    return fn(A, Bs, jnp.asarray(sigma, A.dtype),
+              jnp.asarray(min_increase, A.dtype))
 
 
 @lru_cache(maxsize=64)
 def _rmps_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
                       maxiter: int, macq: int, mdel: int, m: int,
-                      sigma2: float, min_increase: float, dtype_name: str):
-    dtype = jnp.dtype(dtype_name)
-    s2 = jnp.asarray(sigma2, dtype)
-    mi = jnp.asarray(min_increase, dtype)
-
+                      dtype_name: str):
     @_f32_matmuls
-    def shard_fn(A_local, Bs_local):
+    def shard_fn(A_local, Bs_local, s2, mi):
         return _rmps_shard_body(A_local, Bs_local, s2, maxiter, macq, mdel,
                                 mi, m, atoms_axis)
 
     return jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(None, atoms_axis), P(batch_axis, None)),
+        in_specs=(P(None, atoms_axis), P(batch_axis, None), P(), P()),
         out_specs=P(batch_axis, atoms_axis),
         check_vma=False,
     ))

@@ -67,14 +67,14 @@ def test_fbr_fused_threshold_stopping(crit):
 def test_lace_fused_matches_xla():
     A, x, b, y = _problem(313, n=48, m=32)
     Bs = jnp.stack([b, y])
-    sol = lace_fused_solve(A, Bs, sparsity=3, interpret=True)
+    sol, _ = lace_fused_solve(A, Bs, sparsity=3, interpret=True)
     ref = [lace(A, bb, sparsity=3) for bb in Bs]
     _assert_matches(sol, ref)
 
 
 def test_lace_fused_max_residual():
     A, x, b, y = _problem(314, n=48, m=32)
-    sol = lace_fused_solve(A, y[None, :], max_residual=DELTA,
+    sol, _ = lace_fused_solve(A, y[None, :], max_residual=DELTA,
                            interpret=True)
     got = np.asarray(sol.idx[0])[np.asarray(sol.mask[0])]
     np.testing.assert_array_equal(np.sort(got), support(x))
@@ -107,3 +107,17 @@ def test_fbr_fused_batch_heterogeneous_stops():
                              interpret=True)
     ref = [fbr(A, y, max_increase=DELTA), fbr(A, b2, max_increase=DELTA)]
     _assert_matches(sol, ref)
+
+
+def test_fbr_fused_nan_init_sets_failed():
+    # a rank-deficient Gram (duplicated column, m <= n still) NaNs the
+    # shared Cholesky init; the kernel's failure flag must latch instead
+    # of reporting success over all-NaN output (the accept predicate is
+    # written as a negated >= so NaN comparisons fail toward `failed`)
+    key = jax.random.PRNGKey(400)
+    A0 = jax.random.normal(key, (48, 31), jnp.float32)
+    A = jnp.concatenate([A0, A0[:, :1]], axis=1)  # col 31 == col 0
+    A = A / jnp.linalg.norm(A, axis=0, keepdims=True)
+    b = A[:, 0] + A[:, 5]
+    _, failed = fbr_fused_solve(A, b[None, :], sparsity=3, interpret=True)
+    assert bool(failed[0])
