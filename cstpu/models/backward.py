@@ -34,8 +34,9 @@ from cstpu.ops.util import tree_where, masked_argmin, norm2
 from cstpu.utils.sparse import SparseSolution
 
 
-def backward_deltas(A, b, st, m: int, naive: bool = False):
-    """Squared residual-norm increase for deleting each active slot."""
+def backward_deltas(b, st, m: int, naive: bool = False):
+    """Squared residual-norm increase for deleting each active slot
+    (computed purely from the cached state — no dictionary pass)."""
     if not naive:
         g = aset.gamma(st)
         return jnp.where(st.mask, st.coef * st.coef / g, jnp.inf)
@@ -59,7 +60,7 @@ def backward_step(A, b, st, max_eps, max_delta, m: int, naive: bool = False):
     """
     r = aset.residual(st, b)
     normr2 = norm2(r)
-    d2 = backward_deltas(A, b, st, m, naive=naive)
+    d2 = backward_deltas(b, st, m, naive=naive)
     pos, mind2 = masked_argmin(d2, st.mask)
     new_norm = jnp.sqrt(jnp.maximum(mind2 + normr2, 0))
     accept = ((st.k > 0) & (new_norm < max_eps)
@@ -182,7 +183,11 @@ def _fbr(A, b, k: int, max_eps, max_delta):
             gdiag = jnp.diagonal(st.AAinv)
             d2 = jnp.where(st.mask, st.coef * st.coef / gdiag, jnp.inf)
             pos, mind2 = masked_argmin(d2, st.mask)
-            fail = (mind2 + normr2) < 0  # reference throws (backward.jl:169)
+            # negated >= so NaN state (rank-deficient Gram -> NaN Cholesky
+            # init) latches the failure flag instead of comparing False —
+            # the same fix the fused kernel got (ops/fused_backward.py);
+            # the reference throws here (backward.jl:169)
+            fail = ~((mind2 + normr2) >= 0)
             new_norm = jnp.sqrt(jnp.maximum(mind2 + normr2, 0))
             accept = ((st.k > 0) & ~fail & (new_norm < max_eps)
                       & (mind2 < max_delta * max_delta))
@@ -192,15 +197,8 @@ def _fbr(A, b, k: int, max_eps, max_delta):
 
         st, _, _ = lax.while_loop(cond, body,
                                   (st0, jnp.int32(0), jnp.bool_(False)))
-    key = jnp.where(st.mask, st.idx, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key)
-    sol = SparseSolution(
-        idx=jnp.where(st.mask[order], st.idx[order], m).astype(jnp.int32),
-        val=jnp.where(st.mask[order], st.coef[order], 0),
-        mask=st.mask[order],
-        m=int(m),
-    )
-    return sol, st.failed
+    # FBRState carries exactly the fields finalize reads (idx/mask/coef)
+    return aset.finalize(st, m), st.failed
 
 
 def fbr(A, b, max_residual: float = jnp.inf, max_increase: float = jnp.inf,

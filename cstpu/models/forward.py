@@ -57,10 +57,16 @@ def forward_step(A, b, st, max_eps, min_delta, colnorm2, m: int):
     kmax = st.idx.shape[0]
     d2, normr = forward_deltas(A, b, st, colnorm2, m)
     i, maxd2 = top1(d2)
-    accept = ((st.k < n) & (st.k < kmax) & (normr > max_eps)
-              & (min_delta * min_delta < maxd2))
-    st2 = aset.refit(aset.append_gated(A, b, st, i, accept))
-    return st2, accept, d2
+    want = ((st.k < n) & (st.k < kmax) & (normr > max_eps)
+            & (min_delta * min_delta < maxd2))
+    st2 = aset.refit(aset.append_gated(A, b, st, i, want))
+    # report what actually happened: append_gated's internal degeneracy
+    # gate (d > 1e-12 * ||a||^2) is slightly stricter than the forward
+    # rescaling's 8n-ulp rule in f64, so a wanted atom can still be
+    # rejected — a stale accepted=True would spin the caller's loop on
+    # the same atom and feed FoBa a phantom forward decrease
+    accepted = want & (st2.k > st.k)
+    return st2, accepted, d2
 
 
 @partial(jax.jit, static_argnames=("k",))

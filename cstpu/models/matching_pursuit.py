@@ -171,6 +171,12 @@ def oblivious(A, b, k: int) -> SparseSolution:
     """One-shot thresholding: LS fit on the k atoms most correlated with b.
 
     Parity: src/oblivious.jl:3-8 (with the solution correctly sized m,
-    fixing the reference's `spzeros(size(b))` defect).
+    fixing the reference's `spzeros(size(b))` defect). Requires
+    k <= min(n, m): a k-column Gram with k > n is singular and its
+    Cholesky would return silent NaNs.
     """
+    n, m = A.shape
+    if not 0 < k <= min(n, m):
+        raise ValueError(f"oblivious needs 0 < k <= min(n, m) = "
+                         f"{min(n, m)}, got k = {k}")
     return _oblivious(A, b, int(k))

@@ -17,16 +17,14 @@ import jax.numpy as jnp
 from jax import lax
 
 from cstpu.ops import active_set as aset
-from cstpu.ops.util import tree_where
+from cstpu.ops.util import padded_to_dense, tree_where
 from cstpu.models.forward import forward_step
 from cstpu.models.backward import backward_step
 from cstpu.utils.sparse import SparseSolution
 
 
 def _dense(st, m):
-    safe = jnp.where(st.mask, st.idx, m)
-    return jnp.zeros((m + 1,), st.coef.dtype).at[safe].add(
-        jnp.where(st.mask, st.coef, 0))[:m]
+    return padded_to_dense(st.idx, st.coef, st.mask, m)
 
 
 def _approx_eq(x, y):
@@ -74,6 +72,14 @@ def _rmp_delta(A, b, delta, maxiter: int, idx0=None, mask0=None):
     if idx0 is None:
         st0 = aset.refit(aset.empty(n, kmax, m, A.dtype))
     else:  # warm start from a given support (src/stepwise.jl:5-6's x arg)
+        if idx0.shape[0] > kmax:
+            # a padded support wider than min(n, m) (e.g. a GOMP solution
+            # over an overcomplete dictionary) cannot carry more than
+            # kmax ACTIVE atoms — compact the active entries to the front
+            # and clamp the padding
+            order = jnp.argsort(~mask0)  # stable: actives first, in order
+            idx0 = idx0[order][:kmax]
+            mask0 = mask0[order][:kmax]
         pad = jnp.full((kmax - idx0.shape[0],), m, jnp.int32)
         padm = jnp.zeros((kmax - idx0.shape[0],), bool)
         st0 = aset.refit(aset.rebuild(
@@ -90,15 +96,23 @@ def _rmp_delta(A, b, delta, maxiter: int, idx0=None, mask0=None):
         st, xt, t, _ = c
         st = _forward_stage(A, b, st, zero, delta, colnorm2, m, n)
         xf = _dense(st, m)
-        done = _approx_eq(xt, xf)
-        st = _backward_stage(A, b, st, inf, delta, m)
+        # the reference breaks BEFORE the backward stage when the forward
+        # stage left x stationary (x ~= xt, src/stepwise.jl:15) — a warm
+        # start that the forward stage cannot improve must come back as
+        # its own LS refit, not get pruned by an unconditional backward
+        # pass
+        done_fwd = _approx_eq(xt, xf)
+        st_b = _backward_stage(A, b, st, inf, delta, m)
+        st = tree_where(done_fwd, st, st_b)
         xb = _dense(st, m)
-        done = done | _approx_eq(xf, xb)
+        done = done_fwd | _approx_eq(xf, xb)
         return st, xb, t + 1, done
 
+    # xt starts at the (refit) warm-start solution, exactly the
+    # reference's `xt = copy(x)` (src/stepwise.jl:8)
     st, _, _, _ = lax.while_loop(
         cond, body,
-        (st0, jnp.zeros((m,), A.dtype), jnp.int32(0), jnp.bool_(False)))
+        (st0, _dense(st0, m), jnp.int32(0), jnp.bool_(False)))
     return aset.finalize(st, m)
 
 

@@ -21,7 +21,8 @@ from jax import lax
 
 from cstpu.ops import active_set as aset
 from cstpu.ops.select import abs_correlate, top1, topl
-from cstpu.ops.util import tree_where, masked_argmax, masked_argmin
+from cstpu.ops.util import (tree_where, masked_argmax,
+                            masked_argmin, padded_to_dense)
 from cstpu.models.forward import forward_step, forward_deltas
 from cstpu.models.backward import backward_step
 from cstpu.models.matching_pursuit import _add_absent
@@ -113,9 +114,7 @@ def _ompr(A, b, k: int, delta, eta, maxiter: int):
         st, res, t, _ = carry
         r = aset.residual(st, b)
         # gradient scores: x + eta * A'r over all atoms
-        safe = jnp.where(st.mask, st.idx, m)
-        xdense = jnp.zeros((m + 1,), A.dtype).at[safe].add(
-            jnp.where(st.mask, st.coef, 0))[:m]
+        xdense = padded_to_dense(st.idx, st.coef, st.mask, m)
         Ar = xdense + eta * (r @ A)
         act = aset.active_marker(st, m)
         i, best = masked_argmax(jnp.abs(Ar), ~act)
@@ -168,7 +167,12 @@ def _srr(A, b, k: int, delta, maxiter: int, initialization: int, l: int, key):
             d2, _ = forward_deltas(A, b, st, colnorm2, m)
             i, _ = top1(d2)
             ok = (st.k < n) & (st.k < kmax)
-            st = tree_where(ok, aset.refit(aset.append(A, b, st, i)), st)
+            # append_gated (not the raw append): once the active span
+            # exhausts the rank every passive atom scores -inf and top1
+            # picks an ACTIVE atom (score 0) — the gated primitive
+            # rejects the in-span duplicate that would make the exact
+            # Gram singular
+            st = aset.refit(aset.append_gated(A, b, st, i, ok))
             return st, None
 
         st0, _ = lax.scan(fwd, st0, None, length=k)
@@ -201,15 +205,19 @@ def _srr(A, b, k: int, delta, maxiter: int, initialization: int, l: int, key):
         st, _, _ = lax.while_loop(fcond, fbody,
                                   (st, jnp.int32(0), jnp.bool_(False)))
 
-        # backward steps down to k atoms
-        def bcond(s):
-            return s.k > k
+        # backward steps down to k atoms (stop-on-reject: a refused
+        # delete — e.g. NaN deltas after a failed refresh Cholesky —
+        # must not spin the while_loop forever at s.k > k)
+        def bcond(c):
+            s, stop = c
+            return (s.k > k) & ~stop
 
-        def bbody(s):
-            s2, _ = backward_step(A, b, s, inf, inf, m)
-            return s2
+        def bbody(c):
+            s, _ = c
+            s2, acc = backward_step(A, b, s, inf, inf, m)
+            return s2, ~acc
 
-        st = lax.while_loop(bcond, bbody, st)
+        st, _ = lax.while_loop(bcond, bbody, (st, jnp.bool_(False)))
 
         new_res = jnp.linalg.norm(aset.residual(st, b))
         done = (new_res <= delta) | (res <= new_res)

@@ -38,3 +38,12 @@ def masked_argmin(scores, valid):
 def norm2(x):
     """Squared l2 norm."""
     return jnp.sum(x * x)
+
+
+def padded_to_dense(idx, val, mask, m: int):
+    """Dense (m,) vector from a padded (idx, val, mask) support triplet —
+    the safe-index scatter shared by SparseSolution.todense and the
+    stepwise/OMPR drivers (one copy, one padding convention)."""
+    safe = jnp.where(mask, idx, m)
+    return jnp.zeros((m + 1,), val.dtype).at[safe].add(
+        jnp.where(mask, val, 0))[:m]

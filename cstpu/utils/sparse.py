@@ -56,10 +56,9 @@ class SparseSolution:
 
     def todense(self) -> jax.Array:
         """Dense (m,) vector (jit/vmap-safe: m is static)."""
-        safe_idx = jnp.where(self.mask, self.idx, self.m)
-        z = jnp.zeros((self.m + 1,), dtype=self.val.dtype)
-        z = z.at[safe_idx].add(jnp.where(self.mask, self.val, 0))
-        return z[: self.m]
+        from cstpu.ops.util import padded_to_dense
+
+        return padded_to_dense(self.idx, self.val, self.mask, self.m)
 
 
 def from_dense(x, kmax: int | None = None, tol: float = 0.0) -> SparseSolution:

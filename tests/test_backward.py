@@ -73,3 +73,19 @@ def test_backward_batch_wrappers():
     f = fbr_batch(A, Bs, sparsity=3)
     l = lace_batch(A, Bs, sparsity=3)
     assert f.idx.shape[0] == 2 and l.idx.shape[0] == 2
+
+
+def test_fbr_rank_deficient_sets_failed():
+    # a duplicated column makes the Gram singular and the Cholesky init
+    # NaN; the failure flag must latch (the predicate is a negated >= so
+    # NaN comparisons fail toward `failed`) instead of reporting success
+    # over an all-NaN solution — the XLA twin of the fused-kernel fix
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(60)
+    A0 = jax.random.normal(key, (48, 31))
+    A = jnp.concatenate([A0, A0[:, :1]], axis=1)
+    A = A / jnp.linalg.norm(A, axis=0, keepdims=True)
+    b = A[:, 0] + A[:, 5]
+    _, failed = fbr(A, b, sparsity=3, return_failed=True)
+    assert bool(failed)

@@ -96,3 +96,40 @@ def test_rmp_foba_batch_dispatch():
     np.testing.assert_allclose(
         np.asarray(jax.vmap(lambda s: s.todense())(solf)),
         np.asarray(jax.vmap(lambda s: s.todense())(reff)), atol=1e-6)
+
+
+def test_rmp_warm_start_stationary_returns_refit():
+    # plant SMALL coefficients so each atom's deletion increase (~coef^2)
+    # sits BELOW delta^2: if the backward stage ran despite forward
+    # stationarity it would prune the (noiseless, exact) warm support.
+    # The reference breaks before the backward stage when the forward
+    # stage leaves x unchanged (src/stepwise.jl:15).
+    import jax.numpy as jnp
+
+    kd = jax.random.PRNGKey(50)
+    A, x, b = sparse_data(kd, n=32, m=64, k=3)
+    sup = support(x)
+    xs = 0.05 * jnp.sign(x)               # tiny planted coefficients
+    bs = A @ xs
+    sol = rmp(A, bs, delta=0.1, x0=jnp.asarray(sup, jnp.int32))
+    got = sorted(np.asarray(sol.idx)[np.asarray(sol.mask)].tolist())
+    assert got == sorted(np.asarray(sup).tolist()), got
+    dense = np.asarray(sol.todense())
+    np.testing.assert_allclose(dense[np.asarray(sup)],
+                               np.asarray(xs)[np.asarray(sup)], atol=1e-6)
+
+
+def test_rmp_warm_start_wide_padded_support():
+    # a warm SparseSolution whose padded index vector is wider than
+    # min(n, m) (e.g. from gomp over an overcomplete dictionary) used to
+    # raise "negative dimensions are not allowed" at the pad computation
+    from cstpu import gomp
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(51))
+    A, x, b = sparse_data(kd, n=32, m=64, k=3)
+    y = perturb(kn, b, 1e-2 / 2)
+    # k=None gives GOMP a padded state of width m = 64 > min(n, m) = 32
+    x0 = gomp(A, y, 1, None, max_residual=1e-2)
+    sol = rmp(A, y, delta=1e-2, x0=x0)
+    got = sorted(np.asarray(sol.idx)[np.asarray(sol.mask)].tolist())
+    assert got == sorted(np.asarray(support(x)).tolist()), got
