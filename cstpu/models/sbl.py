@@ -257,7 +257,10 @@ def _fsbl(A, b, sigma, maxiter: int, min_increase):
     def body(c):
         st, t, _ = c
         st, (max_d, _, _) = _fsbl_step(A, st)
-        return st, t + 1, max_d < min_increase
+        # negated >= so a NaN gain (f32 drift pushing some S negative ->
+        # NaN log in the deltas) STOPS the loop instead of spinning the
+        # remaining maxiter O(nm) passes doing nothing
+        return st, t + 1, ~(max_d >= min_increase)
 
     st, _, _ = lax.while_loop(cond, body, (st0, jnp.int32(0), jnp.bool_(False)))
     return _posterior_mean(A, b, sigma, st.alpha), st.alpha
@@ -301,7 +304,7 @@ def _fsbl_traced(A, b, sigma, maxiter: int, min_increase):
             n_active=tr.n_active.at[t].set(
                 jnp.sum(jnp.isfinite(st.alpha)).astype(jnp.int32)),
         )
-        return st, tr, t + 1, max_d < min_increase
+        return st, tr, t + 1, ~(max_d >= min_increase)
 
     st, tr, _, _ = lax.while_loop(
         cond, body, (st0, tr0, jnp.int32(0), jnp.bool_(False)))
@@ -325,7 +328,7 @@ def fsbl_traced(A, b, sigma, maxiter: int | None = None,
 # deletion/update) — the paper's algorithm at finite noise
 # ---------------------------------------------------------------------------
 
-def _acquisition_stage(A, st: SQState, maxiter, enabled):
+def _acquisition_stage(A, st: SQState, maxiter):
     """Add atoms (best delta_add first) until no add is beneficial.
 
     Parity: `sbl_acquisition!` (src/sbl.jl:226-246) driven to exhaustion
@@ -358,8 +361,9 @@ def _acquisition_stage(A, st: SQState, maxiter, enabled):
             alpha=st.alpha.at[k].set(jnp.where(do, an, st.alpha[k])))
         return st2, j + 1, ~do
 
-    st, _, _ = lax.while_loop(cond, body, (st, jnp.int32(0), ~enabled))
-    return st, enabled & _has_beneficial_add(st)
+    st, _, _ = lax.while_loop(cond, body,
+                              (st, jnp.int32(0), jnp.bool_(False)))
+    return st, _has_beneficial_add(st)
 
 
 def _deletion_update_stage(A, st: SQState, maxiter, min_increase, enabled):
@@ -403,13 +407,46 @@ def _deletion_update_stage(A, st: SQState, maxiter, min_increase, enabled):
     return st
 
 
+def _rmps_outer_step(A, b, sigma, st, old, t, maxiter_acq, maxiter_del,
+                     min_increase):
+    """One outer RMPS iteration — the SINGLE implementation behind
+    _rmps_optimize and _rmps_traced (the done1/done2/starved invariants
+    are subtle enough that two hand-kept copies diverged once already).
+    Returns (state, old1 = post-acquisition alpha, done)."""
+    # refresh: rebuild S/Q/C^-1 exactly from the current alpha (the
+    # state is a pure function of alpha — src/sbl.jl:108-128). This
+    # bounds rank-one-update drift to one outer iteration; without it
+    # the f32 chains of hundreds of updates at n ~ 1000 accumulate
+    # enough error to stall deletions on junk atoms. SKIPPED on the
+    # first iteration: the entry state was built from alpha0 while
+    # alpha itself is reset to Inf (src/sbl.jl:386-392) — refreshing
+    # from the all-Inf alpha would silently discard the warm start
+    # (the S/Q/C^-1 built from alpha0 steer the first acquisition).
+    st = lax.cond(t > 0, lambda s: _init_sq(A, b, sigma, s.alpha),
+                  lambda s: s, st)
+    st, starved = _acquisition_stage(A, st, maxiter_acq)
+    done1 = jnp.all(st.alpha == old)
+    old1 = st.alpha
+    st = _deletion_update_stage(A, st, maxiter_del, min_increase, ~done1)
+    # done2 = "deletion stage changed nothing" — but a capped
+    # acquisition stage that still had beneficial adds pending has NOT
+    # converged (the re-estimate gain right after an optimal add is
+    # exactly zero in exact arithmetic, so without the guard this
+    # decision rides on a +-ulp sign and maxiter_acquisition < k
+    # terminates on a starved support)
+    done2 = jnp.all(st.alpha == old1) & ~starved
+    return st, old1, done1 | done2
+
+
 @partial(jax.jit, static_argnames=("maxiter", "maxiter_acq", "maxiter_del"))
 @_f32_matmuls
 def _rmps_optimize(A, b, sigma, alpha0, maxiter: int, maxiter_acq: int,
                    maxiter_del: int, min_increase):
     m = A.shape[1]
     # optimize! resets alpha to Inf even under a warm-started C
-    # (src/sbl.jl:386-387) — preserved for parity
+    # (src/sbl.jl:386-387) — but the warm S/Q/C^-1 built from alpha0 ARE
+    # kept for the first acquisition stage (the whole point of the
+    # alpha0 argument; see _rmps_outer_step's refresh gating)
     st0 = _init_sq(A, b, sigma, alpha0)
     st0 = st0._replace(alpha=jnp.full((m,), jnp.inf, A.dtype))
 
@@ -419,24 +456,10 @@ def _rmps_optimize(A, b, sigma, alpha0, maxiter: int, maxiter_acq: int,
 
     def body(c):
         st, old, t, _ = c
-        # refresh: rebuild S/Q/C^-1 exactly from the current alpha (the
-        # state is a pure function of alpha — src/sbl.jl:108-128). This
-        # bounds rank-one-update drift to one outer iteration; without it
-        # the f32 chains of hundreds of updates at n ~ 1000 accumulate
-        # enough error to stall deletions on junk atoms.
-        st = _init_sq(A, b, sigma, st.alpha)
-        st, starved = _acquisition_stage(A, st, maxiter_acq, jnp.bool_(True))
-        done1 = jnp.all(st.alpha == old)
-        old1 = st.alpha
-        st = _deletion_update_stage(A, st, maxiter_del, min_increase, ~done1)
-        # done2 = "deletion stage changed nothing" — but a capped
-        # acquisition stage that still had beneficial adds pending has NOT
-        # converged (the re-estimate gain right after an optimal add is
-        # exactly zero in exact arithmetic, so without the guard this
-        # decision rides on a +-ulp sign and maxiter_acquisition < k
-        # terminates on a starved support)
-        done2 = jnp.all(st.alpha == old1) & ~starved
-        return st, st.alpha, t + 1, done1 | done2
+        st, _, done = _rmps_outer_step(A, b, sigma, st, old, t,
+                                       maxiter_acq, maxiter_del,
+                                       min_increase)
+        return st, st.alpha, t + 1, done
 
     st, _, _, _ = lax.while_loop(
         cond, body,
@@ -463,12 +486,9 @@ def _rmps_traced(A, b, sigma, maxiter: int, maxiter_acq: int,
 
     def body(c):
         st, old, tr, t, _ = c
-        st = _init_sq(A, b, sigma, st.alpha)
-        st, starved = _acquisition_stage(A, st, maxiter_acq, jnp.bool_(True))
-        done1 = jnp.all(st.alpha == old)
-        old1 = st.alpha
-        st = _deletion_update_stage(A, st, maxiter_del, min_increase, ~done1)
-        done2 = jnp.all(st.alpha == old1) & ~starved
+        st, old1, done = _rmps_outer_step(A, b, sigma, st, old, t,
+                                          maxiter_acq, maxiter_del,
+                                          min_increase)
         fin0, fin1, fin2 = (jnp.isfinite(old), jnp.isfinite(old1),
                             jnp.isfinite(st.alpha))
         tr = RMPSTrace(
@@ -478,7 +498,7 @@ def _rmps_traced(A, b, sigma, maxiter: int, maxiter_acq: int,
             n_updated=tr.n_updated.at[t].set(
                 count(fin1 & fin2 & (st.alpha != old1))),
         )
-        return st, st.alpha, tr, t + 1, done1 | done2
+        return st, st.alpha, tr, t + 1, done
 
     st, _, tr, _, _ = lax.while_loop(
         cond, body, (st0, st0.alpha, tr0, jnp.int32(0), jnp.bool_(False)))
@@ -539,14 +559,29 @@ def _rmps_noise_one(A, b, sigma2_init, a_sigma2, b_sigma2, maxiter: int,
         return (t < maxouteriter) & ~done
 
     def body(c):
-        alpha, s2, t, _ = c
-        alpha = _rmps_optimize(A, b, s2, alpha, maxiter, n, n, min_increase)
-        x = _posterior_mean(A, b, s2, alpha)
-        g = jnp.where(jnp.isfinite(alpha), 1.0 / alpha, 0.0)
+        alpha, s2, t, done = c
+        # each inner solve COLD-starts (deliberate divergence from the
+        # reference's alpha carry, src/sbl.jl:447-450: there the warm
+        # start reuses the Woodbury factorization; our solver rebuilds
+        # state from alpha anyway, so warm-starting buys nothing and
+        # measurably destabilizes the EM — a warm C partially explains
+        # the atoms and the trajectory falls into a period-2 s2
+        # oscillation with occasional degenerate empty-model iterations)
+        alpha2 = _rmps_optimize(A, b, s2, jnp.full((m,), jnp.inf, A.dtype),
+                                maxiter, n, n, min_increase)
+        x = _posterior_mean(A, b, s2, alpha2)
+        g = jnp.where(jnp.isfinite(alpha2), 1.0 / alpha2, 0.0)
         s2_new = ((norm2(b - A @ x) + 2 * b_sigma2)
                   / (n - jnp.sum(g) + 2 * a_sigma2))
-        done = jnp.abs(s2_new - s2) < min_change
-        return alpha, s2_new, t + 1, done
+        # FREEZE converged instances: under vmap the batch runs until the
+        # slowest instance, and with the warm start live an extra EM
+        # iteration is not a no-op (a warm optimize at an unchanged s2
+        # returns the trivial solution, as in the reference) — the carry
+        # must stop evolving exactly where the host loop breaks
+        alpha = jnp.where(done, alpha, alpha2)
+        s2_out = jnp.where(done, s2, s2_new)
+        done = done | (jnp.abs(s2_new - s2) < min_change)
+        return alpha, s2_out, t + 1, done
 
     alpha0 = jnp.full((m,), jnp.inf, A.dtype)
     alpha, s2, _, _ = lax.while_loop(
@@ -561,15 +596,18 @@ def rmps_estimate_noise(A, b, sigma2_init: float = 1e-2, a_sigma2: float = 0.0,
                         min_increase: float = 1e-6, maxouteriter: int = 16,
                         min_change: float = 1e-12):
     """RMPS with noise-variance learning: outer EM loop re-estimating
-    sigma^2 under an Inverse-Gamma(a, b) prior, warm-starting each inner
-    RMPS from the previous alpha. Returns (x, sigma2).
-    Parity: src/sbl.jl:439-470 (`rmps(A, b, Val(true), ...)`)."""
+    sigma^2 under an Inverse-Gamma(a, b) prior. Returns (x, sigma2).
+    Parity: src/sbl.jl:439-470 (`rmps(A, b, Val(true), ...)`) except each
+    inner RMPS deliberately cold-starts — see the in-code note."""
     n, m = A.shape
     maxiter = int(maxiter if maxiter is not None else 2 * m)
-    alpha = jnp.full((m,), jnp.inf, A.dtype)
     sigma2 = float(sigma2_init)
+    alpha = jnp.full((m,), jnp.inf, A.dtype)
     for _ in range(int(maxouteriter)):
-        alpha = _rmps_optimize(A, b, jnp.asarray(sigma2, A.dtype), alpha,
+        # cold start per EM iteration — see _rmps_noise_one's note on the
+        # deliberate divergence from the reference's alpha carry
+        alpha = _rmps_optimize(A, b, jnp.asarray(sigma2, A.dtype),
+                               jnp.full((m,), jnp.inf, A.dtype),
                                maxiter, n, n,
                                jnp.asarray(min_increase, A.dtype))
         x = _posterior_mean(A, b, jnp.asarray(sigma2, A.dtype), alpha)

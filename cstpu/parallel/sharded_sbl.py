@@ -140,7 +140,8 @@ def _fsbl_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         sel_mark = jnp.where(upd, gsel % m_local, -1)
         alpha = jnp.where(loc_iota == sel_mark[:, None],
                           new_alpha_i[:, None], alpha)
-        done2 = done | (gmax < min_increase)
+        # negated >= so a NaN gain stops the loop (models/sbl.py _fsbl)
+        done2 = done | ~(gmax >= min_increase)
         return alpha, S, Q, Cinv, t + 1, done2
 
     def cond(carry):

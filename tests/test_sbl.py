@@ -113,3 +113,33 @@ def test_fsbl_batch_dispatch():
     out = fsbl_batch(A, Bs, SIGMA ** 2)
     ref = jax.vmap(lambda bb: fsbl(A, bb, SIGMA ** 2))(Bs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-10)
+
+
+def test_rmps_warm_start_steers_first_acquisition():
+    # optimize! resets alpha to Inf but KEEPS the warm S/Q/C^-1 built
+    # from alpha0 for the first acquisition stage (src/sbl.jl:386-392);
+    # a per-iteration refresh that ran at t=0 silently discarded the
+    # warm state and made rmps(alpha0=...) bit-identical to a cold start.
+    # A strong prior explaining the cold start's first pick must change
+    # what one capped acquisition adds.
+    import jax.numpy as jnp
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(70))
+    A, x, b = sparse_data(kd, n=32, m=64, k=3, dtype=jnp.float32)
+    y = perturb(kn, b, 1e-2)
+    cold = rmps(A, y, 1e-4, maxiter=1, maxiter_acquisition=1)
+    jstar = int(np.argmax(np.abs(np.asarray(cold))))
+    alpha0 = jnp.full((64,), jnp.inf, jnp.float32).at[jstar].set(1e-4)
+    warm = rmps(A, y, 1e-4, maxiter=1, maxiter_acquisition=1,
+                alpha0=alpha0)
+    assert not bool(jnp.all(cold == warm))
+
+    # reference parity of the degenerate case: warm-starting from the
+    # OWN converged alpha at the same sigma yields the trivial solution
+    # (the warm C explains everything, acquisition adds nothing, and
+    # optimize! breaks on the unchanged all-Inf alpha — sbl.jl:389-392);
+    # the argument exists for the noise EM, where sigma changes between
+    # calls
+    xs, alph = rmps(A, y, 1e-4, return_alpha=True)
+    xw = rmps(A, y, 1e-4, alpha0=alph)
+    assert float(jnp.max(jnp.abs(xw))) == 0.0
