@@ -11,6 +11,7 @@ serial loop.
 
 from __future__ import annotations
 
+import math
 from itertools import combinations
 
 import jax
@@ -18,29 +19,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def _best_subset(A, b, combos_d):
+    """argmin over candidate supports of the LS residual norm. Module-
+    level jit: A/b/combos ride as ARGUMENTS (a per-call closure would
+    retrace every invocation and bake the dictionary into the HLO as a
+    constant — the documented >100 MB compile-tunnel failure mode)."""
+    cols = jnp.take(A, combos_d, axis=1)        # (C, n, k) via gather
+    cols = jnp.moveaxis(cols, 1, 0)             # take puts C in axis 1
+
+    def resid(Ai):
+        x, *_ = jnp.linalg.lstsq(Ai, b)
+        r = b - Ai @ x
+        return jnp.sum(r * r)
+
+    r2 = jax.vmap(resid)(cols)
+    return jnp.argmin(r2)
+
+
 def exhaustive(A, b, k: int, max_candidates: int = 500_000):
     """Return the k-subset of columns minimizing the LS residual norm,
     as a sorted index array."""
     n, m = A.shape
+    # validate BEFORE enumerating: list(combinations) of an oversized
+    # problem consumes unbounded memory long before any guard could fire
+    total = math.comb(m, int(k))
+    if total > max_candidates:
+        raise ValueError(f"C({m},{k}) = {total} exceeds max_candidates")
     combos = np.array(list(combinations(range(m), int(k))), dtype=np.int32)
-    if combos.shape[0] > max_candidates:
-        raise ValueError(
-            f"C({m},{k}) = {combos.shape[0]} exceeds max_candidates")
-
-    combos_d = jnp.asarray(combos)
-
-    @jax.jit
-    def best(combos_d):
-        cols = jnp.take(A, combos_d, axis=1)        # (C, n, k) via gather
-        cols = jnp.moveaxis(cols, 1, 0)             # take puts C in axis 1
-
-        def resid(Ai):
-            x, *_ = jnp.linalg.lstsq(Ai, b)
-            r = b - Ai @ x
-            return jnp.sum(r * r)
-
-        r2 = jax.vmap(resid)(cols)
-        return jnp.argmin(r2)
-
-    i = int(best(combos_d))
+    i = int(_best_subset(jnp.asarray(A), jnp.asarray(b),
+                         jnp.asarray(combos)))
     return np.sort(combos[i])

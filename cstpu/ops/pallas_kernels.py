@@ -37,10 +37,11 @@ def _corr_argmax_kernel(r_ref, a_ref, val_ref, idx_ref, vmax, vidx):
         vmax[:, :] = jnp.full_like(vmax, -jnp.inf)
         vidx[:, :] = jnp.zeros_like(vidx)
 
-    # (B, n) @ (n, TM) -> (B, TM) on the MXU, fused abs on the VPU
+    # (B, n) @ (n, TM) -> (B, TM) on the MXU, fused abs on the VPU;
+    # the residual is cast to the dictionary's dtype (callers keep r f32)
     scores = jnp.abs(
         jax.lax.dot_general(
-            r_ref[:], a_ref[:],
+            r_ref[:].astype(a_ref.dtype), a_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ))
@@ -50,7 +51,13 @@ def _corr_argmax_kernel(r_ref, a_ref, val_ref, idx_ref, vmax, vidx):
                         axis=1, keepdims=True)                     # (B, 1)
     better = local_max > vmax[:, :]
     vidx[:, :] = jnp.where(better, local_idx, vidx[:, :])
-    vmax[:, :] = jnp.where(better, local_max, vmax[:, :])
+    # NaN scores must be VISIBLE in the returned value (jnp.max over the
+    # full score row is NaN): a plain strict > would silently drop the
+    # NaN tile and return a plausible finite selection, masking a
+    # diverged solve. The returned idx is the best FINITE atom.
+    poison = jnp.isnan(local_max) | jnp.isnan(vmax[:, :])
+    vmax[:, :] = jnp.where(poison, jnp.float32(jnp.nan),
+                           jnp.where(better, local_max, vmax[:, :]))
 
     @pl.when(t == pl.num_programs(0) - 1)
     def _():
@@ -126,7 +133,9 @@ def supported(A, r) -> bool:
     B = 1 if r.ndim == 1 else r.shape[1]
     if A.dtype not in (jnp.float32, jnp.bfloat16):
         return False
+    if not jnp.issubdtype(r.dtype, jnp.floating):
+        return False  # the kernel casts r to A's dtype
     # A tile + residual block must fit VMEM comfortably
     tile_bytes = n * _pick_tile(m) * A.dtype.itemsize
-    r_bytes = n * B * 4
+    r_bytes = n * B * r.dtype.itemsize
     return tile_bytes + r_bytes < 12 * 1024 * 1024

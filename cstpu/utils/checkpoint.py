@@ -22,9 +22,14 @@ def save_state(path: str, state) -> None:
     path = os.path.abspath(path)
     try:
         import orbax.checkpoint as ocp
+    except ImportError:
+        ocp = None
+    if ocp is not None:
+        # real save errors must propagate — swallowing them would
+        # silently switch formats mid-run and mask the actual failure
         ckpt = ocp.PyTreeCheckpointer()
         ckpt.save(path, state, force=True)
-    except Exception:
+    else:
         leaves, treedef = jax.tree.flatten(state)
         np.savez(path + ".npz",
                  treedef=np.frombuffer(
@@ -41,10 +46,13 @@ def load_state(path: str, like):
     path = os.path.abspath(path)
     try:
         import orbax.checkpoint as ocp
+    except ImportError:
+        ocp = None
+    if ocp is not None and os.path.isdir(path):
         ckpt = ocp.PyTreeCheckpointer()
-        restored = ckpt.restore(path, item=like)
-        return restored
-    except Exception:
+        return ckpt.restore(path, item=like)
+    else:
+        # npz fallback (written when orbax was unavailable at save time)
         data = np.load(path + ".npz")
         leaves, treedef = jax.tree.flatten(like)
         new_leaves = [jax.numpy.asarray(data[f"leaf_{i}"])

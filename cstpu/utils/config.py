@@ -96,12 +96,23 @@ class SolverConfig:
         return solver_config(d["solver"], **d["params"])
 
 
+def _plain(v):
+    """Coerce numpy/JAX scalars to Python scalars so the config stays
+    hashable and JSON-serializable (sweeping values out of an array is
+    the natural way to build a grid — np.float32 would break to_json and
+    0-d arrays would break hash())."""
+    if hasattr(v, "item") and getattr(v, "ndim", None) == 0:
+        return v.item()
+    return v
+
+
 def solver_config(solver: str, **params) -> SolverConfig:
     """Build a validated SolverConfig: `solver_config("omp", k=8)`."""
     single, _ = _registries()
     if solver not in single:
         raise KeyError(f"unknown solver {solver!r}; "
                        f"available: {sorted(single)}")
+    params = {k: _plain(v) for k, v in params.items()}
     _validate(single[solver], solver, params, batched=False)
     return SolverConfig(solver, tuple(sorted(params.items())))
 

@@ -4,8 +4,9 @@ Capability parity with the reference's data utilities
 (/root/reference/src/util.jl:11-55), redesigned for JAX: every generator
 takes an explicit PRNG key (the reference uses global RNG with no seeding,
 which its own tests call out as a flakiness source), returns device arrays,
-and supports a `dtype` and an optional leading `batch` axis so problem
-instances can be vmapped/sharded.
+and takes a `dtype`. Generators produce single instances (vmap over split
+keys for batches); `perturb` also accepts a batched (B, n) measurement
+matrix and normalizes the noise per row.
 """
 
 from __future__ import annotations
@@ -91,8 +92,14 @@ coherent_data = correlated_data
 def perturb(key, b, delta):
     """Add Gaussian noise rescaled to have exact l2 norm `delta`.
 
-    Parity: /root/reference/src/util.jl:50-55.
+    Parity: /root/reference/src/util.jl:50-55. For a batched (B, n)
+    measurement matrix, EACH ROW gets noise of exact norm `delta`
+    (a global normalization would silently hand every instance
+    ~delta/sqrt(B) noise).
     """
     e = jax.random.normal(key, b.shape, dtype=b.dtype)
-    e = e * (delta / jnp.linalg.norm(e))
+    if b.ndim == 2:
+        e = e * (delta / jnp.linalg.norm(e, axis=1, keepdims=True))
+    else:
+        e = e * (delta / jnp.linalg.norm(e))
     return b + e

@@ -72,14 +72,19 @@ def _omp_traced(A, b, k: int, eps):
         full = st.k >= jnp.minimum(n, k)
         ok = ~present & ~full
         st2 = aset.refit(aset.append_gated(A, b, st, i, ok))
+        # record what actually happened: append_gated's internal
+        # degeneracy gate can reject a wanted atom (see forward_step),
+        # and a stale accepted=True would both lie in the trace and keep
+        # the loop re-selecting the same atom
+        acc = ok & (st2.k > st.k)
         rn = jnp.linalg.norm(aset.residual(st2, b))
         tr = SolveTrace(
             residual_norm=tr.residual_norm.at[t].set(rn),
-            selected=tr.selected.at[t].set(jnp.where(ok, i, -1)),
-            accepted=tr.accepted.at[t].set(ok),
+            selected=tr.selected.at[t].set(jnp.where(acc, i, -1)),
+            accepted=tr.accepted.at[t].set(acc),
             score=tr.score.at[t].set(sc),
         )
-        return st2, tr, t + 1, (present | full) | (rn < eps)
+        return st2, tr, t + 1, ~acc | (rn < eps)
 
     st, tr, _, _ = lax.while_loop(
         cond, body, (st0, tr0, jnp.int32(0), jnp.bool_(False)))

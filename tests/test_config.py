@@ -80,3 +80,15 @@ def test_available_solvers_cover_reference_surface():
         assert s in names["single"]
     for s in ("omp", "fr", "fbr", "rmps"):
         assert s in names["batched"]
+
+
+def test_solver_config_numpy_scalars_serialize():
+    # sweeping values out of an array hands numpy scalars to the config;
+    # they must not break hashability or JSON round-tripping
+    import numpy as np
+    from cstpu.utils.config import SolverConfig, solver_config
+
+    cfg = solver_config("omp", k=np.int64(8))
+    hash(cfg)
+    s = cfg.to_json()
+    assert SolverConfig.from_json(s) == cfg

@@ -135,3 +135,28 @@ def test_exhaustive_oracle():
     A, x, b = sparse_data(kd, n=16, m=24, k=3)
     got = np.asarray(exhaustive(A, b, 3))
     np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
+
+
+def test_perturb_batched_per_row_norm():
+    # a batched (B, n) perturb must give EACH ROW exact norm delta (a
+    # global normalization silently hands every instance delta/sqrt(B))
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cstpu import perturb
+
+    B0 = jnp.ones((8, 32))
+    Y = perturb(jax.random.PRNGKey(0), B0, 0.25)
+    norms = np.linalg.norm(np.asarray(Y - B0), axis=1)
+    np.testing.assert_allclose(norms, 0.25, rtol=1e-6)
+
+
+def test_exhaustive_rejects_oversized_before_enumeration():
+    import jax.numpy as jnp
+    import pytest
+    from cstpu import exhaustive
+
+    A = jnp.ones((4, 1000))
+    with pytest.raises(ValueError, match="max_candidates"):
+        # C(1000, 5) = 8.25e12 — must raise instantly, not enumerate
+        exhaustive(A, jnp.ones((4,)), 5)
