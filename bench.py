@@ -53,9 +53,15 @@ def main():
     uniq = [0]
 
     def timed(chain_fn, arg, reps):
-        """Wall time of one value-fetched call with a unique input."""
+        """Wall time of one value-fetched call with a unique input.
+
+        The perturbation is RELATIVE (1 + eps): an additive 1e-30 is
+        below the f32 ulp of O(1) data and rounds back to identical
+        bits, which would let a value-hashing layer serve cached
+        results; 1e-7 relative actually changes the bits without
+        affecting selection decisions."""
         uniq[0] += 1
-        a = arg + jnp.asarray(uniq[0] * 1e-30, arg.dtype)
+        a = arg * jnp.asarray(1.0 + uniq[0] * 1e-7, arg.dtype)
         t0 = time.perf_counter()
         float(chain_fn(a, reps))
         return time.perf_counter() - t0
@@ -82,7 +88,8 @@ def main():
     @partial(jax.jit, static_argnames=("reps",))
     def solve_chain(Bs, reps: int):
         def body(i, acc):
-            out = solve_one(Bs + i.astype(jnp.float32) * 1e-30)
+            # relative perturbation: must actually change bits (see timed)
+            out = solve_one(Bs * (1.0 + i.astype(jnp.float32) * 1e-7))
             return acc + jnp.sum(out[:, 0])
         return lax.fori_loop(0, reps, body, jnp.float32(0))
 
@@ -96,6 +103,9 @@ def main():
     planted = np.sort(np.asarray(sup), axis=1)
     recovery = float(np.mean([set(planted[i]) <= set(got[i])
                               for i in range(B)]))
+    # the docstring's contract: a fast WRONG solver must not ship a
+    # headline number — fail the bench outright
+    assert recovery == 1.0, f"planted-support recovery {recovery} != 1.0"
 
     # --- calibration: streaming bandwidth over an A-sized buffer -----------
     @partial(jax.jit, static_argnames=("reps",))

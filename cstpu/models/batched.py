@@ -45,6 +45,13 @@ def _one_device_mesh():
     return Mesh(devs, ("batch", "atoms"))
 
 
+def _cdt(precision):
+    """Correlation dtype for a `precision` option (None/'bf16' -> bf16)."""
+    import jax.numpy as jnp
+
+    return jnp.float32 if precision == "f32" else jnp.bfloat16
+
+
 def _stream_ok(A, Bs, precision=None):
     """Gate for the streaming-select hybrid path (beyond-VMEM scale).
 
@@ -121,7 +128,7 @@ def fr_batch(A, Bs, max_residual: float = 0.0, min_decrease: float = 0.0,
         and A.dtype == jnp.float32
         and Bs.ndim == 2
         and jax.default_backend() == "tpu"
-        and fused_solve.supported_fr(A, Bs, int(sparsity))
+        and fused_solve.supported_fr(A, Bs, int(sparsity), _cdt(precision))
     )
     if use_fused:
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
@@ -155,7 +162,7 @@ def mp_batch(A, Bs, k: int, precision=None):
         and A.dtype == jnp.float32
         and Bs.ndim == 2
         and jax.default_backend() == "tpu"
-        and fused_solve.supported(A, Bs, 1)
+        and fused_solve.supported(A, Bs, 1, _cdt(precision))
     )
     if use_fused:
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
@@ -189,7 +196,7 @@ def sp_batch(A, Bs, k, delta: float = 1e-12, maxiter=None, precision=None):
         and A.dtype == jnp.float32
         and Bs.ndim == 2
         and jax.default_backend() == "tpu"
-        and fused_twostage.supported_sp(A, Bs, int(k))
+        and fused_twostage.supported_sp(A, Bs, int(k), _cdt(precision))
     )
     if use_fused:
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
@@ -224,7 +231,7 @@ def gomp_batch(A, Bs, l, k=None, max_residual: float = 0.0, precision=None):
         and A.dtype == jnp.float32
         and Bs.ndim == 2
         and jax.default_backend() == "tpu"
-        and fused_solve.supported(A, Bs, kk)
+        and fused_solve.supported(A, Bs, kk, _cdt(precision))
     )
     if use_fused:
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
@@ -281,6 +288,12 @@ def rmp_batch(A, Bs, k=None, delta=None, maxiter: int = 1, kmax: int = 32,
 
     from cstpu.ops import fused_twostage
 
+    if (k is None) == (delta is None):
+        # validate up front: the fused path only checks delta, so k+delta
+        # together would silently run the delta variant on TPU while the
+        # vmapped fallback raises — same arguments, backend-dependent
+        # behavior
+        raise ValueError("specify exactly one of k or delta")
     A = jnp.asarray(A)
     Bs = jnp.asarray(Bs)
     use_fused = (
@@ -289,7 +302,7 @@ def rmp_batch(A, Bs, k=None, delta=None, maxiter: int = 1, kmax: int = 32,
         and A.dtype == jnp.float32
         and Bs.ndim == 2
         and jax.default_backend() == "tpu"
-        and fused_twostage.supported_rmp(A, Bs, int(kmax))
+        and fused_twostage.supported_rmp(A, Bs, int(kmax), _cdt(precision))
     )
     if use_fused:
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
@@ -327,7 +340,7 @@ def foba_batch(A, Bs, delta: float, kmax: int = 32, precision=None):
         and A.dtype == jnp.float32
         and Bs.ndim == 2
         and jax.default_backend() == "tpu"
-        and fused_twostage.supported_rmp(A, Bs, int(kmax))
+        and fused_twostage.supported_rmp(A, Bs, int(kmax), _cdt(precision))
     )
     if use_fused:
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
@@ -569,7 +582,8 @@ def srr_batch(A, Bs, k: int, delta: float = 1e-12, maxiter=None,
         and A.dtype == jnp.float32
         and Bs.ndim == 2
         and jax.default_backend() == "tpu"
-        and fused_twostage.supported_srr(A, Bs, int(k), int(l))
+        and fused_twostage.supported_srr(A, Bs, int(k), int(l),
+                                         _cdt(precision))
     )
     if use_fused:
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
@@ -607,7 +621,7 @@ def ompr_batch(A, Bs, k: int, delta: float, eta: float = 1.0,
         and A.dtype == jnp.float32
         and Bs.ndim == 2
         and jax.default_backend() == "tpu"
-        and fused_twostage.supported_ompr(A, Bs, int(k))
+        and fused_twostage.supported_ompr(A, Bs, int(k), _cdt(precision))
     )
     if use_fused:
         cdt = jnp.float32 if precision == "f32" else jnp.bfloat16

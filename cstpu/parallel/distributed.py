@@ -31,9 +31,21 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """Initialize jax.distributed for a multi-host run (no-op if already
-    initialized or single-process)."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    initialized or single-process).
+
+    The already-initialized test reads jax.distributed's OWN state —
+    NEVER jax.process_count(), which initializes the XLA backend as a
+    side effect and thereby guarantees the subsequent
+    jax.distributed.initialize() raises ("must be called before any JAX
+    computations"), silently degrading every host to an independent
+    single-process run."""
+    try:
+        from jax._src import distributed as _dist
+        already = _dist.global_state.client is not None
+    except (ImportError, AttributeError):  # jax moved the state object
+        already = False
+    if already:
+        return  # the launcher (or an earlier call) initialized it
     try:
         if coordinator_address is None and num_processes is None:
             jax.distributed.initialize()  # TPU VM autodetection
