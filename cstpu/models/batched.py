@@ -63,9 +63,8 @@ def _stream_ok(A, Bs, precision=None):
 
     from cstpu.ops.stream_select import supported_select
 
-    cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
     return (A.dtype == jnp.float32 and Bs.ndim == 2
-            and supported_select(A, Bs.shape[0], cdt))
+            and supported_select(A, Bs.shape[0], _cdt(precision)))
 
 
 def omp_batch(A, Bs, k=None, max_residual: float = 0.0, precision=None):
@@ -96,7 +95,7 @@ def omp_batch(A, Bs, k=None, max_residual: float = 0.0, precision=None):
         and jax.default_backend() == "tpu"
     )
     if fused_ok:
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         if fused_solve.supported(A, Bs, kk, cdt):
             sol, _ = fused_solve.omp_fused_solve(A, Bs, kk, corr_dtype=cdt)
             return sol
@@ -131,7 +130,7 @@ def fr_batch(A, Bs, max_residual: float = 0.0, min_decrease: float = 0.0,
         and fused_solve.supported_fr(A, Bs, int(sparsity), _cdt(precision))
     )
     if use_fused:
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         sol, _ = fused_solve.fr_fused_solve(
             A, Bs, int(sparsity), max_residual, min_decrease, corr_dtype=cdt)
         return sol
@@ -139,7 +138,7 @@ def fr_batch(A, Bs, max_residual: float = 0.0, min_decrease: float = 0.0,
             and jax.default_backend() == "tpu" and _stream_ok(A, Bs, precision)):
         from cstpu.parallel.sharded import fr_sharded_fused
 
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         return fr_sharded_fused(A, Bs, int(sparsity), _one_device_mesh(),
                                 max_residual, min_decrease, corr_dtype=cdt)
     return jax.vmap(
@@ -165,14 +164,14 @@ def mp_batch(A, Bs, k: int, precision=None):
         and fused_solve.supported(A, Bs, 1, _cdt(precision))
     )
     if use_fused:
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         x, _ = fused_solve.mp_fused_solve(A, Bs, int(k), corr_dtype=cdt)
         return x
     if (precision in (None, "bf16", "f32")
             and jax.default_backend() == "tpu" and _stream_ok(A, Bs, precision)):
         from cstpu.parallel.sharded import mp_sharded_fused
 
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         return mp_sharded_fused(A, Bs, int(k), _one_device_mesh(),
                                 corr_dtype=cdt)
     return jax.vmap(lambda bb: mp(A, bb, k))(Bs)
@@ -199,7 +198,7 @@ def sp_batch(A, Bs, k, delta: float = 1e-12, maxiter=None, precision=None):
         and fused_twostage.supported_sp(A, Bs, int(k), _cdt(precision))
     )
     if use_fused:
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         sol, _ = fused_twostage.sp_fused_solve(A, Bs, int(k), delta,
                                                maxiter, corr_dtype=cdt)
         return sol
@@ -207,7 +206,7 @@ def sp_batch(A, Bs, k, delta: float = 1e-12, maxiter=None, precision=None):
             and jax.default_backend() == "tpu" and _stream_ok(A, Bs, precision)):
         from cstpu.parallel.sharded import sp_sharded_fused
 
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         return sp_sharded_fused(A, Bs, int(k), _one_device_mesh(), delta,
                                 maxiter, corr_dtype=cdt)
     return jax.vmap(lambda bb: sp(A, bb, k, delta, maxiter))(Bs)
@@ -234,15 +233,26 @@ def gomp_batch(A, Bs, l, k=None, max_residual: float = 0.0, precision=None):
         and fused_solve.supported(A, Bs, kk, _cdt(precision))
     )
     if use_fused:
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         sol, _ = fused_solve.gomp_fused_solve(A, Bs, int(l), kk,
                                               max_residual, corr_dtype=cdt)
+        # the fused kernel clamps its slot width to min(kk, n); pad back
+        # to the XLA/sharded fallbacks' width so the padded shape of the
+        # returned solution is backend-independent
+        have = sol.idx.shape[1]
+        if have < kk:
+            mm = A.shape[1]
+            sol = sol._replace(
+                idx=jnp.pad(sol.idx, ((0, 0), (0, kk - have)),
+                            constant_values=mm),
+                val=jnp.pad(sol.val, ((0, 0), (0, kk - have))),
+                mask=jnp.pad(sol.mask, ((0, 0), (0, kk - have))))
         return sol
     if (precision in (None, "bf16", "f32")
             and jax.default_backend() == "tpu" and _stream_ok(A, Bs, precision)):
         from cstpu.parallel.sharded import gomp_sharded_fused
 
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         return gomp_sharded_fused(A, Bs, int(l), kk, _one_device_mesh(),
                                   max_residual, corr_dtype=cdt)
     return jax.vmap(lambda bb: gomp(A, bb, l, k, max_residual))(Bs)
@@ -305,7 +315,7 @@ def rmp_batch(A, Bs, k=None, delta=None, maxiter: int = 1, kmax: int = 32,
         and fused_twostage.supported_rmp(A, Bs, int(kmax), _cdt(precision))
     )
     if use_fused:
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         sol, _, capped = fused_twostage.rmp_fused_solve(
             A, Bs, delta=delta, maxiter=maxiter, kmax=int(kmax),
             corr_dtype=cdt)
@@ -343,7 +353,7 @@ def foba_batch(A, Bs, delta: float, kmax: int = 32, precision=None):
         and fused_twostage.supported_rmp(A, Bs, int(kmax), _cdt(precision))
     )
     if use_fused:
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         sol, _, capped = fused_twostage.foba_fused_solve(
             A, Bs, delta, kmax=int(kmax), corr_dtype=cdt)
         import numpy as np
@@ -586,7 +596,7 @@ def srr_batch(A, Bs, k: int, delta: float = 1e-12, maxiter=None,
                                          _cdt(precision))
     )
     if use_fused:
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         sol, _ = fused_twostage.srr_fused_solve(A, Bs, int(k), delta,
                                                 maxiter, int(l),
                                                 corr_dtype=cdt)
@@ -596,7 +606,7 @@ def srr_batch(A, Bs, k: int, delta: float = 1e-12, maxiter=None,
             and _stream_ok(A, Bs, precision)):
         from cstpu.parallel.sharded import srr_sharded_fused
 
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         return srr_sharded_fused(A, Bs, int(k), _one_device_mesh(), delta,
                                  maxiter, corr_dtype=cdt)
     return jax.vmap(lambda bb: srr(A, bb, k, delta, maxiter,
@@ -624,7 +634,7 @@ def ompr_batch(A, Bs, k: int, delta: float, eta: float = 1.0,
         and fused_twostage.supported_ompr(A, Bs, int(k), _cdt(precision))
     )
     if use_fused:
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         sol, _ = fused_twostage.ompr_fused_solve(A, Bs, int(k), delta, eta,
                                                  maxiter, corr_dtype=cdt)
         return sol
@@ -632,7 +642,7 @@ def ompr_batch(A, Bs, k: int, delta: float, eta: float = 1.0,
             and jax.default_backend() == "tpu" and _stream_ok(A, Bs, precision)):
         from cstpu.parallel.sharded import ompr_sharded_fused
 
-        cdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+        cdt = _cdt(precision)
         return ompr_sharded_fused(A, Bs, int(k), _one_device_mesh(), delta,
                                   eta, maxiter, corr_dtype=cdt)
     return jax.vmap(lambda bb: ompr(A, bb, k, delta, eta, maxiter))(Bs)

@@ -143,7 +143,13 @@ def append_col_gated(a, b, st: ActiveSet, i, ok) -> ActiveSet:
     ata = a1 @ a1
     u = st.Ginv @ g
     d = ata - g @ u
-    ok = ok & (d > 1e-12 * ata)
+    # dtype-realistic degeneracy threshold (~8n ulps of the column norm,
+    # the same rule as fused_solve._degeneracy_rtol): a fixed 1e-12 is
+    # far below f32 Gram rounding noise (~n*eps*||a||^2 ~ 1e-5*||a||^2
+    # at n ~ 100), so an in-span column would still slip through in the
+    # TPU dtype and leave the exact Gram singular
+    rtol = 8.0 * a.shape[0] * jnp.finfo(a.dtype).eps
+    ok = ok & (d > rtol * ata)
     okf = ok.astype(a.dtype)
     a_eff = a * okf                      # zero column when rejected
     cols = st.cols.at[:, p].set(jnp.where(ok, a_eff, st.cols[:, p]))

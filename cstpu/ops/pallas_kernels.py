@@ -54,7 +54,9 @@ def _corr_argmax_kernel(r_ref, a_ref, val_ref, idx_ref, vmax, vidx):
     # NaN scores must be VISIBLE in the returned value (jnp.max over the
     # full score row is NaN): a plain strict > would silently drop the
     # NaN tile and return a plausible finite selection, masking a
-    # diverged solve. The returned idx is the best FINITE atom.
+    # diverged solve. When val is NaN the returned idx is NOT meaningful
+    # (index updates stop at the poisoned tile) — callers must treat a
+    # NaN val as a failed selection, as every solver's NaN latch does.
     poison = jnp.isnan(local_max) | jnp.isnan(vmax[:, :])
     vmax[:, :] = jnp.where(poison, jnp.float32(jnp.nan),
                            jnp.where(better, local_max, vmax[:, :]))

@@ -212,7 +212,11 @@ def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
                            **bp_kwargs)
     w = jnp.ones((m,), A.dtype)
     for _ in range(1, int(maxiter)):
-        w = ard_weights_sharded(A, x, w, mesh, eps, atoms_axis=atoms_axis)
+        # call the jitted fixed point directly: the public entry's
+        # zero-weight check is a blocking device-to-host sync of the full
+        # sharded vector, validating an invariant the fixed point's
+        # dtype-eps floor already guarantees for internally-produced w
+        w = _ard_jit(mesh, atoms_axis, float(eps), 8)(A, x, w)
         xs, u, rho = bp_sharded(A, b, w, mesh, atoms_axis=atoms_axis,
                                 warm=(x, u, rho), **bp_kwargs)
         if float(jnp.linalg.norm(xs - x)) < min_decrease:

@@ -117,22 +117,25 @@ def test_append_col_gated_noop_at_capacity():
 def test_append_col_gated_rejects_in_span_column():
     # a column numerically inside the active span must be rejected: if it
     # enters, the exact Gram is singular and the next refresh/delete
-    # Cholesky silently returns NaN for the whole solve
+    # Cholesky silently returns NaN for the whole solve. BOTH dtypes: the
+    # threshold must be dtype-realistic (a fixed 1e-12 sits far below f32
+    # Gram rounding noise and only happened to work in f64)
     from cstpu.ops import active_set as aset
 
-    key = jax.random.PRNGKey(4)
-    A0 = jax.random.normal(key, (16, 4), jnp.float64)
-    A = jnp.concatenate([A0, A0[:, 0:1]], axis=1)  # col 4 duplicates col 0
-    A = A / jnp.linalg.norm(A, axis=0, keepdims=True)
-    b = A[:, 0] + A[:, 1]
-    st = aset.empty(16, 4, 5, jnp.float64)
-    st = aset.append_gated(A, b, st, 0, jnp.bool_(True))
-    dup = aset.append_gated(A, b, st, 4, jnp.bool_(True))  # same column
-    assert int(dup.k) == 1  # rejected
-    st = aset.append_gated(A, b, dup, 1, jnp.bool_(True))
-    st = aset.refit(aset.delete(st, jnp.int32(0), 5))
-    assert bool(jnp.all(jnp.isfinite(st.Ginv)))
-    assert bool(jnp.all(jnp.isfinite(st.coef)))
+    for dtype in (jnp.float64, jnp.float32):
+        key = jax.random.PRNGKey(4)
+        A0 = jax.random.normal(key, (16, 4), dtype)
+        A = jnp.concatenate([A0, A0[:, 0:1]], axis=1)  # col 4 dups col 0
+        A = A / jnp.linalg.norm(A, axis=0, keepdims=True)
+        b = A[:, 0] + A[:, 1]
+        st = aset.empty(16, 4, 5, dtype)
+        st = aset.append_gated(A, b, st, 0, jnp.bool_(True))
+        dup = aset.append_gated(A, b, st, 4, jnp.bool_(True))
+        assert int(dup.k) == 1, dtype  # rejected
+        st = aset.append_gated(A, b, dup, 1, jnp.bool_(True))
+        st = aset.refit(aset.delete(st, jnp.int32(0), 5))
+        assert bool(jnp.all(jnp.isfinite(st.Ginv))), dtype
+        assert bool(jnp.all(jnp.isfinite(st.coef))), dtype
 
 
 def test_supported_select_respects_corr_dtype():
