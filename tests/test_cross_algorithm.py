@@ -86,3 +86,65 @@ def test_multi_seed_sweep(seed):
     assert list(cstpu.omp(A, y, 3).nzind) == ref
     assert list(cstpu.fr(A, y, sparsity=3).nzind) == ref
     assert list(cstpu.sp(A, y, 3, DELTA).nzind) == ref
+
+
+def test_batch_entries_match_single_solvers():
+    # every *_batch entry must agree with a loop over its single-instance
+    # solver on the same rows (on CPU both take the vmapped path, so this
+    # pins the batch plumbing: kwarg threading, padding conventions,
+    # per-instance convergence isolation — the class of divergence the
+    # noise-EM freeze fix addressed)
+    from cstpu.models import batched as B
+
+    A, x, b, y = _overdetermined(7)
+    y2 = perturb(jax.random.PRNGKey(77), b, DELTA / 2)
+    Bs = jnp.stack([y, y2])
+    As, xs_, bs = sparse_data(jax.random.PRNGKey(7), n=32, m=32, k=3)[:3]
+    ys1 = perturb(jax.random.PRNGKey(78), bs, DELTA / 2)
+    ys2 = perturb(jax.random.PRNGKey(79), bs, DELTA / 2)
+    Bsq = jnp.stack([ys1, ys2])
+
+    def sup_of(sol):
+        if hasattr(sol, "mask"):
+            return sorted(np.asarray(sol.idx)[np.asarray(sol.mask)]
+                          .tolist())
+        return sorted(np.flatnonzero(
+            np.abs(np.asarray(sol)) > 10 * DELTA).tolist())
+
+    cases = [
+        (lambda: B.omp_batch(A, Bs, 3), lambda r: cstpu.omp(A, r, 3), Bs),
+        (lambda: B.gomp_batch(A, Bs, 1, 3),
+         lambda r: cstpu.gomp(A, r, 1, 3), Bs),
+        (lambda: B.fr_batch(A, Bs, sparsity=3),
+         lambda r: cstpu.fr(A, r, sparsity=3), Bs),
+        (lambda: B.sp_batch(A, Bs, 3, DELTA),
+         lambda r: cstpu.sp(A, r, 3, DELTA), Bs),
+        (lambda: B.ompr_batch(A, Bs, 3, DELTA),
+         lambda r: cstpu.ompr(A, r, 3, DELTA), Bs),
+        (lambda: B.srr_batch(A, Bs, 3, DELTA),
+         lambda r: cstpu.srr(A, r, 3, DELTA), Bs),
+        (lambda: B.rmp_batch(A, Bs, delta=DELTA),
+         lambda r: cstpu.rmp(A, r, delta=DELTA), Bs),
+        (lambda: B.foba_batch(A, Bs, DELTA),
+         lambda r: cstpu.foba(A, r, DELTA), Bs),
+        (lambda: B.br_batch(As, Bsq, sparsity=3),
+         lambda r: cstpu.br(As, r, sparsity=3), Bsq),
+        (lambda: B.fbr_batch(As, Bsq, sparsity=3),
+         lambda r: cstpu.fbr(As, r, sparsity=3), Bsq),
+        (lambda: B.lace_batch(As, Bsq, sparsity=3),
+         lambda r: cstpu.lace(As, r, sparsity=3), Bsq),
+        (lambda: B.sbl_batch(A, Bs, DELTA ** 2),
+         lambda r: cstpu.sbl(A, r, DELTA ** 2), Bs),
+        (lambda: B.fsbl_batch(A, Bs, DELTA ** 2),
+         lambda r: cstpu.fsbl(A, r, DELTA ** 2), Bs),
+        (lambda: B.rmps_batch(A, Bs, DELTA ** 2),
+         lambda r: cstpu.rmps(A, r, DELTA ** 2), Bs),
+    ]
+    for batch_fn, single_fn, rows in cases:
+        out = batch_fn()
+        for i in range(rows.shape[0]):
+            rowsol = (jax.tree.map(lambda leaf: leaf[i], out)
+                      if hasattr(out, "mask") else out[i])
+            got = sup_of(rowsol)
+            want = sup_of(single_fn(rows[i]))
+            assert got == want, (batch_fn, i, got, want)
