@@ -108,6 +108,14 @@ def _extract_cols(AT_ref, i_scr, acol_scr, B: int):
 
 def _solve_kernel(k: int, A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
                   cols, Ginv, coefs, idxs, r, i_scr, acol_scr):
+    # NOTE on the append-engine duplication across this file's kernels:
+    # fused_twostage._Engine.append implements the same bordered
+    # block-inverse math with a DYNAMIC first-free-slot one-hot (needed
+    # once deletions create holes). The kernels here never delete, so
+    # their write slot is the STATIC step index (et = slot_iota == t) —
+    # reusing the engine would add a per-step free-slot scan + dynamic
+    # one-hot on the flagship hot loop for zero benefit. Keep the static-
+    # slot copies; apply numerics fixes to BOTH variants.
     B, n = Bs_ref.shape
     m = A_ref.shape[1]
     f32 = jnp.float32
