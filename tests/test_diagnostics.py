@@ -31,7 +31,10 @@ def test_trace_records_stall():
     sol, tr = omp_traced(A, b, 10)  # more steps than the true sparsity
     acc = np.asarray(tr.accepted)
     assert acc.sum() >= 3
-    # after recovery the solver stalls: remaining entries not accepted
+    # a stall must actually be RECORDED: the noiseless 3-sparse problem
+    # cannot accept all 10 steps (after recovery the residual is ~0 and
+    # the re-selected atom is already active)
+    assert acc.sum() < 10
     last = np.max(np.flatnonzero(acc))
     assert acc[: last + 1].all()
 
@@ -101,7 +104,11 @@ def test_checkpoint_roundtrip(tmp_path):
     st = aset.refit(aset.append(A, b, st, jnp.asarray(3)))
     path = str(tmp_path / "state")
     save_state(path, st)
-    st2 = load_state(path, st)
+    # load into a ZEROED template of the same structure: passing the
+    # saved state itself as the template would let a no-op restore
+    # (returning `like`) pass the roundtrip trivially
+    blank = jax.tree.map(lambda leaf: jnp.zeros_like(leaf), st)
+    st2 = load_state(path, blank)
     for a, c in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 

@@ -47,7 +47,7 @@ def test_fr_stopping_criteria():
     A, x, b, _ = _problem(13)
     # max_residual reached before sparsity cap
     sol = fr(A, b, max_residual=1e-10, sparsity=10)
-    assert sol.nnz <= 3
+    assert sol.nnz == 3  # noiseless 3-sparse: all planted atoms needed before resid ~0
     # min_decrease: a huge threshold prevents any selection
     sol = fr(A, b, min_decrease=1e6, sparsity=10)
     assert sol.nnz == 0

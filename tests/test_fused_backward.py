@@ -24,15 +24,14 @@ def _problem(seed, n=32, m=None, k=3):
 
 def _assert_matches(sol, ref_sols, atol=1e-3):
     B = sol.idx.shape[0]
+    dense_all = np.asarray(jax.vmap(lambda s: s.todense())(sol))
     for i in range(B):
         got = np.asarray(sol.idx[i])[np.asarray(sol.mask[i])]
         ref = ref_sols[i]
         np.testing.assert_array_equal(np.sort(got), ref.nzind)
-        dense = np.asarray(
-            jax.vmap(lambda s: s.todense())(sol)[i])
-        rdense = np.zeros_like(dense)
+        rdense = np.zeros_like(dense_all[i])
         rdense[ref.nzind] = ref.nzval
-        np.testing.assert_allclose(dense, rdense, atol=atol)
+        np.testing.assert_allclose(dense_all[i], rdense, atol=atol)
 
 
 def test_fbr_fused_matches_xla_sparsity():

@@ -43,16 +43,25 @@ def test_correlate_argmax_single_residual():
 
 
 def test_correlate_argmax_tie_break_lowest_index():
-    # duplicate columns -> equal scores; lowest index must win
-    n, m = 32, 256
+    # duplicate columns -> equal scores; lowest index must win.
+    # m=640 forces tile=128 (the largest 128-multiple divisor <= 512),
+    # so atoms 7 and 600 land in DIFFERENT tiles and the cross-tile
+    # strict-> combine is actually exercised (at m=256 the tile is 256
+    # and the whole sweep is one tile)
+    n, m = 32, 640
+    assert _pick_tile(m) == 128
     A = np.zeros((n, m), np.float32)
     A[0, 7] = 1.0
-    A[0, 200] = 1.0  # same column later on (cross-tile when tile=128)
+    A[0, 600] = 1.0  # identical column in a LATER tile
     r = np.zeros((n,), np.float32)
     r[0] = 1.0
     idx, val = correlate_argmax(jnp.asarray(A), jnp.asarray(r), interpret=True)
     assert int(idx) == 7
     np.testing.assert_allclose(float(val), 1.0, rtol=1e-6)
+    # and within ONE tile too
+    idx2, _ = correlate_argmax(jnp.asarray(A[:, :256]), jnp.asarray(r),
+                               interpret=True)
+    assert int(idx2) == 7
 
 
 def test_supported():

@@ -34,6 +34,7 @@ def test_simplex_negative_rhs():
     c = np.array([1.0, 5.0])
     x, obj = simplex_solve(A, b, c)
     np.testing.assert_allclose(x, [3.0, 0.0], atol=1e-10)
+    assert abs(obj - 3.0) < 1e-10  # sign normalization must not hit obj
 
 
 def test_bp_simplex_exact_recovery():

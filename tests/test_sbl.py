@@ -35,9 +35,12 @@ def test_sbl_batch_matches_single():
     A, x, b, y = _problem(51)
     Bs = jnp.stack([b, y])
     Xs = sbl_batch(A, Bs, SIGMA ** 2)
-    ref = sbl(A, y, SIGMA ** 2)
-    np.testing.assert_allclose(np.asarray(Xs[1]), np.asarray(ref),
-                               rtol=0, atol=1e-12)
+    # check EVERY row against its own single-instance solve (a broadcast
+    # bug replicating one row across the batch would pass a one-row test)
+    for i, yy in enumerate((b, y)):
+        ref = sbl(A, yy, SIGMA ** 2)
+        np.testing.assert_allclose(np.asarray(Xs[i]), np.asarray(ref),
+                                   rtol=0, atol=1e-12)
     assert list(_thresh_support(Xs[1])) == list(support(x))
 
 

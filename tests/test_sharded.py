@@ -48,14 +48,17 @@ def test_sharded_omp_recovers_support(mesh):
     assert list(sol.nzind) == list(support(x))
 
 
-def test_sharded_omp_batched_dp_tp(mesh2d_problems=None):
-    # 2x4 mesh: batch data-parallel x atom tensor-parallel
+def test_sharded_omp_batched_dp_tp():
+    # 2x4 mesh: batch data-parallel x atom tensor-parallel. Each row is
+    # compared against the single-device solve of ITS OWN measurement
+    # (the noisy rows may legitimately differ from the noiseless ones)
     mesh2 = make_mesh((2, 4))
     A, x, b, y = _problem(72)
     B = jnp.stack([b, y, b, y])
     sols = omp_sharded(A, B, 3, mesh2)
-    ref = omp(A, b, 3)
+    refs = {0: omp(A, b, 3), 1: omp(A, y, 3)}
     for i in range(4):
+        ref = refs[i % 2]
         row_idx = np.asarray(sols.idx[i])
         row_mask = np.asarray(sols.mask[i])
         assert sorted(row_idx[row_mask]) == list(ref.nzind)
