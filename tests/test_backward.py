@@ -11,9 +11,9 @@ DELTA = 1e-2
 
 
 def _problem(seed, n=32, k=3):
-    kd, kn = jax.random.split(jax.random.PRNGKey(seed))
-    A, x, b = sparse_data(kd, n=n, m=n, k=k)
-    y = perturb(kn, b, DELTA / 2)
+    from conftest import planted_problem
+
+    A, x, _, y = planted_problem(seed, n=n, m=n, k=k, noise=DELTA / 2)
     return A, x, y
 
 

@@ -15,11 +15,10 @@ DELTA = 1e-2
 
 
 def _problem(seed, n=32, m=None, k=3):
-    kd, kn = jax.random.split(jax.random.PRNGKey(seed))
-    A, x, b = sparse_data(kd, n=n, m=n if m is None else m, k=k,
-                          dtype=jnp.float32)
-    y = perturb(kn, b, DELTA / 2)
-    return A, x, b, y
+    from conftest import planted_problem
+
+    return planted_problem(seed, n=n, m=n if m is None else m, k=k,
+                           noise=DELTA / 2, dtype=jnp.float32)
 
 
 def _assert_matches(sol, ref_sols, atol=1e-3):

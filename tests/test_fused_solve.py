@@ -11,10 +11,10 @@ from cstpu.ops.fused_solve import omp_fused_solve
 
 
 def _problem(seed, n=32, m=128, k=3):
-    kd, kn = jax.random.split(jax.random.PRNGKey(seed))
-    A, x, b = sparse_data(kd, n=n, m=m, k=k, dtype=jnp.float32)
-    y = perturb(kn, b, 1e-2 / 2)
-    return A, x, b, y
+    from conftest import planted_problem
+
+    return planted_problem(seed, n=n, m=m, k=k, noise=1e-2 / 2,
+                           dtype=jnp.float32)
 
 
 def test_fused_matches_xla_path_noiseless():

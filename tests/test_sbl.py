@@ -12,10 +12,9 @@ SIGMA = 1e-2
 
 
 def _problem(seed, n=32, m=48, k=3):
-    kd, kn = jax.random.split(jax.random.PRNGKey(seed))
-    A, x, b = sparse_data(kd, n=n, m=m, k=k)
-    y = perturb(kn, b, SIGMA / 2)
-    return A, x, b, y
+    from conftest import planted_problem
+
+    return planted_problem(seed, n=n, m=m, k=k, noise=SIGMA / 2)
 
 
 def _thresh_support(x, tol=SIGMA):

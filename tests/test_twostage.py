@@ -10,10 +10,9 @@ DELTA = 1e-2
 
 
 def _problem(seed, n=32, m=64, k=3):
-    kd, kn = jax.random.split(jax.random.PRNGKey(seed))
-    A, x, b = sparse_data(kd, n=n, m=m, k=k)
-    y = perturb(kn, b, DELTA / 2)
-    return A, x, b, y
+    from conftest import planted_problem
+
+    return planted_problem(seed, n=n, m=m, k=k, noise=DELTA / 2)
 
 
 def test_srr_noiseless():
