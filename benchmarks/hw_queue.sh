@@ -38,5 +38,13 @@ echo "== bench ==" | tee -a "$LOG/status"
 timeout 900 python bench.py > "$LOG/bench.log" 2>&1
 echo "bench exit=$? $(tail -1 "$LOG/bench.log")" >> "$LOG/status"
 
+echo "== suite (fused-kernel configs) ==" | tee -a "$LOG/status"
+timeout 3600 python benchmarks/suite.py 3 4 > "$LOG/suite34.log" 2>&1
+echo "suite34 exit=$? $(tail -1 "$LOG/suite34.log")" >> "$LOG/status"
+
+echo "== weak scaling (single-chip point) ==" | tee -a "$LOG/status"
+timeout 1800 python benchmarks/weak_scaling.py > "$LOG/weak.log" 2>&1
+echo "weak exit=$? $(tail -1 "$LOG/weak.log")" >> "$LOG/status"
+
 echo "== done ==" >> "$LOG/status"
 cat "$LOG/status"
