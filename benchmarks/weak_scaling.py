@@ -9,14 +9,28 @@ count stays constant (weak scaling), runs the fused hybrid OMP path
 
     efficiency(s) = t(1) / t(s)        (ideal weak scaling: 1.0)
 
-Run on a pod slice (all hosts):  python benchmarks/weak_scaling.py
+Measurement protocol matches suite.py: the dictionary is device_put
+pre-sharded over the atoms axis BEFORE timing (the bf16 correlation
+cast then runs per-chip-constant inside the jit), reps are chained
+inside one jit with relative perturbations, and two rep counts cancel
+fixed dispatch overhead. Recovery is asserted before any timing.
+
+Single-process only: on one chip-tunnel host this sweeps the virtual or
+local device counts. A true 2+ host run needs the jax.distributed launch
+recipe in benchmarks/README.md (per-host shard construction via
+cstpu.parallel.distributed.shard_global); this harness refuses to guess
+at that topology and exits if process_count() > 1.
+
+Run on the TPU / local devices:  python benchmarks/weak_scaling.py
 CPU smoke (8 virtual devices, interpret-mode kernels — validates the
 harness, NOT a performance number):
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        JAX_PLATFORMS=cpu python benchmarks/weak_scaling.py 1024
+        JAX_PLATFORMS=cpu python benchmarks/weak_scaling.py
 
-Arguments: [m_per_shard] [B] [k]  (defaults 16384, 8, 32 — per-shard
-work equals the single-chip beyond-VMEM streaming regime).
+Arguments: [m_per_shard] [B] [k] [n]  (defaults 16384, 8, 32, 1024 on
+TPU — per-shard work equals the single-chip beyond-VMEM streaming
+regime; 128, 8, 4, 64 off-TPU so the total aspect ratio m/n stays
+well-posed for exact recovery at every shard count).
 """
 
 from __future__ import annotations
@@ -24,68 +38,66 @@ from __future__ import annotations
 import json
 import os
 import sys as _sys
-import time
 
 _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# JAX_PLATFORMS=cpu via the environment alone does not stick in this
+# image (the axon plugin still grabs backend init and hangs while the
+# compile tunnel is down); force it through the config like
+# tests/conftest.py and __graft_entry__.dryrun_multichip do.
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main() -> int:
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from cstpu.parallel.mesh import make_mesh
     from cstpu.parallel.sharded import omp_sharded_fused
+    from benchmarks.suite import _chain, _planted, _recovery, _timers
 
-    args = [int(a) for a in _sys.argv[1:]]
-    m_per_shard = args[0] if len(args) > 0 else 16384
-    B = args[1] if len(args) > 1 else 8
-    k = args[2] if len(args) > 2 else 32
-    n = 1024
+    if jax.process_count() > 1:
+        print("weak_scaling.py is single-process; use the multi-host "
+              "launch recipe in benchmarks/README.md", file=_sys.stderr)
+        return 2
+
     interp = jax.default_backend() != "tpu"
-    if interp:
-        # CPU harness validation: tiny shapes, interpret-mode kernels.
-        # The per-shard width stays small so the TOTAL aspect ratio m/n
-        # remains well-posed for exact recovery at every shard count
-        m_per_shard, B, k, n = 128, 8, 4, 64
+    defaults = (128, 8, 4, 64) if interp else (16384, 8, 32, 1024)
+    args = [int(a) for a in _sys.argv[1:]]
+    m_per_shard, B, k, n = (args + list(defaults[len(args):]))[:4]
 
+    per_rep = _timers()
     ndev = jax.device_count()
     counts = [s for s in (1, 2, 4, 8, 16, 32, 64) if s <= ndev]
     base_t = None
     for s in counts:
         mesh = make_mesh((1, s), devices=jax.devices()[:s])
         m = m_per_shard * s
-        key = jax.random.PRNGKey(0)
-        ka, kx = jax.random.split(key)
-        A = jax.random.normal(ka, (n, m), jnp.float32)
-        A = A / jnp.sqrt(jnp.sum(A * A, axis=0, keepdims=True))
-        sup = jax.vmap(lambda kk: jax.random.permutation(kk, m)[:k])(
-            jax.random.split(kx, B))
-        X = jax.vmap(lambda ss: jnp.zeros((m,), jnp.float32)
-                     .at[ss].set(1.0))(sup)
-        Bs = X @ A.T
+        A, _, Bs, sup = _planted(jax.random.PRNGKey(0), B, n, m, k)
+        # Pre-shard: the solve must start from an already-distributed
+        # dictionary, or the timed region measures host->mesh
+        # redistribution that grows with the TOTAL atom count and
+        # masquerades as collective overhead.
+        A = jax.device_put(A, NamedSharding(mesh, P(None, "atoms")))
+        Bs = jax.device_put(Bs, NamedSharding(mesh, P("batch", None)))
 
-        solver = lambda Bs_: omp_sharded_fused(  # noqa: E731
-            A, Bs_, k, mesh, corr_dtype=jnp.bfloat16, interpret=interp)
-        sol = solver(Bs)                        # compile + warm
+        solver = lambda A_, Bs_: omp_sharded_fused(  # noqa: E731
+            A_, Bs_, k, mesh, corr_dtype=jnp.bfloat16, interpret=interp)
+        sol = solver(A, Bs)
         jax.block_until_ready(sol.idx)
-        import numpy as np
-        got = np.where(np.asarray(sol.mask), np.asarray(sol.idx), m)
-        rec = float(np.mean([set(np.asarray(sup)[i]) <= set(got[i])
-                             for i in range(B)]))
+        rec = _recovery(sol, sup, m)
         assert rec == 1.0, f"s={s}: recovery {rec} != 1.0"
 
-        dts = []
-        for rep in range(3):                    # min-of-3, perturbed reps
-            t0 = time.perf_counter()
-            jax.block_until_ready(
-                solver(Bs * (1.0 + (rep + 1) * 1e-7)).idx)
-            dts.append(time.perf_counter() - t0)
-        t = min(dts)
+        t = per_rep(_chain(solver, A=A), Bs, r1=2, r2=12)
         if base_t is None:
             base_t = t
         print(json.dumps({
             "config": f"weak_scaling_omp_hybrid_{s}shards",
-            "shards": s, "m": m, "B": B, "k": k,
+            "shards": s, "m": m, "B": B, "k": k, "n": n,
             "ms_per_batch": round(t * 1e3, 2),
             "efficiency": round(base_t / t, 4),
             "atom_selections_per_sec": round(B * k / t, 1),
