@@ -153,7 +153,17 @@ def rmp(A, b, k: int | None = None, delta: float | None = None,
             if isinstance(x0, _SS):
                 idx0, mask0 = x0.idx, x0.mask
             else:
-                idx0 = jnp.asarray(x0, jnp.int32)
+                x0 = jnp.asarray(x0)
+                if jnp.issubdtype(x0.dtype, jnp.floating):
+                    # the reference's initial-x argument is a (sparse)
+                    # coefficient VECTOR (src/stepwise.jl:5-6) — warm-start
+                    # from its support (host-side: rmp() runs outside jit)
+                    import numpy as _np
+
+                    idx0 = jnp.asarray(
+                        _np.flatnonzero(_np.asarray(x0)), jnp.int32)
+                else:
+                    idx0 = x0.astype(jnp.int32)
                 mask0 = jnp.ones(idx0.shape, bool)
         return _rmp_delta(A, b, jnp.asarray(delta, A.dtype), int(maxiter),
                           idx0, mask0)

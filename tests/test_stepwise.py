@@ -132,3 +132,22 @@ def test_rmp_warm_start_wide_padded_support():
     sol = rmp(A, y, delta=1e-2, x0=x0)
     got = sorted(np.asarray(sol.idx)[np.asarray(sol.mask)].tolist())
     assert got == sorted(np.asarray(support(x)).tolist()), got
+
+
+def test_rmp_warm_start_dense_vector():
+    # the reference's initial-x argument is a coefficient VECTOR
+    # (src/stepwise.jl:5-6); a dense float x0 must warm-start from its
+    # support, not be silently cast to int32 "indices" (pre-fix: a
+    # +-1-coefficient x0 became a support of {0, 1} and the solve
+    # returned garbage)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cstpu import rmp, sparse_data, support
+
+    A, x, b = sparse_data(jax.random.PRNGKey(78), n=32, m=64, k=3)
+    x0 = jnp.zeros((64,), A.dtype).at[support(x)[0]].set(1.0)
+    sol = rmp(A, b, delta=1e-8, x0=x0)
+    got = np.asarray(sol.idx)[np.asarray(sol.mask)]
+    np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
