@@ -414,3 +414,25 @@ def test_sharded_fused_srr_stress_many_seeds(mesh):
             ref = ref_b if i % 2 == 0 else ref_y
             row = jax.tree.map(lambda leaf: leaf[i], sols)
             assert list(row.nzind) == list(ref.nzind), (seed, i)
+
+
+def test_sharded_fused_omp_dp_tp_mesh():
+    # the production fused path on a TWO-dimensional (2, 4) mesh: batch
+    # data-parallel x atom tensor-parallel together (every other fused
+    # test shards atoms only). B must be divisible by batch_shards * 8.
+    from cstpu.parallel.sharded import omp_sharded_fused
+
+    mesh2 = make_mesh((2, 4))
+    kd, kn = jax.random.split(jax.random.PRNGKey(75))
+    A, x, b = sparse_data(kd, n=64, m=1024, k=5, dtype=jnp.float32)
+    y = perturb(kn, b, DELTA / 2)
+    Bs = jnp.stack([b, y] * 8)                      # (16, 64)
+    sols = omp_sharded_fused(A, Bs, 5, mesh2, corr_dtype=jnp.float32,
+                             interpret=True)
+    ref_b = omp(A, b, 5)
+    ref_y = omp(A, y, 5)
+    for i in range(16):
+        ref = ref_b if i % 2 == 0 else ref_y
+        row = jax.tree.map(lambda leaf: leaf[i], sols)
+        assert list(row.nzind) == list(ref.nzind)
+        np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-5)
