@@ -1,0 +1,252 @@
+"""Randomized cross-path consistency fuzz for the whole solver surface.
+
+The conformance suite pins discriminating seeds; this harness goes wide
+instead: every trial draws a random problem (shape bucket, conditioning,
+noise, sparsity) and checks INVARIANTS that must hold on any input —
+not planted-support recovery, which greedy methods may legitimately
+miss on hard instances:
+
+  * container integrity — masked idx in range, no duplicate active
+    atoms, finite coefficients, solutions honestly masked;
+  * batch-vs-single — every ``*_batch`` entry must agree row-for-row
+    with its single-problem solver;
+  * fused-kernel-vs-XLA — the whole-solve Pallas kernels (interpret
+    mode off-TPU) must match the XLA path's answer QUALITY: equal
+    support size and residual norm within a near-tie tolerance (the
+    documented conformance contract: recovery quality, not bitwise —
+    docs/DESIGN.md);
+  * sharded-vs-single — column-sharded solves over an 8-virtual-device
+    mesh must select identical atoms (deterministic collective argmax);
+  * exact-oracle checks — ista/fista objectives must be within
+    first-order tolerance of the native exact LASSO path.
+
+Shape buckets are reused across trials so jit compiles amortize.
+
+Run:   python benchmarks/fuzz.py [n_trials] [seed0]     (defaults 60, 0)
+Exits nonzero listing every violation. A violation is a BUG: either in
+the checked paths or in the invariant — triage before shipping either.
+"""
+
+from __future__ import annotations
+
+import os
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# force the virtual multi-device CPU mesh before JAX initializes
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+if jax.default_backend() != "tpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+import cstpu  # noqa: E402
+from cstpu.models import batched  # noqa: E402
+
+SHAPES = [(32, 128), (64, 128), (64, 256), (32, 48)]
+VIOLATIONS: list[str] = []
+
+
+def _flag(trial, what):
+    VIOLATIONS.append(f"trial {trial}: {what}")
+    print(f"FUZZ VIOLATION  trial {trial}: {what}", flush=True)
+
+
+def _integrity(trial, name, sol, m):
+    idx = np.asarray(sol.idx)
+    mask = np.asarray(sol.mask)
+    val = np.asarray(sol.val)
+    act = idx[mask]
+    if act.size and (act.min() < 0 or act.max() >= m):
+        _flag(trial, f"{name}: active index out of range: {act}")
+    if len(set(act.tolist())) != act.size:
+        _flag(trial, f"{name}: duplicate active atoms: {sorted(act)}")
+    if not np.all(np.isfinite(val[mask])):
+        _flag(trial, f"{name}: non-finite active coefficient")
+
+
+def _problem(rng, trial):
+    n, m = SHAPES[rng.integers(len(SHAPES))]
+    k = int(rng.integers(1, 7))
+    correlated = bool(rng.integers(2))
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+    if correlated:
+        A, x, b = cstpu.correlated_data(key, n=n, m=m, k=k, decay=1.0)
+    else:
+        A, x, b = cstpu.sparse_data(key, n=n, m=m, k=k)
+    if rng.integers(2):
+        b = cstpu.perturb(jax.random.PRNGKey(trial + 10**6), b, 5e-3)
+    return A, x, b, k
+
+
+def _rows(rng, A, b, k):
+    """A 8-row batch mixing b with independent problems (B=8: the fused
+    kernels' tiling minimum)."""
+    keys = jax.random.split(jax.random.PRNGKey(int(rng.integers(2**31))), 8)
+    ys = [b] + [cstpu.perturb(kk, b, 1e-2) for kk in keys[:7]]
+    return jnp.stack(ys)
+
+
+BATCH_PAIRS = [
+    ("omp", lambda A, y, k: cstpu.omp(A, y, k),
+     lambda A, Y, k: batched.omp_batch(A, Y, k)),
+    ("gomp", lambda A, y, k: cstpu.gomp(A, y, 2, k),
+     lambda A, Y, k: batched.gomp_batch(A, Y, 2, k)),
+    ("fr", lambda A, y, k: cstpu.fr(A, y, sparsity=k),
+     lambda A, Y, k: batched.fr_batch(A, Y, sparsity=k)),
+    ("sp", lambda A, y, k: cstpu.sp(A, y, k),
+     lambda A, Y, k: batched.sp_batch(A, Y, k)),
+    ("ompr", lambda A, y, k: cstpu.ompr(A, y, k, 1e-12),
+     lambda A, Y, k: batched.ompr_batch(A, Y, k, 1e-12)),
+    ("srr", lambda A, y, k: cstpu.srr(A, y, k),
+     lambda A, Y, k: batched.srr_batch(A, Y, k)),
+    ("rmp", lambda A, y, k: cstpu.rmp(A, y, k=k),
+     lambda A, Y, k: batched.rmp_batch(A, Y, k=k)),
+]
+
+
+def check_batch_vs_single(trial, rng, A, b, k):
+    name, single, bat = BATCH_PAIRS[trial % len(BATCH_PAIRS)]
+    Y = _rows(rng, A, b, k)
+    sols = bat(A, Y, k)
+    m = A.shape[1]
+    for i in (0, 3, 7):
+        row = jax.tree.map(lambda leaf: leaf[i], sols)
+        _integrity(trial, f"{name}_batch[{i}]", row, m)
+        ref = single(A, Y[i], k)
+        if list(row.nzind) != list(ref.nzind):
+            _flag(trial, f"{name}: batch row {i} support "
+                         f"{list(row.nzind)} != single {list(ref.nzind)}")
+        elif not np.allclose(np.asarray(row.nzval), np.asarray(ref.nzval),
+                             rtol=1e-4, atol=1e-6):
+            _flag(trial, f"{name}: batch row {i} coefficients diverge")
+
+
+FUSED = [
+    ("omp_fused", "omp"), ("fr_fused", "fr"), ("gomp_fused", "gomp"),
+    ("sp_fused", "sp"),
+]
+
+
+def check_fused_vs_xla(trial, rng, A, b, k):
+    """Quality conformance: the interpret-mode whole-solve kernel's
+    residual must match the XLA path's within near-tie tolerance."""
+    from cstpu.ops import fused_solve as fs
+    from cstpu.ops import fused_twostage as ft
+
+    which, _ = FUSED[trial % len(FUSED)]
+    Y = _rows(rng, A, b, k)
+    m = A.shape[1]
+    if which == "omp_fused":
+        if not fs.supported(A, Y, k, jnp.float32):
+            return
+        sol, _ = fs.omp_fused_solve(A, Y, k, corr_dtype=jnp.float32,
+                                    interpret=True)
+        ref = batched.omp_batch(A, Y, k)
+    elif which == "fr_fused":
+        if not fs.supported_fr(A, Y, k, jnp.float32):
+            return
+        sol, _ = fs.fr_fused_solve(A, Y, k, corr_dtype=jnp.float32,
+                                   interpret=True)
+        ref = batched.fr_batch(A, Y, sparsity=k)
+    elif which == "gomp_fused":
+        if not fs.supported(A, Y, k, jnp.float32):
+            return
+        sol, _ = fs.gomp_fused_solve(A, Y, 2, k, corr_dtype=jnp.float32,
+                                     interpret=True)
+        ref = batched.gomp_batch(A, Y, 2, k)
+    else:
+        if 2 * k > A.shape[0] or not ft.supported_sp(A, Y, k, jnp.float32):
+            return
+        sol, _ = ft.sp_fused_solve(A, Y, k, corr_dtype=jnp.float32,
+                                   interpret=True)
+        ref = batched.sp_batch(A, Y, k)
+    for i in range(Y.shape[0]):
+        row = jax.tree.map(lambda leaf: leaf[i], sol)
+        rrow = jax.tree.map(lambda leaf: leaf[i], ref)
+        _integrity(trial, f"{which}[{i}]", row, m)
+        rk = _resid(A, Y[i], row)
+        rx = _resid(A, Y[i], rrow)
+        if int(np.sum(np.asarray(row.mask))) != int(
+                np.sum(np.asarray(rrow.mask))):
+            _flag(trial, f"{which}: row {i} support size "
+                         f"{int(np.sum(np.asarray(row.mask)))} != XLA "
+                         f"{int(np.sum(np.asarray(rrow.mask)))}")
+        elif rk > rx * (1 + 1e-3) + 1e-4:
+            _flag(trial, f"{which}: row {i} residual {rk:.3e} worse than "
+                         f"XLA {rx:.3e}")
+
+
+def _resid(A, y, sol):
+    return float(jnp.linalg.norm(A @ sol.todense() - y))
+
+
+def check_sharded_vs_single(trial, rng, A, b, k):
+    from cstpu.parallel.mesh import make_mesh
+    from cstpu.parallel.sharded import omp_sharded_fused
+
+    if jax.device_count() < 8:
+        return
+    # the streaming select kernel needs a per-shard atom width that is a
+    # multiple of 128 — redraw the trial's problem at a shardable shape,
+    # keeping its conditioning/noise draw
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+    if rng.integers(2):
+        A, _, b = cstpu.correlated_data(key, n=64, m=1024, k=k, decay=1.0)
+    else:
+        A, _, b = cstpu.sparse_data(key, n=64, m=1024, k=k)
+    mesh = make_mesh((1, 8))
+    Y = _rows(rng, A, b, k)
+    sol = omp_sharded_fused(A, Y, k, mesh, corr_dtype=jnp.float32,
+                            interpret=jax.default_backend() != "tpu")
+    ref = batched.omp_batch(A, Y, k)
+    if not np.array_equal(np.asarray(sol.idx), np.asarray(ref.idx)):
+        _flag(trial, "omp_sharded_fused: selection differs from single-chip")
+
+
+def check_lasso_oracle(trial, rng, A, b, k):
+    from cstpu.native import lasso_homotopy
+
+    lam = float(10 ** rng.uniform(-4, -2))
+    y = np.asarray(b, np.float64)
+    An = np.asarray(A, np.float64)
+    xi = np.asarray(cstpu.fista(A, b, lam, maxiter=4096, stepsize=None),
+                    np.float64)
+    xs = lasso_homotopy(An, y, lam)
+
+    def obj(z):
+        return 0.5 * np.sum((An @ z - y) ** 2) + lam * np.sum(np.abs(z))
+
+    if obj(xs) > obj(xi) + 1e-8:
+        _flag(trial, f"lasso: exact path objective {obj(xs):.6e} ABOVE "
+                     f"fista {obj(xi):.6e} — homotopy not optimal")
+    if abs(obj(xs) - obj(xi)) > 5e-3:
+        _flag(trial, f"lasso: fista objective gap {abs(obj(xs)-obj(xi)):.2e}")
+
+
+CHECKS = [check_batch_vs_single, check_fused_vs_xla,
+          check_sharded_vs_single, check_lasso_oracle]
+
+
+def main() -> int:
+    trials = int(_sys.argv[1]) if len(_sys.argv) > 1 else 60
+    seed0 = int(_sys.argv[2]) if len(_sys.argv) > 2 else 0
+    for trial in range(seed0, seed0 + trials):
+        rng = np.random.default_rng(trial)
+        A, x, b, k = _problem(rng, trial)
+        check = CHECKS[trial % len(CHECKS)]
+        check(trial, rng, A, b, k)
+        if trial % 10 == 9:
+            print(f"[fuzz] {trial + 1 - seed0}/{trials} trials, "
+                  f"{len(VIOLATIONS)} violations", flush=True)
+    print(f"[fuzz] done: {trials} trials, {len(VIOLATIONS)} violations")
+    return 1 if VIOLATIONS else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
