@@ -254,8 +254,83 @@ def check_lasso_oracle(trial, rng, A, b, k):
         _flag(trial, f"lasso: fista objective gap {abs(obj(xs)-obj(xi)):.2e}")
 
 
+BACKWARD_PAIRS = [
+    ("br", lambda A, y, k: cstpu.br(A, y, sparsity=k),
+     lambda A, Y, k: batched.br_batch(A, Y, sparsity=k)),
+    ("fbr", lambda A, y, k: cstpu.fbr(A, y, sparsity=k),
+     lambda A, Y, k: batched.fbr_batch(A, Y, sparsity=k)),
+    ("lace", lambda A, y, k: cstpu.lace(A, y, sparsity=k),
+     lambda A, Y, k: batched.lace_batch(A, Y, sparsity=k)),
+]
+
+
+def check_backward_batch_vs_single(trial, rng, A, b, k):
+    """Backward family needs full column rank — redraw square/overdet
+    problems in f64 (same logic-equivalence rationale as
+    check_batch_vs_single)."""
+    name, single, bat = BACKWARD_PAIRS[trial % len(BACKWARD_PAIRS)]
+    n = int(rng.choice([32, 48]))
+    m = n if name != "lace" else n - 16          # lace needs overdetermined
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+    A, x, b = cstpu.sparse_data(key, n=n, m=m, k=k, dtype=jnp.float64)
+    Y = _rows(rng, A, b, k)
+    sols = bat(A, Y, k)
+    for i in (0, 5):
+        row = jax.tree.map(lambda leaf: leaf[i], sols)
+        _integrity(trial, f"{name}_batch[{i}]", row, m)
+        ref = single(A, Y[i], k)
+        if list(row.nzind) != list(ref.nzind):
+            _flag(trial, f"{name}: batch row {i} support "
+                         f"{list(row.nzind)} != single {list(ref.nzind)}")
+
+
+def check_sbl_batch_vs_single(trial, rng, A, b, k):
+    """SBL family: batched posterior means must match the single path
+    (f64 logic equivalence); supports thresholded at sigma."""
+    sigma = 1e-2
+    A = jnp.asarray(A, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+    Y = _rows(rng, A, b, k)
+    which = ["sbl", "fsbl", "rmps"][trial % 3]
+    single = {"sbl": cstpu.sbl, "fsbl": cstpu.fsbl, "rmps": cstpu.rmps}[which]
+    bat = {"sbl": batched.sbl_batch, "fsbl": batched.fsbl_batch,
+           "rmps": batched.rmps_batch}[which]
+    Xs = np.asarray(bat(A, Y, sigma))
+    for i in (0, 5):
+        xr = np.asarray(single(A, Y[i], sigma))
+        got = np.flatnonzero(np.abs(Xs[i]) > sigma)
+        want = np.flatnonzero(np.abs(xr) > sigma)
+        if not np.array_equal(got, want):
+            _flag(trial, f"{which}: batch row {i} support@sigma "
+                         f"{got.tolist()} != single {want.tolist()}")
+
+
+def check_bp_feasibility(trial, rng, A, b, k):
+    """Convex path invariants on any input: BP iterates must be primal
+    feasible and no sparser-objective certificate may exist (the exact
+    simplex LP is the oracle)."""
+    from cstpu.native import bp_simplex
+
+    A64 = np.asarray(A, np.float64)
+    y64 = np.asarray(b, np.float64)
+    xb = np.asarray(cstpu.bp(A, b), np.float64)
+    feas = float(np.linalg.norm(A64 @ xb - y64))
+    if feas > 1e-3:
+        _flag(trial, f"bp[admm]: infeasible, ||Ax-b|| = {feas:.2e}")
+    try:
+        xs = bp_simplex(A64, y64)
+    except Exception as e:  # noqa: BLE001 — degenerate LP is a finding
+        _flag(trial, f"bp[simplex] raised: {e}")
+        return
+    if np.sum(np.abs(xs)) > np.sum(np.abs(xb)) + 1e-6:
+        _flag(trial, f"bp: simplex objective {np.sum(np.abs(xs)):.6f} ABOVE "
+                     f"admm {np.sum(np.abs(xb)):.6f} — LP not optimal")
+
+
 CHECKS = [check_batch_vs_single, check_fused_vs_xla,
-          check_sharded_vs_single, check_lasso_oracle]
+          check_sharded_vs_single, check_lasso_oracle,
+          check_backward_batch_vs_single, check_sbl_batch_vs_single,
+          check_bp_feasibility]
 
 
 def main() -> int:
