@@ -133,6 +133,16 @@ def check_batch_vs_single(trial, rng, A, b, k):
     quality-based fused-vs-XLA check and the conformance suite's
     pinned well-posed problems."""
     name, single, bat = BATCH_PAIRS[trial % len(BATCH_PAIRS)]
+    if name == "rmp":
+        # rmp's forward stage runs to exhaustion; on correlated
+        # dictionaries with NEAR-DUPLICATE atoms the late-stage picks are
+        # tied below even the f64 noise floor and batch/single land in
+        # different valid greedy optima (observed at n=32, m=48,
+        # decay=1.0 — docs/DESIGN.md contract). Gaussian margins are
+        # healthy, so equality there still catches wiring bugs.
+        key = jax.random.PRNGKey(int(rng.integers(2**31)))
+        A, _, b = cstpu.sparse_data(key, n=A.shape[0], m=A.shape[1], k=k,
+                                    dtype=jnp.float64)
     A = jnp.asarray(A, jnp.float64)
     b = jnp.asarray(b, jnp.float64)
     Y = _rows(rng, A, b, k)
@@ -315,22 +325,80 @@ def check_bp_feasibility(trial, rng, A, b, k):
     y64 = np.asarray(b, np.float64)
     xb = np.asarray(cstpu.bp(A, b), np.float64)
     feas = float(np.linalg.norm(A64 @ xb - y64))
-    if feas > 1e-3:
+    scale = 1.0 + float(np.linalg.norm(y64))
+    if feas > 1e-3 * scale:
+        # f32 dictionaries with f32-identical near-duplicate atoms park
+        # at the flat-face noise floor (documented bp() contract); only
+        # an egregious violation is a finding
         _flag(trial, f"bp[admm]: infeasible, ||Ax-b|| = {feas:.2e}")
     try:
         xs = bp_simplex(A64, y64)
     except Exception as e:  # noqa: BLE001 — degenerate LP is a finding
         _flag(trial, f"bp[simplex] raised: {e}")
         return
-    if np.sum(np.abs(xs)) > np.sum(np.abs(xb)) + 1e-6:
+    if float(np.linalg.norm(A64 @ xs - y64)) > 1e-8 * scale:
+        _flag(trial, "bp[simplex]: exact LP returned an infeasible vertex")
+    # an INFEASIBLE admm iterate can undercut the true optimum, so the
+    # optimality cross-check only binds when admm converged tightly
+    if feas < 1e-6 * scale and             np.sum(np.abs(xs)) > np.sum(np.abs(xb)) + 1e-4:
         _flag(trial, f"bp: simplex objective {np.sum(np.abs(xs)):.6f} ABOVE "
                      f"admm {np.sum(np.abs(xb)):.6f} — LP not optimal")
+
+
+def check_active_set_sequence(trial, rng, A, b, k):
+    """The shared machinery under every greedy solver: a random
+    append/delete sequence on the ActiveSet must track the NumPy normal
+    equations exactly (f64) — coefficients, residual, gamma leverage,
+    and the OLS rescaling denominators."""
+    from cstpu.ops import active_set as aset
+
+    n, m, kmax = 32, 48, 10
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+    A, x, b = cstpu.sparse_data(key, n=n, m=m, k=k, dtype=jnp.float64)
+    An, bn = np.asarray(A), np.asarray(b)
+    colnorm2 = jnp.sum(A * A, axis=0)
+    st = aset.empty(n, kmax, m, A.dtype)
+    sup: list[int] = []
+    for step in range(14):
+        if sup and (len(sup) >= kmax or rng.random() < 0.3):
+            pos = int(rng.integers(len(sup)))
+            st = aset.delete(st, pos, m)
+            sup.pop(pos)
+        else:
+            i = int(rng.choice([j for j in range(m) if j not in sup]))
+            st = aset.append(A, b, st, i)
+            sup.append(i)
+        st = aset.refit(st)
+        kk = len(sup)
+        if int(st.k) != kk or sorted(np.asarray(st.idx)[:kk]) != sorted(sup):
+            _flag(trial, f"aset step {step}: bookkeeping "
+                         f"{np.asarray(st.idx)[:kk]} != {sup}")
+            return
+        if not kk:
+            continue
+        As = An[:, sup]
+        Gi = np.linalg.inv(As.T @ As)
+        coef = Gi @ (As.T @ bn)
+        if not np.allclose(np.asarray(st.coef)[:kk], coef,
+                           rtol=1e-8, atol=1e-10):
+            _flag(trial, f"aset step {step}: coef diverges from lstsq")
+        r = bn - As @ coef
+        if not np.allclose(np.asarray(aset.residual(st, b)), r, atol=1e-9):
+            _flag(trial, f"aset step {step}: residual diverges")
+        if not np.allclose(np.asarray(aset.gamma(st))[:kk], np.diag(Gi),
+                           rtol=1e-8, atol=1e-10):
+            _flag(trial, f"aset step {step}: gamma leverage diverges")
+        resc = np.asarray(aset.ols_rescaling(A, st, colnorm2))
+        W = As.T @ An
+        want = np.asarray(colnorm2) - np.sum(W * (Gi @ W), axis=0)
+        if not np.allclose(resc, want, rtol=1e-8, atol=1e-9):
+            _flag(trial, f"aset step {step}: ols_rescaling diverges")
 
 
 CHECKS = [check_batch_vs_single, check_fused_vs_xla,
           check_sharded_vs_single, check_lasso_oracle,
           check_backward_batch_vs_single, check_sbl_batch_vs_single,
-          check_bp_feasibility]
+          check_bp_feasibility, check_active_set_sequence]
 
 
 def main() -> int:

@@ -23,6 +23,7 @@ from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cstpu.models.basis_pursuit import _shrink
@@ -36,14 +37,28 @@ def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
     rho = jnp.asarray(rho, A_local.dtype)
     tol = jnp.asarray(tol, A_local.dtype)
     n, m_local = A_local.shape
-    AAt = lax.psum(A_local @ A_local.T, axis)
-    L = jnp.linalg.cholesky(AAt)
+    # Row-whiten the constraint exactly as the single-chip path does
+    # (models/basis_pursuit._bp_admm): L = chol(psum(A_s A_s')) is
+    # replicated, each shard whitens ITS columns, and the projection
+    # becomes a psum'd GEMV pair with no per-iteration triangular solve
+    # two passes, same reason as the single-chip path: the first
+    # whitening's forward error (O(cond * eps)) leaves the rows
+    # measurably non-orthonormal at f32, and the fast projection
+    # assumes orthonormality; the second pass contracts the defect
+    # quadratically. One extra psum'd n x n Gram + triangular solve,
+    # one-time.
+    Aw_local, bw = A_local, b
+    for _ in range(2):
+        AAt = lax.psum(Aw_local @ Aw_local.T, axis)
+        L = jnp.linalg.cholesky(AAt)
+        Aw_local = solve_triangular(L, Aw_local, lower=True)
+        bw = solve_triangular(L, bw, lower=True)
 
     def project(v_local):  # exact projection onto {x : Ax = b}
-        Av = lax.psum(A_local @ v_local, axis)
-        return v_local - cho_solve((L, True), Av - b) @ A_local
+        Av = lax.psum(Aw_local @ v_local, axis)
+        return v_local - (Av - bw) @ Aw_local
 
-    x0 = cho_solve((L, True), b) @ A_local  # min-norm feasible point (local)
+    x0 = bw @ Aw_local  # min-norm feasible point (local)
     relax = jnp.asarray(1.8, A_local.dtype)   # over-relaxation
     mu = jnp.asarray(10.0, A_local.dtype)     # residual balancing
     tau = jnp.asarray(2.0, A_local.dtype)

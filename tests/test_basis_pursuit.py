@@ -135,3 +135,37 @@ def test_bpd_delta_zero_f32_finite():
     xs = bpd(A, b, 0.0)
     assert bool(jnp.all(jnp.isfinite(xs)))
     assert float(jnp.linalg.norm(A @ xs - b)) < 1e-3
+
+
+def test_bp_admm_correlated_matches_exact_lp():
+    # pre-row-whitening, ADMM exhausted 20k iterations on this
+    # cond ~ 5e3 correlated dictionary with terminal infeasibility
+    # 2.7e-1 and a meaningless objective; whitened it converges and
+    # matches the exact simplex LP (fuzz trial 710)
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cstpu import bp, correlated_data
+    from cstpu.native import bp_simplex
+
+    from cstpu import perturb
+
+    A, x, b = correlated_data(jax.random.PRNGKey(192787767), n=64, m=128,
+                              k=2, decay=1.0, dtype=jnp.float32)
+    b = perturb(jax.random.PRNGKey(710 + 10**6), b, 5e-3)
+    A64, y64 = np.asarray(A, np.float64), np.asarray(b, np.float64)
+    xb = np.asarray(bp(A, b), np.float64)
+    assert np.linalg.norm(A64 @ xb - y64) < 1e-4
+    xs = bp_simplex(A64, y64)
+    assert abs(np.abs(xb).sum() - np.abs(xs).sum()) < 1e-3
+    got = np.flatnonzero(np.abs(xb) > 1e-4)
+    assert np.array_equal(got, np.flatnonzero(np.abs(xs) > 1e-4))
+    # the UNPERTURBED twin-atom instance sits on a nearly-flat optimum
+    # face that f32 cannot resolve (documented bp() contract): f64
+    # inputs must still reach the exact optimum through the same code
+    _, _, b0 = correlated_data(jax.random.PRNGKey(192787767), n=64, m=128,
+                               k=2, decay=1.0, dtype=jnp.float32)
+    x64 = np.asarray(bp(jnp.asarray(A64), jnp.asarray(np.asarray(b0, np.float64))),
+                     np.float64)
+    xs0 = bp_simplex(A64, np.asarray(b0, np.float64))
+    assert abs(np.abs(x64).sum() - np.abs(xs0).sum()) < 1e-4
