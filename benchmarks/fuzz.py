@@ -395,10 +395,40 @@ def check_active_set_sequence(trial, rng, A, b, k):
             _flag(trial, f"aset step {step}: ols_rescaling diverges")
 
 
+def check_bpd_oracle(trial, rng, A, b, k):
+    """BPD ADMM vs the exact homotopy delta-crossing: the ADMM iterate
+    must respect the l2 ball within its tolerance and its objective must
+    be within first-order distance of the exact path solution."""
+    from cstpu.native import HomotopyError, bpd_homotopy
+
+    delta = float(10 ** rng.uniform(-2.3, -1.5))
+    A64 = np.asarray(A, np.float64)
+    y64 = np.asarray(b, np.float64)
+    xd = np.asarray(cstpu.bpd(A, b, delta), np.float64)
+    ball = float(np.linalg.norm(A64 @ xd - y64))
+    if ball > delta * 1.05 + 1e-6:
+        _flag(trial, f"bpd[admm]: ball violated, ||Ax-b|| = {ball:.4e} "
+                     f"vs delta {delta:.4e}")
+    try:
+        xh, _lam = bpd_homotopy(A64, y64, delta)
+    except HomotopyError as e:
+        _flag(trial, f"bpd[homotopy] raised: {e}")
+        return
+    if np.linalg.norm(A64 @ xh - y64) > delta * (1 + 1e-9) + 1e-12:
+        _flag(trial, "bpd[homotopy]: exact crossing violates the ball")
+    if np.abs(xh).sum() > np.abs(xd).sum() + 1e-4 and ball <= delta:
+        _flag(trial, f"bpd: exact objective {np.abs(xh).sum():.6f} ABOVE "
+                     f"feasible admm {np.abs(xd).sum():.6f}")
+    if np.abs(xd).sum() > np.abs(xh).sum() * 1.05 + 1e-3:
+        _flag(trial, f"bpd[admm]: objective {np.abs(xd).sum():.6f} far "
+                     f"above exact {np.abs(xh).sum():.6f}")
+
+
 CHECKS = [check_batch_vs_single, check_fused_vs_xla,
           check_sharded_vs_single, check_lasso_oracle,
           check_backward_batch_vs_single, check_sbl_batch_vs_single,
-          check_bp_feasibility, check_active_set_sequence]
+          check_bp_feasibility, check_active_set_sequence,
+          check_bpd_oracle]
 
 
 def main() -> int:
