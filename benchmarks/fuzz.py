@@ -39,7 +39,13 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 import jax  # noqa: E402
 
-if jax.default_backend() != "tpu":
+# Decide the backend BEFORE anything initializes it: calling
+# jax.default_backend() first would initialize whatever plugin the
+# ambient env names (the axon TPU plugin hangs behind a dead compile
+# tunnel) and make any later config update a no-op. This is a CPU
+# logic-fuzz harness — run on CPU unless the caller explicitly opts
+# into device execution with CSTPU_FUZZ_TPU=1.
+if os.environ.get("CSTPU_FUZZ_TPU", "0") != "1":
     jax.config.update("jax_platforms", "cpu")
 # x64 for the logic-equivalence checks; the kernel-facing checks pass
 # f32 data explicitly (their production regime)
@@ -132,7 +138,8 @@ def check_batch_vs_single(trial, rng, A, b, k):
     what this check is for. The f32 cross-path story is covered by the
     quality-based fused-vs-XLA check and the conformance suite's
     pinned well-posed problems."""
-    name, single, bat = BATCH_PAIRS[trial % len(BATCH_PAIRS)]
+    name, single, bat = BATCH_PAIRS[(trial // len(CHECKS))
+                                    % len(BATCH_PAIRS)]
     if name == "rmp":
         # rmp's forward stage runs to exhaustion; on correlated
         # dictionaries with NEAR-DUPLICATE atoms the late-stage picks are
@@ -172,7 +179,7 @@ def check_fused_vs_xla(trial, rng, A, b, k):
     from cstpu.ops import fused_solve as fs
     from cstpu.ops import fused_twostage as ft
 
-    which, _ = FUSED[trial % len(FUSED)]
+    which, _ = FUSED[(trial // len(CHECKS)) % len(FUSED)]
     Y = _rows(rng, A, b, k)
     m = A.shape[1]
     if which == "omp_fused":
@@ -278,7 +285,10 @@ def check_backward_batch_vs_single(trial, rng, A, b, k):
     """Backward family needs full column rank — redraw square/overdet
     problems in f64 (same logic-equivalence rationale as
     check_batch_vs_single)."""
-    name, single, bat = BACKWARD_PAIRS[trial % len(BACKWARD_PAIRS)]
+    # trial // len(CHECKS): trial % 3 is constant on the trials that
+    # reach this check (9 checks, 3 pairs share the divisor)
+    name, single, bat = BACKWARD_PAIRS[(trial // len(CHECKS))
+                                       % len(BACKWARD_PAIRS)]
     n = int(rng.choice([32, 48]))
     m = n if name != "lace" else n - 16          # lace needs overdetermined
     key = jax.random.PRNGKey(int(rng.integers(2**31)))
@@ -301,7 +311,7 @@ def check_sbl_batch_vs_single(trial, rng, A, b, k):
     A = jnp.asarray(A, jnp.float64)
     b = jnp.asarray(b, jnp.float64)
     Y = _rows(rng, A, b, k)
-    which = ["sbl", "fsbl", "rmps"][trial % 3]
+    which = ["sbl", "fsbl", "rmps"][(trial // len(CHECKS)) % 3]
     single = {"sbl": cstpu.sbl, "fsbl": cstpu.fsbl, "rmps": cstpu.rmps}[which]
     bat = {"sbl": batched.sbl_batch, "fsbl": batched.fsbl_batch,
            "rmps": batched.rmps_batch}[which]

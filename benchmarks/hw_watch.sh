@@ -27,7 +27,8 @@ print('TUNNEL_UP', jax.devices()[0].device_kind)" \
         # happen) — keep watching instead of abandoning the validation.
         echo "$(date -u +%FT%TZ) hw_queue FAILED (transient flap?) — retrying" \
             >> "$LOG/watch.log"
+    else
+        echo "$(date -u +%FT%TZ) tunnel still down" >> "$LOG/watch.log"
     fi
-    echo "$(date -u +%FT%TZ) tunnel still down" >> "$LOG/watch.log"
     sleep 900
 done

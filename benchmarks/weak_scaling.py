@@ -54,9 +54,8 @@ if os.environ.get("JAX_PLATFORMS", "") == "cpu":
 def main() -> int:
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from cstpu.parallel.mesh import make_mesh
+    from cstpu.parallel.mesh import make_mesh, shard_batch, shard_dictionary
     from cstpu.parallel.sharded import omp_sharded_fused
     from benchmarks.suite import _chain, _planted, _recovery, _timers
 
@@ -82,8 +81,8 @@ def main() -> int:
         # dictionary, or the timed region measures host->mesh
         # redistribution that grows with the TOTAL atom count and
         # masquerades as collective overhead.
-        A = jax.device_put(A, NamedSharding(mesh, P(None, "atoms")))
-        Bs = jax.device_put(Bs, NamedSharding(mesh, P("batch", None)))
+        A = shard_dictionary(A, mesh)
+        Bs = shard_batch(Bs, mesh)
 
         solver = lambda A_, Bs_: omp_sharded_fused(  # noqa: E731
             A_, Bs_, k, mesh, corr_dtype=jnp.bfloat16, interpret=interp)

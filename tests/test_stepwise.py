@@ -151,3 +151,27 @@ def test_rmp_warm_start_dense_vector():
     sol = rmp(A, b, delta=1e-8, x0=x0)
     got = np.asarray(sol.idx)[np.asarray(sol.mask)]
     np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
+
+
+def test_rmp_k_noiseless_exhaustion_stable():
+    # pre-fix: on a NOISELESS planted problem the forward stage ran past
+    # the exact fit to full rank — the 0/0 selection score favors the
+    # most degenerate atoms there and the incremental Gram inverse
+    # corrupted (residual 1e-16 -> 5e-4), so backward pruned garbage
+    # (seed 25 returned a disjoint support at 0.88 residual; the same
+    # chaos made batch and single diverge on fuzz trials 1056/1112/1280).
+    # forward_step now floors max_eps at the rounding scale of ||b||.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cstpu import rmp, sparse_data, support
+
+    for seed in (25, 1112):
+        A, x, b = sparse_data(jax.random.PRNGKey(seed), n=32, m=128, k=4,
+                              dtype=jnp.float64)
+        sol = rmp(A, b, k=4)
+        got = np.asarray(sol.idx)[np.asarray(sol.mask)]
+        np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
+        resid = float(jnp.linalg.norm(A @ sol.todense() - b))
+        assert resid < 1e-12, resid
