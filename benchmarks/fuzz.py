@@ -349,10 +349,18 @@ def check_bp_feasibility(trial, rng, A, b, k):
     if float(np.linalg.norm(A64 @ xs - y64)) > 1e-8 * scale:
         _flag(trial, "bp[simplex]: exact LP returned an infeasible vertex")
     # an INFEASIBLE admm iterate can undercut the true optimum, so the
-    # optimality cross-check only binds when admm converged tightly
-    if feas < 1e-6 * scale and             np.sum(np.abs(xs)) > np.sum(np.abs(xb)) + 1e-4:
+    # undercut direction only binds when admm converged tightly
+    if (feas < 1e-6 * scale
+            and np.sum(np.abs(xs)) > np.sum(np.abs(xb)) + 1e-4):
         _flag(trial, f"bp: simplex objective {np.sum(np.abs(xs)):.6f} ABOVE "
                      f"admm {np.sum(np.abs(xb)):.6f} — LP not optimal")
+    # the other direction has no feasibility excuse: a (near-)feasible
+    # admm objective far ABOVE the exact optimum is a convergence bug
+    # (this guard would have caught the pre-whitening ADMM)
+    if (feas < 1e-3 * scale
+            and np.sum(np.abs(xb)) > np.sum(np.abs(xs)) * 1.05 + 1e-3):
+        _flag(trial, f"bp[admm]: objective {np.sum(np.abs(xb)):.6f} far "
+                     f"above exact {np.sum(np.abs(xs)):.6f}")
 
 
 def check_active_set_sequence(trial, rng, A, b, k):

@@ -45,6 +45,18 @@ def forward_deltas(A, b, st, colnorm2, m: int):
     return jnp.where(act, 0.0, d2), jnp.linalg.norm(r)
 
 
+def exhaustion_floor(A, b):
+    """Residual floor for exhaustion-mode forward stages: 8*sqrt(n) ulps
+    of ||b|| — the backward-error scale of an n-dimensional LS residual.
+    Below it the fit is exact to rounding and further additions select
+    degenerate atoms (see forward_step); above it, real coefficients as
+    small as ~1e-5 relative (f32, n=1024) are still reachable — the
+    earlier 8n-scaled floor silently cut off at ~1e-3 relative there."""
+    n = A.shape[0]
+    return (8.0 * jnp.sqrt(jnp.asarray(float(n), A.dtype))
+            * jnp.finfo(A.dtype).eps * jnp.linalg.norm(b))
+
+
 def forward_step(A, b, st, max_eps, min_delta, colnorm2, m: int):
     """One forward step; returns (state, accepted, deltas).
 
@@ -53,26 +65,24 @@ def forward_step(A, b, st, max_eps, min_delta, colnorm2, m: int):
     `min_delta^2`. Parity: `forward_step!`
     (/root/reference/src/forward.jl:56-72).
 
-    `max_eps` is floored at 8n*ulp(||b||): once the fit is exact to
-    rounding, the selection score (a'r)^2/rescaling is a 0/0 that
-    actively favors the most DEGENERATE passive atoms (tiny out-of-span
-    denominator), and exhaustion-mode callers (rmp k-variant with
-    min_delta=0) then corrupt the incrementally-updated Gram inverse all
-    the way to full rank — observed in f64 on a noiseless planted
-    problem: residual climbed 1e-16 -> 5e-4 over the junk additions and
-    the backward stage pruned garbage. The reference survives this
-    regime only because its updatable QR is backward-stable
-    (src/forward.jl); stopping at the rounding floor yields the same
-    answer (the junk atoms carry ~ulp coefficients) without the
-    instability.
+    Exhaustion-mode callers (rmp/foba with min_delta ~ 0) must pass
+    `exhaustion_floor(A, b)` as max_eps, NOT zero: once the fit is exact
+    to rounding, the selection score (a'r)^2/rescaling is a 0/0 that
+    actively favors the most DEGENERATE passive atoms, and the run to
+    full rank corrupts the incrementally-updated Gram inverse (observed
+    in f64 on a noiseless planted problem: residual climbed
+    1e-16 -> 5e-4 over the junk additions and the backward stage pruned
+    garbage; the reference survives only through its backward-stable
+    updatable QR). The floor is applied at the call sites rather than
+    here so that explicitly-bounded callers (fr with sparsity=k, the
+    fused kernels, the sharded bodies) keep the exact reference
+    contract — return exactly k atoms — and stay path-consistent.
     """
     n = A.shape[0]
     kmax = st.idx.shape[0]
     d2, normr = forward_deltas(A, b, st, colnorm2, m)
     i, maxd2 = top1(d2)
-    floor = 8 * n * jnp.finfo(A.dtype).eps * jnp.linalg.norm(b)
-    want = ((st.k < n) & (st.k < kmax)
-            & (normr > jnp.maximum(max_eps, floor))
+    want = ((st.k < n) & (st.k < kmax) & (normr > max_eps)
             & (min_delta * min_delta < maxd2))
     st2 = aset.refit(aset.append_gated(A, b, st, i, want))
     # report what actually happened: append_gated's internal degeneracy
@@ -110,11 +120,19 @@ def fr(A, b, max_residual: float = 0.0, min_decrease: float = 0.0,
 
     Stops at whichever hits first: `sparsity` atoms, residual norm below
     `max_residual`, or best marginal decrease below `min_decrease`.
+
+    Without an explicit `sparsity` the run is exhaustion-mode and the
+    residual stop is floored at `exhaustion_floor` (see forward_step —
+    an exact-to-rounding fit must not keep adding atoms). An explicit
+    sparsity keeps the exact reference contract (exactly k accepted
+    atoms when the criteria allow), matching the fused kernel path.
     """
     n, m = A.shape
     k = int(min(sparsity if sparsity is not None else m, n, m))
-    return _fr(A, b, k, jnp.asarray(max_residual, A.dtype),
-               jnp.asarray(min_decrease, A.dtype))
+    max_eps = jnp.asarray(max_residual, A.dtype)
+    if sparsity is None:
+        max_eps = jnp.maximum(max_eps, exhaustion_floor(A, b))
+    return _fr(A, b, k, max_eps, jnp.asarray(min_decrease, A.dtype))
 
 
 # reference aliases (src/forward.jl:13-18, :52-54)

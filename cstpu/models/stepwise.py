@@ -18,7 +18,7 @@ from jax import lax
 
 from cstpu.ops import active_set as aset
 from cstpu.ops.util import padded_to_dense, tree_where
-from cstpu.models.forward import forward_step
+from cstpu.models.forward import exhaustion_floor, forward_step
 from cstpu.models.backward import backward_step
 from cstpu.utils.sparse import SparseSolution
 
@@ -85,7 +85,7 @@ def _rmp_delta(A, b, delta, maxiter: int, idx0=None, mask0=None):
         st0 = aset.refit(aset.rebuild(
             A, b, jnp.concatenate([idx0.astype(jnp.int32), pad]),
             jnp.concatenate([mask0, padm])))
-    zero = jnp.asarray(0.0, A.dtype)
+    floor = exhaustion_floor(A, b)
     inf = jnp.asarray(jnp.inf, A.dtype)
 
     def cond(c):
@@ -94,7 +94,7 @@ def _rmp_delta(A, b, delta, maxiter: int, idx0=None, mask0=None):
 
     def body(c):
         st, xt, t, _ = c
-        st = _forward_stage(A, b, st, zero, delta, colnorm2, m, n)
+        st = _forward_stage(A, b, st, floor, delta, colnorm2, m, n)
         xf = _dense(st, m)
         # the reference breaks BEFORE the backward stage when the forward
         # stage left x stationary (x ~= xt, src/stepwise.jl:15) — a warm
@@ -124,7 +124,8 @@ def _rmp_k(A, b, k: int):
     st = aset.refit(aset.empty(n, kmax, m, A.dtype))
     zero = jnp.asarray(0.0, A.dtype)
     inf = jnp.asarray(jnp.inf, A.dtype)
-    st = _forward_stage(A, b, st, zero, zero, colnorm2, m, n)
+    st = _forward_stage(A, b, st, exhaustion_floor(A, b), zero,
+                        colnorm2, m, n)
     st = _backward_stage(A, b, st, inf, inf, m, min_k=k)
     return aset.finalize(st, m)
 
@@ -139,6 +140,11 @@ def rmp(A, b, k: int | None = None, delta: float | None = None,
         marginal tolerance d, backward stage at d, iterated with
         stationarity detection;
       * rmp(A, b, k=s) — forward to exhaustion, backward down to s atoms.
+        When b is exactly spanned by fewer than s atoms the result
+        carries only those (the mask is honest): finite-precision
+        exhaustion stops at the rounding floor instead of padding the
+        support with ~ulp-coefficient junk atoms the way the reference's
+        exact-arithmetic formulation implies.
     `x0` warm-starts the delta variant from a given solution's support: a
     SparseSolution, a dense FLOAT coefficient vector (the reference's
     initial-x argument, src/stepwise.jl:5-6 — its support is taken), or
@@ -179,7 +185,7 @@ def _foba(A, b, delta):
     kmax = min(n, m)
     colnorm2 = jnp.sum(A * A, axis=0)
     st0 = aset.refit(aset.empty(n, kmax, m, A.dtype))
-    zero = jnp.asarray(0.0, A.dtype)
+    floor = exhaustion_floor(A, b)
     inf = jnp.asarray(jnp.inf, A.dtype)
 
     def cond(c):
@@ -188,7 +194,7 @@ def _foba(A, b, delta):
 
     def body(c):
         st, t, _ = c
-        st, acc, d2 = forward_step(A, b, st, zero, delta, colnorm2, m)
+        st, acc, d2 = forward_step(A, b, st, floor, delta, colnorm2, m)
         # largest delta^2 of the step = the accepted forward decrease; the
         # backward stage only runs after an accepted forward step (the
         # reference breaks before it, src/stepwise.jl:51-53)

@@ -34,12 +34,21 @@ _lib = None
 
 def _cache_lib() -> str:
     """Per-user fallback library path for read-only installs (system
-    site-packages): ~/.cache/cstpu/libcstpu_native.so."""
+    site-packages). Keyed by a content hash of the sources: two
+    environments with different cstpu versions must not share (or
+    mtime-race) one binary — a stale library against changed ctypes
+    signatures would be silent memory corruption."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for s in _SRCS:
+        with open(s, "rb") as f:
+            h.update(f.read())
     root = os.environ.get("XDG_CACHE_HOME",
                           os.path.join(os.path.expanduser("~"), ".cache"))
     d = os.path.join(root, "cstpu")
     os.makedirs(d, exist_ok=True)
-    return os.path.join(d, "libcstpu_native.so")
+    return os.path.join(d, f"libcstpu_native-{h.hexdigest()[:16]}.so")
 
 
 def _compile(out: str) -> None:
@@ -72,7 +81,10 @@ def _build() -> str:
     try:
         _compile(_LIB)
         return _LIB
-    except (OSError, PermissionError):
+    except (OSError, subprocess.CalledProcessError):
+        # OSError: the tmp file could not be created next to the
+        # sources; CalledProcessError: g++ itself failed to open the
+        # output there (the read-only-site-packages case)
         out = _cache_lib()
         _compile(out)
         return out
@@ -169,9 +181,25 @@ def bp_simplex(A, b, w=None):
     b = np.asarray(b, np.float64)
     n, m = A.shape
     w = np.ones(m) if w is None else np.asarray(w, np.float64)
-    Astd = np.concatenate([A, -A], axis=1)
+    # Row-whiten the equality constraints (feasible set and objective
+    # unchanged — same trick as the ADMM path): on a cond ~2e5
+    # correlated dictionary the raw LP's basis solves accumulate enough
+    # round-off that xB drifts slightly negative, the ratio test goes
+    # negative, and Bland's anti-cycling premise (primal feasibility)
+    # breaks — observed as a genuine livelock (1e6 iterations, no
+    # termination). With orthonormal rows the basis systems are
+    # perfectly conditioned and the same LP solves in milliseconds.
+    try:
+        L = np.linalg.cholesky(A @ A.T)
+        import scipy.linalg as _sla
+
+        Awhite = _sla.solve_triangular(L, A, lower=True)
+        bwhite = _sla.solve_triangular(L, b, lower=True)
+    except Exception:  # rank-deficient AA' — solve the raw LP
+        Awhite, bwhite = A, b
+    Astd = np.concatenate([Awhite, -Awhite], axis=1)
     cstd = np.concatenate([w, w])
-    x, _ = simplex_solve(Astd, b, cstd)
+    x, _ = simplex_solve(Astd, bwhite, cstd)
     return x[:m] - x[m:]
 
 
@@ -205,7 +233,68 @@ def _lars(A, b, w, mode: int, target: float, max_iter: int):
         int(max_iter))
     if rc:
         raise HomotopyError(f"homotopy: {_LARS_STATUS.get(rc, rc)}")
-    return x, lam.value
+    return _kkt_repair(A, b, w, lam.value, x), lam.value
+
+
+def _kkt_repair(A, b, w, lam, x, max_rounds: int = 100):
+    """Terminal active-set refinement of a near-solution of the weighted
+    LASSO at `lam`.
+
+    On twin-atom degenerate dictionaries the path walker can end with a
+    stale sign: a zero-crossing that TIES (within its event tolerance)
+    with a join event slips past the leave scan and the returned x
+    carries a 2*lam KKT violation on that atom (found by the fuzz's
+    exact-oracle cross-check at cond ~7e3, |corr| 0.964 twins). Rather
+    than perturbing the event logic (tried: preferring drops at ties
+    destabilizes other paths), repair at the end: classic finite
+    active-set iteration — solve the restricted stationarity system for
+    the current support/signs, evict sign-inconsistent atoms, admit the
+    worst KKT violator, repeat. From a near-solution this converges in
+    a few rounds; it is a no-op (one KKT evaluation) on the clean paths.
+    """
+    if lam <= 0:
+        return x
+    tol = 1e-9 * lam * float(np.max(w))
+    c = A.T @ (b - A @ x)
+    gap = np.where(x != 0, np.abs(c - lam * w * np.sign(x)),
+                   np.maximum(np.abs(c) - lam * w, 0.0))
+    if float(np.max(gap)) <= tol:
+        return x  # clean path: keep the walker's x BITWISE (batch parity)
+    sup = [int(j) for j in np.flatnonzero(x)]
+    sgn = {j: float(np.sign(x[j])) for j in sup}
+    for _ in range(max_rounds):
+        # restricted stationarity solve for the current support + signs
+        while sup:
+            As = A[:, sup]
+            s = np.array([sgn[j] for j in sup])
+            ws = w[sup]
+            try:
+                xs = np.linalg.solve(As.T @ As, As.T @ b - lam * ws * s)
+            except np.linalg.LinAlgError:
+                return x  # degenerate restricted system: keep the path x
+            bad = [p for p in range(len(sup)) if xs[p] * s[p] < 0]
+            if not bad:
+                break
+            # evict the most sign-inconsistent atom and re-solve
+            worst = max(bad, key=lambda p: -xs[p] * s[p])
+            del sgn[sup[worst]]
+            sup.pop(worst)
+        x2 = np.zeros_like(x)
+        if sup:
+            x2[sup] = xs
+        c = A.T @ (b - A @ x2)
+        gap = np.where(x2 != 0, np.abs(c - lam * w * np.sign(x2)),
+                       np.maximum(np.abs(c) - lam * w, 0.0))
+        j = int(np.argmax(gap))
+        if gap[j] <= tol:
+            return x2
+        if j not in sup:
+            sup.append(j)
+        # join (or re-join after an eviction) with the gradient's sign;
+        # for an active stationarity violator this flips it through the
+        # next restricted solve
+        sgn[j] = float(np.sign(c[j]))
+    return x2
 
 
 def lasso_homotopy(A, b, lam: float, w=None, max_iter: int = 0):
@@ -242,6 +331,11 @@ def _lars_batch(A, Bs, w, mode: int, target: float, max_iter: int,
         statuses.ctypes.data_as(ip), int(max_iter), int(n_threads))
     if rc:
         raise HomotopyError(f"homotopy batch: {_LARS_STATUS.get(rc, rc)}")
+    # same terminal repair as the single path (no-op on clean rows, so
+    # batch stays bitwise-equal to sequential)
+    for i in range(B):
+        if statuses[i] == 0:
+            X[i] = _kkt_repair(A, Bs[i], w, float(lams[i]), X[i])
     return X, lams, statuses
 
 

@@ -25,6 +25,7 @@
 //     pivoting); the factors serve the basic solution, the transposed
 //     dual solve, and the entering-column solve.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdlib>
 #include <cstring>
@@ -183,7 +184,10 @@ struct Tableau {
       double best_ratio = 0.0;
       for (int i = 0; i < n; ++i) {
         if (u[i] > tol) {
-          double ratio = xB[i] / u[i];
+          // clamp round-off negatives: a slightly-negative basic value
+          // must act as a degenerate zero, not a negative ratio that
+          // walks the basis infeasible (breaks Bland's guarantee)
+          double ratio = std::max(xB[i], 0.0) / u[i];
           if (leave < 0 || ratio < best_ratio - 1e-12 ||
               (std::fabs(ratio - best_ratio) <= 1e-12 &&
                basis[i] < basis[leave])) {

@@ -138,6 +138,8 @@ def test_bpd_delta_zero_f32_finite():
 
 
 def test_bp_admm_correlated_matches_exact_lp():
+    # NOTE: generation deliberately bypasses conftest.planted_problem —
+    # the key pins fuzz trial 710's problem verbatim.
     # pre-row-whitening, ADMM exhausted 20k iterations on this
     # cond ~ 5e3 correlated dictionary with terminal infeasibility
     # 2.7e-1 and a meaningless objective; whitened it converges and

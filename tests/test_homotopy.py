@@ -166,3 +166,24 @@ def test_bpd_homotopy_infeasible_delta():
     b = rng.standard_normal(40)
     with pytest.raises(HomotopyError, match="unreachable"):
         bpd_homotopy(A, b, delta=1e-8)
+
+
+def test_lasso_kkt_twin_atom_degenerate_path():
+    # NOTE: generation bypasses conftest.planted_problem — the keys pin
+    # fuzz trial 4035 verbatim. Pre-fix the path walker ended with a
+    # stale sign on a twin-atom pair (|corr| 0.964): a zero-crossing
+    # that tied with a join event slipped past the leave scan and the
+    # returned x carried a 2*lam KKT violation on atom 115; the terminal
+    # active-set repair (_kkt_repair) now restores exact stationarity.
+    import jax
+    import jax.numpy as jnp
+
+    from cstpu import correlated_data, perturb
+
+    A, _, b = correlated_data(jax.random.PRNGKey(1591874361), n=32, m=128,
+                              k=3, decay=1.0, dtype=jnp.float32)
+    b = perturb(jax.random.PRNGKey(4035 + 10**6), b, 5e-3)
+    lam = 0.0020368724085016348
+    An, yn = np.asarray(A, np.float64), np.asarray(b, np.float64)
+    xs = lasso_homotopy(An, yn, lam)
+    assert _lasso_kkt_gap(An, yn, xs, lam, np.ones(128)) < 1e-10

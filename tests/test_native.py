@@ -104,3 +104,32 @@ def test_bp_simplex_redundant_rows():
         xs = bp_simplex(A2, b2)
         np.testing.assert_allclose(A2 @ xs, b2, atol=1e-7)
         assert list(np.flatnonzero(np.abs(xs) > 1e-7)) == list(support(x))
+
+
+def test_bp_simplex_degenerate_correlated_terminates():
+    # NOTE: generation bypasses conftest.planted_problem — the key pins
+    # fuzz trial 3336's problem verbatim. Pre-fix the raw LP livelocked
+    # (1e6 iterations, no termination): at cond ~2e5 the basis solves'
+    # round-off pushed xB slightly negative, the ratio test went
+    # negative, and Bland's anti-cycling premise broke. The wrapper now
+    # row-whitens the equality constraints and the ratio test clamps
+    # round-off negatives to degenerate zeros.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cstpu import correlated_data, perturb
+    from cstpu.native import bp_simplex, lasso_homotopy
+
+    A, x, b = correlated_data(jax.random.PRNGKey(1253297724), n=32, m=128,
+                              k=1, decay=1.0, dtype=jnp.float32)
+    b = perturb(jax.random.PRNGKey(3336 + 10**6), b, 5e-3)
+    A64, y64 = np.asarray(A, np.float64), np.asarray(b, np.float64)
+    xs = bp_simplex(A64, y64)          # pre-fix: HomotopyError/iter limit
+    assert np.linalg.norm(A64 @ xs - y64) < 1e-9
+    # LP weak duality with the l-inf dual bound: any feasible y' with
+    # ||A'y'||_inf <= 1 certifies obj >= y'b; the exact vertex must
+    # dominate every such certificate (here: the scaled LS dual)
+    yd = np.linalg.lstsq(A64.T, np.sign(xs), rcond=None)[0]
+    yd = yd / max(1.0, np.max(np.abs(A64.T @ yd)))
+    assert np.abs(xs).sum() >= yd @ y64 - 1e-8

@@ -154,6 +154,9 @@ def test_rmp_warm_start_dense_vector():
 
 
 def test_rmp_k_noiseless_exhaustion_stable():
+    # NOTE: generation deliberately bypasses conftest.planted_problem —
+    # these keys pin fuzz-campaign repros verbatim and must not drift
+    # with the shared convention.
     # pre-fix: on a NOISELESS planted problem the forward stage ran past
     # the exact fit to full rank — the 0/0 selection score favors the
     # most degenerate atoms there and the incremental Gram inverse
