@@ -442,11 +442,55 @@ def check_bpd_oracle(trial, rng, A, b, k):
                      f"above exact {np.abs(xh).sum():.6f}")
 
 
+def check_convex_sharded(trial, rng, A, b, k):
+    """Column-sharded convex solvers vs their single-chip twins over the
+    virtual mesh: same ADMM/proximal semantics, so the results must
+    agree to solver tolerance (not bitwise: collective reduction order
+    differs)."""
+    from cstpu.parallel.convex import bp_sharded, fista_sharded
+    from cstpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 8:
+        return
+    n, m = A.shape
+    if m % 8:
+        return
+    mesh = make_mesh((1, 8))
+    which = ["bp", "fista"][(trial // len(CHECKS)) % 2]
+    if which == "bp":
+        zs, _, _ = bp_sharded(A, b, mesh=mesh)
+        xr = cstpu.bp(A, b)
+        feas_s = float(jnp.linalg.norm(A @ zs - b))
+        feas_r = float(jnp.linalg.norm(A @ xr - b))
+        scale = 1.0 + float(jnp.linalg.norm(b))
+        if feas_s > max(10 * feas_r, 1e-3 * scale):
+            _flag(trial, f"bp_sharded: feasibility {feas_s:.2e} far above "
+                         f"single-chip {feas_r:.2e}")
+        o_s, o_r = float(jnp.sum(jnp.abs(zs))), float(jnp.sum(jnp.abs(xr)))
+        if abs(o_s - o_r) > 1e-2 * (1 + o_r):
+            _flag(trial, f"bp_sharded: objective {o_s:.6f} vs "
+                         f"single-chip {o_r:.6f}")
+    else:
+        lam = float(10 ** rng.uniform(-4, -2))
+        xs = fista_sharded(A, b, lam, mesh, maxiter=2048, stepsize=None)
+        xr = cstpu.fista(A, b, lam, maxiter=2048, stepsize=None)
+        An = np.asarray(A, np.float64)
+        yn = np.asarray(b, np.float64)
+
+        def obj(z):
+            return (0.5 * np.sum((An @ np.asarray(z, np.float64) - yn) ** 2)
+                    + lam * np.sum(np.abs(np.asarray(z, np.float64))))
+
+        if abs(obj(xs) - obj(xr)) > 1e-3 * (1 + obj(xr)):
+            _flag(trial, f"fista_sharded: objective {obj(xs):.6e} vs "
+                         f"single-chip {obj(xr):.6e}")
+
+
 CHECKS = [check_batch_vs_single, check_fused_vs_xla,
           check_sharded_vs_single, check_lasso_oracle,
           check_backward_batch_vs_single, check_sbl_batch_vs_single,
           check_bp_feasibility, check_active_set_sequence,
-          check_bpd_oracle]
+          check_bpd_oracle, check_convex_sharded]
 
 
 def main() -> int:

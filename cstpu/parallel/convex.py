@@ -292,15 +292,20 @@ def _ista_jit(mesh: Mesh, atoms_axis: str, maxiter: int, stepsize: float,
 
 
 def ista_sharded(A, b, lam, mesh: Mesh, maxiter: int = 1024,
-                 stepsize: float = 1e-2, atoms_axis: str = "atoms",
+                 stepsize: float | None = 1e-2, atoms_axis: str = "atoms",
                  accelerated: bool = False):
     """(F)ISTA with the dictionary and solution column-sharded: one
     n-length psum per iteration. `accelerated=True` is FISTA (Nesterov
-    momentum). Semantics of cstpu.ista / cstpu.fista."""
+    momentum). Semantics of cstpu.ista / cstpu.fista, including
+    `stepsize=None` for the spectral (power-iteration) auto step."""
+    from cstpu.models.basis_pursuit import _auto_stepsize
+
     n, m = A.shape
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    if stepsize is None:
+        stepsize = float(_auto_stepsize(A))
     w = jnp.broadcast_to(jnp.asarray(lam, A.dtype), (m,))
     fn = _ista_jit(mesh, atoms_axis, int(maxiter), float(stepsize),
                    bool(accelerated), A.dtype.name)
@@ -308,7 +313,7 @@ def ista_sharded(A, b, lam, mesh: Mesh, maxiter: int = 1024,
 
 
 def fista_sharded(A, b, lam, mesh: Mesh, maxiter: int = 1024,
-                  stepsize: float = 1e-2, atoms_axis: str = "atoms"):
+                  stepsize: float | None = 1e-2, atoms_axis: str = "atoms"):
     """Sharded FISTA (see ista_sharded)."""
     return ista_sharded(A, b, lam, mesh, maxiter, stepsize, atoms_axis,
                         accelerated=True)
