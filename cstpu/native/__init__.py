@@ -362,6 +362,9 @@ def bpd_homotopy(A, b, delta: float, w=None, max_iter: int = 0):
     min sum_j w_j |x_j| s.t. ||Ax - b||_2 <= delta — the same SOCP the
     reference ships to ECOS (/root/reference/src/basispursuit.jl:83-99).
     The path is left at the exact ||r|| = delta crossing (a quadratic
-    root inside one linear segment), so x is exact to rounding. Returns
-    (x, lam) with lam the equivalent LASSO multiplier."""
+    root inside one linear segment), so x is exact to rounding. On
+    twin-atom degenerate paths the terminal _kkt_repair restores
+    stationarity at the crossing lambda; in that (rare) case the
+    residual matches delta to the repair's accuracy instead of exactly.
+    Returns (x, lam) with lam the equivalent LASSO multiplier."""
     return _lars(A, b, w, 1, float(delta), max_iter)
