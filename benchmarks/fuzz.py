@@ -486,11 +486,57 @@ def check_convex_sharded(trial, rng, A, b, k):
                          f"single-chip {obj(xr):.6e}")
 
 
+def check_sbl_stationarity(trial, rng, A, b, k):
+    """SBL fixed-point oracle: at RMPS convergence no single
+    add/delete/re-estimate action may still gain marginal likelihood
+    beyond the solver's tolerance. S/Q are recomputed FROM SCRATCH in
+    f64 NumPy (independent of the engine's incremental rank-one
+    updates); gains via the Tipping-Faul closed forms
+    (src/sbl.jl:209-223 parity, cstpu/models/sbl.py:159-170)."""
+    sigma = float(10 ** rng.uniform(-5, -3))          # noise VARIANCE
+    A = jnp.asarray(A, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+    x, alpha = cstpu.rmps(A, b, sigma, return_alpha=True)
+    An, yn = np.asarray(A), np.asarray(b)
+    al = np.asarray(alpha, np.float64)
+    n, m = An.shape
+    act = np.isfinite(al)
+    C = sigma * np.eye(n)
+    if act.any():
+        C = C + (An[:, act] / al[act][None, :]) @ An[:, act].T
+    Ci = np.linalg.inv(C)
+    S = np.einsum("ij,ij->j", An, Ci @ An)
+    Q = An.T @ (Ci @ yn)
+    with np.errstate(all="ignore"):
+        f = np.where(act, al / (al - S), 1.0)
+        sq_s, sq_q = S * f, Q * f
+        rel = sq_s < sq_q * sq_q
+        aln = np.where(rel, sq_s * sq_s / (sq_q * sq_q - sq_s), np.inf)
+        gain = np.zeros(m)
+        add = ~act & rel
+        gain[add] = (Q[add] ** 2 - S[add]) / S[add] \
+            + np.log(S[add]) - np.log(Q[add] ** 2)
+        dele = act & ~rel
+        gain[dele] = Q[dele] ** 2 / (S[dele] - al[dele]) \
+            - np.log1p(-S[dele] / al[dele])
+        upd = act & rel
+        dd = 1.0 / aln[upd] - 1.0 / al[upd]
+        gain[upd] = Q[upd] ** 2 / (S[upd] + 1.0 / dd) \
+            - np.log(np.maximum(1.0 + S[upd] * dd, 0.0))
+    gain = np.where(np.isfinite(gain), gain, 0.0)
+    j = int(np.argmax(gain))
+    # min_increase is 1e-6; anything 4 orders above it is a missed action
+    if gain[j] > 1e-2:
+        kind = "add" if add[j] else ("delete" if dele[j] else "update")
+        _flag(trial, f"rmps not stationary: {kind} atom {j} would still "
+                     f"gain {gain[j]:.3e} marginal likelihood")
+
+
 CHECKS = [check_batch_vs_single, check_fused_vs_xla,
           check_sharded_vs_single, check_lasso_oracle,
           check_backward_batch_vs_single, check_sbl_batch_vs_single,
           check_bp_feasibility, check_active_set_sequence,
-          check_bpd_oracle, check_convex_sharded]
+          check_bpd_oracle, check_convex_sharded, check_sbl_stationarity]
 
 
 def main() -> int:
