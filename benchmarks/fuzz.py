@@ -16,9 +16,15 @@ miss on hard instances:
     documented conformance contract: recovery quality, not bitwise —
     docs/DESIGN.md);
   * sharded-vs-single — column-sharded solves over an 8-virtual-device
-    mesh must select identical atoms (deterministic collective argmax);
-  * exact-oracle checks — ista/fista objectives must be within
-    first-order tolerance of the native exact LASSO path.
+    mesh must select identical atoms (deterministic collective argmax),
+    and the sharded convex solvers must match their single-chip twins
+    to solver tolerance;
+  * exact-oracle checks — fista vs the exact LASSO path objective, BP
+    ADMM vs the exact simplex LP (feasibility-aware in both
+    directions), BPD ADMM vs the exact homotopy delta-crossing, the
+    active-set machinery vs NumPy normal equations over random
+    append/delete sequences, and RMPS convergence vs the Tipping-Faul
+    stationarity conditions recomputed from scratch.
 
 Shape buckets are reused across trials so jit compiles amortize.
 
