@@ -528,7 +528,15 @@ def rmps(A, b, sigma, maxiter: int | None = None,
     """Relevance Matching Pursuit at finite noise (RMP_sigma) — staged
     marginal-likelihood coordinate ascent. Returns the dense posterior-mean
     weights (and optionally the final prior precisions alpha).
-    Parity: src/sbl.jl:373-406."""
+    Parity: src/sbl.jl:373-406.
+
+    Termination contract (faithful to the reference): the outer loop
+    BREAKS right after an acquisition stage that changed nothing,
+    without running the deletion/update stage — so the result is
+    guaranteed stationary w.r.t. ADD actions, while a re-estimate or
+    deletion gain may remain pending on degenerate problems. Resuming
+    via `rmps(..., alpha0=alpha)` runs a fresh full pass and takes such
+    a pending action."""
     n, m = A.shape
     maxiter = int(maxiter if maxiter is not None else n)
     maxiter_acq = int(maxiter_acquisition if maxiter_acquisition is not None

@@ -191,11 +191,12 @@ def bp_simplex(A, b, w=None):
     # perfectly conditioned and the same LP solves in milliseconds.
     try:
         L = np.linalg.cholesky(A @ A.T)
-        import scipy.linalg as _sla
-
-        Awhite = _sla.solve_triangular(L, A, lower=True)
-        bwhite = _sla.solve_triangular(L, b, lower=True)
-    except Exception:  # rank-deficient AA' — solve the raw LP
+        # numpy-only (scipy is not a declared dependency): a general
+        # solve against the triangular factor is exact and the (n, n)
+        # system is solved once per call
+        Awhite = np.linalg.solve(L, A)
+        bwhite = np.linalg.solve(L, b)
+    except np.linalg.LinAlgError:  # rank-deficient AA' — solve raw
         Awhite, bwhite = A, b
     Astd = np.concatenate([Awhite, -Awhite], axis=1)
     cstd = np.concatenate([w, w])
@@ -254,14 +255,28 @@ def _kkt_repair(A, b, w, lam, x, max_rounds: int = 100):
     """
     if lam <= 0:
         return x
-    tol = 1e-9 * lam * float(np.max(w))
+
+    def _gap(z, c):
+        g = np.where(z != 0, np.abs(c - lam * w * np.sign(z)),
+                     np.maximum(np.abs(c) - lam * w, 0.0))
+        return g
+
+    # tolerance: relative to lam AND floored at the rounding noise of
+    # evaluating the gradient itself — without the floor, large-scale
+    # data (||b|| >> lam) makes the check unpassable, the loop burns
+    # max_rounds on a clean path, and x is replaced by a no-better
+    # iterate (breaking bitwise batch parity)
+    scale = float(np.linalg.norm(b)) * float(np.max(np.abs(A)))
+    tol = max(1e-9 * lam * float(np.max(w)),
+              64 * np.finfo(np.float64).eps * scale * np.sqrt(A.shape[0]))
     c = A.T @ (b - A @ x)
-    gap = np.where(x != 0, np.abs(c - lam * w * np.sign(x)),
-                   np.maximum(np.abs(c) - lam * w, 0.0))
-    if float(np.max(gap)) <= tol:
+    gap = _gap(x, c)
+    gap_in = float(np.max(gap))
+    if gap_in <= tol:
         return x  # clean path: keep the walker's x BITWISE (batch parity)
     sup = [int(j) for j in np.flatnonzero(x)]
     sgn = {j: float(np.sign(x[j])) for j in sup}
+    x2 = x
     for _ in range(max_rounds):
         # restricted stationarity solve for the current support + signs
         while sup:
@@ -283,8 +298,7 @@ def _kkt_repair(A, b, w, lam, x, max_rounds: int = 100):
         if sup:
             x2[sup] = xs
         c = A.T @ (b - A @ x2)
-        gap = np.where(x2 != 0, np.abs(c - lam * w * np.sign(x2)),
-                       np.maximum(np.abs(c) - lam * w, 0.0))
+        gap = _gap(x2, c)
         j = int(np.argmax(gap))
         if gap[j] <= tol:
             return x2
@@ -294,7 +308,8 @@ def _kkt_repair(A, b, w, lam, x, max_rounds: int = 100):
         # for an active stationarity violator this flips it through the
         # next restricted solve
         sgn[j] = float(np.sign(c[j]))
-    return x2
+    # rounds exhausted: never return something worse than the walker's x
+    return x2 if float(np.max(gap)) < gap_in else x
 
 
 def lasso_homotopy(A, b, lam: float, w=None, max_iter: int = 0):
@@ -332,10 +347,19 @@ def _lars_batch(A, Bs, w, mode: int, target: float, max_iter: int,
     if rc:
         raise HomotopyError(f"homotopy batch: {_LARS_STATUS.get(rc, rc)}")
     # same terminal repair as the single path (no-op on clean rows, so
-    # batch stays bitwise-equal to sequential)
-    for i in range(B):
-        if statuses[i] == 0:
-            X[i] = _kkt_repair(A, Bs[i], w, float(lams[i]), X[i])
+    # batch stays bitwise-equal to sequential). Screen the whole batch
+    # with ONE GEMM — per-row Python GEMVs would dominate the threaded
+    # C solve's wall-clock on large batches — and repair only the rows
+    # the screen flags (rare).
+    C = (Bs - X @ A.T) @ A                                    # (B, m)
+    lamw = lams[:, None] * w[None, :]
+    gaps = np.where(X != 0, np.abs(C - lamw * np.sign(X)),
+                    np.maximum(np.abs(C) - lamw, 0.0)).max(axis=1)
+    scale = (np.linalg.norm(Bs, axis=1) * float(np.max(np.abs(A)))
+             * np.sqrt(n) * 64 * np.finfo(np.float64).eps)
+    tols = np.maximum(1e-9 * lams * float(np.max(w)), scale)
+    for i in np.flatnonzero((gaps > tols) & (statuses == 0) & (lams > 0)):
+        X[i] = _kkt_repair(A, Bs[i], w, float(lams[i]), X[i])
     return X, lams, statuses
 
 

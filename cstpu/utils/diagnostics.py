@@ -139,8 +139,16 @@ def fr_traced(A, b, sparsity: int | None = None, max_residual: float = 0.0,
               min_decrease: float = 0.0):
     """Forward regression returning (solution, SolveTrace): the `score`
     channel is the best squared residual decrease δ² per step — the OLS
-    selection quantity of src/forward.jl:74-81."""
+    selection quantity of src/forward.jl:74-81. Same exhaustion-floor
+    rule as cstpu.fr (models/forward.py): without an explicit sparsity
+    the run must stop at the rounding floor, or the post-exact-fit junk
+    additions corrupt the Gram inverse and the trace itself (observed:
+    residual CLIMBING in the trace of a noiseless solve)."""
+    from cstpu.models.forward import exhaustion_floor
+
     n, m = A.shape
     k = int(min(sparsity if sparsity is not None else n, n, m))
-    return _fr_traced(A, b, k, jnp.asarray(max_residual, A.dtype),
-                      jnp.asarray(min_decrease, A.dtype))
+    max_eps = jnp.asarray(max_residual, A.dtype)
+    if sparsity is None:
+        max_eps = jnp.maximum(max_eps, exhaustion_floor(A, b))
+    return _fr_traced(A, b, k, max_eps, jnp.asarray(min_decrease, A.dtype))
