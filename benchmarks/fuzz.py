@@ -563,11 +563,45 @@ def check_sbl_stationarity(trial, rng, A, b, k):
                          f"{gain[j]:.3e} pending gain (atom {j})")
 
 
+def check_analysis_utilities(trial, rng, A, b, k):
+    """Dictionary-analysis identities on arbitrary inputs: Babel-function
+    monotonicity and bounds (Tropp), generator contracts (unit column
+    norms, exact perturbation norm), preconditioner consistency."""
+    m = A.shape[1]
+    kk = min(8, m - 1)
+    mus = np.asarray(cstpu.cumbabel(A, kk), np.float64)
+    mu = float(cstpu.coherence(A))
+    if abs(mus[0] - mu) > 1e-6:
+        _flag(trial, f"babel(1) {mus[0]} != coherence {mu}")
+    if np.any(np.diff(mus) < -1e-9):
+        _flag(trial, f"cumbabel not monotone: {mus}")
+    if np.any(mus > np.arange(1, kk + 1) * mu + 1e-9):
+        _flag(trial, "mu_1(i) > i*mu — Babel bound violated")
+    for i in (1, kk):
+        bi = float(cstpu.babel(A, i))
+        if abs(bi - mus[i - 1]) > 1e-9:
+            _flag(trial, f"babel({i}) {bi} != cumbabel[{i - 1}] {mus[i-1]}")
+    cn = np.asarray(cstpu.colnorms(cstpu.normalize_columns(A)))
+    if not np.allclose(cn, 1.0, atol=1e-5):
+        _flag(trial, "normalize_columns did not produce unit columns")
+    delta = float(10 ** rng.uniform(-3, -1))
+    y = cstpu.perturb(jax.random.PRNGKey(trial), b, delta)
+    got = float(jnp.linalg.norm(y - b))
+    if abs(got - delta) > 1e-5 * (1 + delta):
+        _flag(trial, f"perturb norm {got} != {delta}")
+    P = cstpu.svd_preconditioner(np.asarray(A, np.float64), 1e-6)
+    PA = np.asarray(P(np.asarray(A, np.float64)))
+    if not np.allclose(PA, np.asarray(
+            cstpu.precondition(np.asarray(A, np.float64), 1e-6)), atol=1e-8):
+        _flag(trial, "precondition != svd_preconditioner(A) @ A")
+
+
 CHECKS = [check_batch_vs_single, check_fused_vs_xla,
           check_sharded_vs_single, check_lasso_oracle,
           check_backward_batch_vs_single, check_sbl_batch_vs_single,
           check_bp_feasibility, check_active_set_sequence,
-          check_bpd_oracle, check_convex_sharded, check_sbl_stationarity]
+          check_bpd_oracle, check_convex_sharded, check_sbl_stationarity,
+          check_analysis_utilities]
 
 
 def main() -> int:
