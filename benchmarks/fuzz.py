@@ -242,7 +242,8 @@ def check_sharded_vs_single(trial, rng, A, b, k):
     # multiple of 128 — redraw the trial's problem at a shardable shape,
     # keeping its conditioning/noise draw
     key = jax.random.PRNGKey(int(rng.integers(2**31)))
-    if rng.integers(2):
+    correlated = bool(rng.integers(2))
+    if correlated:
         A, _, b = cstpu.correlated_data(key, n=64, m=1024, k=k, decay=1.0,
                                         dtype=jnp.float32)
     else:
@@ -253,8 +254,25 @@ def check_sharded_vs_single(trial, rng, A, b, k):
     sol = omp_sharded_fused(A, Y, k, mesh, corr_dtype=jnp.float32,
                             interpret=jax.default_backend() != "tpu")
     ref = batched.omp_batch(A, Y, k)
-    if not np.array_equal(np.asarray(sol.idx), np.asarray(ref.idx)):
+    if np.array_equal(np.asarray(sol.idx), np.asarray(ref.idx)):
+        return
+    if not correlated:
+        # Gaussian margins are healthy: an identity miss is a wiring bug
         _flag(trial, "omp_sharded_fused: selection differs from single-chip")
+        return
+    # correlated twins can tie within one f32 ulp ACROSS shards (observed:
+    # relative margin 7.8e-8 between |corr| of two 0.87-correlated atoms
+    # in different shards) — per-shard vs whole-m GEMM rounding then
+    # legitimately picks different basins; the invariant that remains is
+    # answer QUALITY (docs/DESIGN.md contract)
+    for i in range(Y.shape[0]):
+        row = jax.tree.map(lambda leaf: leaf[i], sol)
+        rrow = jax.tree.map(lambda leaf: leaf[i], ref)
+        rk = float(jnp.linalg.norm(A @ row.todense() - Y[i]))
+        rx = float(jnp.linalg.norm(A @ rrow.todense() - Y[i]))
+        if rk > rx * 1.5 + 1e-3:
+            _flag(trial, f"omp_sharded_fused: row {i} residual {rk:.3e} "
+                         f"far above single-chip {rx:.3e}")
 
 
 def check_lasso_oracle(trial, rng, A, b, k):

@@ -276,8 +276,12 @@ def omp_sharded_fused(A, Bs, k: int, mesh: Mesh, max_residual: float = 0.0,
 
     `Bs` must be batched (B, n) with B divisible by the batch-shard count
     times 8 (kernel tiling). Falls back is the caller's job (see
-    cstpu.parallel.sharded.omp_sharded for the XLA path). Deterministic,
-    sharding-invariant selection, identical to cstpu.omp.
+    cstpu.parallel.sharded.omp_sharded for the XLA path). Deterministic
+    selection with lowest-global-index tie-breaking; identical to
+    cstpu.omp whenever selection margins exceed the corr_dtype's noise
+    floor (per-shard GEMM rounding differs from the whole-m GEMM by an
+    ulp, so near-duplicate atoms in different shards can flip — the
+    recovery-quality contract of docs/DESIGN.md applies there).
     """
     n, m = A.shape
     k = int(min(k if k is not None else n, n, m))
