@@ -175,7 +175,8 @@ def check_batch_vs_single(trial, rng, A, b, k):
 
 FUSED = [
     ("omp_fused", "omp"), ("fr_fused", "fr"), ("gomp_fused", "gomp"),
-    ("sp_fused", "sp"),
+    ("sp_fused", "sp"), ("ompr_fused", "ompr"), ("srr_fused", "srr"),
+    ("fbr_fused", "fbr"),
 ]
 
 
@@ -206,12 +207,37 @@ def check_fused_vs_xla(trial, rng, A, b, k):
         sol, _ = fs.gomp_fused_solve(A, Y, 2, k, corr_dtype=jnp.float32,
                                      interpret=True)
         ref = batched.gomp_batch(A, Y, 2, k)
-    else:
+    elif which == "sp_fused":
         if 2 * k > A.shape[0] or not ft.supported_sp(A, Y, k, jnp.float32):
             return
         sol, _ = ft.sp_fused_solve(A, Y, k, corr_dtype=jnp.float32,
                                    interpret=True)
         ref = batched.sp_batch(A, Y, k)
+    elif which == "ompr_fused":
+        if not ft.supported_ompr(A, Y, k, jnp.float32):
+            return
+        sol, _ = ft.ompr_fused_solve(A, Y, k, delta=1e-12,
+                                     corr_dtype=jnp.float32, interpret=True)
+        ref = batched.ompr_batch(A, Y, k, 1e-12)
+    elif which == "srr_fused":
+        if not ft.supported_srr(A, Y, k, corr_dtype=jnp.float32):
+            return
+        sol, _ = ft.srr_fused_solve(A, Y, k, corr_dtype=jnp.float32,
+                                    interpret=True)
+        ref = batched.srr_batch(A, Y, k)
+    else:
+        # fbr needs m <= n with lane-aligned m: redraw square f32
+        from cstpu.ops import fused_backward as fb
+
+        key = jax.random.PRNGKey(int(rng.integers(2**31)))
+        A, _, b = cstpu.sparse_data(key, n=128, m=128, k=k,
+                                    dtype=jnp.float32)
+        Y = _rows(rng, A, b, k)
+        m = A.shape[1]
+        if not fb.supported_backward(A, Y):
+            return
+        sol, failed = fb.fbr_fused_solve(A, Y, sparsity=k, interpret=True)
+        ref = batched.fbr_batch(A, Y, sparsity=k)
     for i in range(Y.shape[0]):
         row = jax.tree.map(lambda leaf: leaf[i], sol)
         rrow = jax.tree.map(lambda leaf: leaf[i], ref)
