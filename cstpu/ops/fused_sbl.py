@@ -29,9 +29,14 @@ factorization is needed; the posterior mean is extracted outside the
 kernel from the returned alpha.
 
 Status: interpret-mode conformant vs the XLA path (incl. a delete-heavy
-correlated-dictionary case, tests/test_fused_solve.py); hardware timing
-of this per-instance form is pending (compile-tunnel outage 2026-08-17),
-so `fsbl_batch` keeps the atom-sharded XLA path unless `fused=True`.
+correlated-dictionary case, tests/test_fused_solve.py), and hardware-
+validated 2026-08-18 (benchmarks/fsbl_kernel_ab.py: max|fused-xla| <=
+4.7e-3, recovery 1.0 at n in {128, 256}, m=1024). But the timing LOST:
+fused fsbl 204-260 ms/8-batch vs XLA 42-46 ms; fused rmps 102-136 ms vs
+XLA 38-40 ms. The per-action serial chain cannot feed the MXU the way the
+atom-sharded XLA path's batched GEMMs do, so `fsbl_batch`/`rmps_batch`
+keep the XLA path unless `fused=True` (kept for the VMEM-resident regime
+and as a second implementation for conformance cross-checks).
 """
 
 from __future__ import annotations
