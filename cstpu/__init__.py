@@ -10,7 +10,7 @@ single-threaded dynamic sparse vectors.
 
 Reference parity map (file:line cites refer to /root/reference):
   - mp/omp/gomp/oblivious     -> src/matchingpursuit.jl, src/oblivious.jl
-  - fr (ols/oomp/ormp)        -> src/forward.jl
+  - fr (ols/oomp/ormp/stepwise_regression) -> src/forward.jl
   - br/fbr/lace               -> src/backward.jl
   - sp/ompr/srr               -> src/twostage.jl
   - rmp/foba                  -> src/stepwise.jl
@@ -44,7 +44,7 @@ from cstpu.utils.sparse import (
     droptol,
 )
 from cstpu.models.matching_pursuit import mp, omp, gomp, oblivious
-from cstpu.models.forward import fr, ols, oomp, ormp
+from cstpu.models.forward import fr, ols, oomp, ormp, stepwise_regression
 from cstpu.models.backward import br, fbr, lace
 from cstpu.models.twostage import sp, ompr, srr
 from cstpu.models.stepwise import rmp, foba
@@ -84,7 +84,7 @@ __all__ = [
     "mean_preconditioner", "svd_preconditioner", "precondition",
     "SparseSolution", "support", "samesupport", "droptol",
     "mp", "omp", "gomp", "oblivious",
-    "fr", "ols", "oomp", "ormp",
+    "fr", "ols", "oomp", "ormp", "stepwise_regression",
     "br", "fbr", "lace",
     "sp", "ompr", "srr",
     "rmp", "foba",

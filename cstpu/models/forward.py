@@ -139,6 +139,8 @@ def fr(A, b, max_residual: float = 0.0, min_decrease: float = 0.0,
 ols = fr
 oomp = fr
 ormp = fr
+# Fifth reference alias (src/forward.jl:13-18): StepwiseRegression == FR.
+stepwise_regression = fr
 
 
 def fr_warm(A, b, nzind) -> SparseSolution:

@@ -52,6 +52,14 @@ def test_fr_stopping_criteria():
     assert sol.nnz == 0
 
 
+def test_fr_aliases():
+    # reference exports five aliases for FR (src/forward.jl:13-18)
+    import cstpu
+
+    for name in ("ols", "oomp", "ormp", "stepwise_regression"):
+        assert getattr(cstpu, name) is fr
+
+
 def test_foba():
     A, x, _, y = _problem(14)
     sol = foba(A, y, DELTA)
