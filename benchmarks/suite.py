@@ -390,6 +390,52 @@ def config5():
                       "ms_per_batch8": round(min(dts) * 1e3, 1),
                       "recovery": rec3, "devices": ndev}))
 
+    # 5m: BASELINE config 5 at TRUE scale — 1,048,576 atoms (2 GB bf16
+    # dictionary streamed from HBM each step; 4 GB f32 master copy for
+    # the exact column fetch/refit). Both production paths: the
+    # single-chip streaming whole-solve kernel at B=64 (the batch rides
+    # the same dictionary stream, so per-instance cost is ~B x lower)
+    # and the hybrid sharded path (on a pod each chip streams 1/ndev of
+    # the columns; here ndev=1).
+    B4, m4 = 64, 1_048_576
+    A4, _, Bs4, sup4 = _planted(jax.random.PRNGKey(7), B4, n2, m4, k2)
+    jax.block_until_ready(A4)
+    solver4 = lambda A_, Bs_: omp_batch(A_, Bs_, k2)  # noqa: E731
+    rec4 = _recovery(solver4(A4, Bs4), sup4, m4)
+    _require_recovery(rec4, "config5m")
+    dts = []
+    for rep in range(4):  # first steady read is ~7x slow at this size
+        t0 = time.perf_counter()
+        s4 = solver4(A4, Bs4 * (1.0 + (rep + 1) * 1e-7))
+        float(jnp.sum(s4.val))
+        dts.append(time.perf_counter() - t0)
+    t4 = min(dts)
+    print(json.dumps({"config": "5m:omp_stream_1024x1048576_k32_B64",
+                      "atom_selections_per_sec": round(B4 * k2 / t4, 1),
+                      "ms_per_batch": round(t4 * 1e3, 1),
+                      "ms_per_instance": round(t4 * 1e3 / B4, 2),
+                      "dict_stream_GBps": round(
+                          k2 * n2 * m4 * 2 / t4 / 1e9, 1),
+                      "recovery": rec4}))
+
+    from cstpu.parallel.mesh import shard_batch, shard_dictionary
+
+    Bs5 = shard_batch(Bs4[:B3], mesh2)
+    A5 = shard_dictionary(A4, mesh2)
+    solver5 = lambda Bs_: omp_sharded_fused(A5, Bs_, k2, mesh2)  # noqa: E731
+    rec5 = _recovery(solver5(Bs5), sup4[:B3], m4)
+    _require_recovery(rec5, "config5m_sharded")
+    dts = []
+    for rep in range(4):
+        t0 = time.perf_counter()
+        s5 = solver5(Bs5 * (1.0 + (rep + 1) * 1e-7))
+        float(jnp.sum(s5.val))
+        dts.append(time.perf_counter() - t0)
+    print(json.dumps({"config":
+                      f"5m:omp_sharded_fused_{ndev}dev_1024x1048576",
+                      "ms_per_batch8": round(min(dts) * 1e3, 1),
+                      "recovery": rec5, "devices": ndev}))
+
 
 if __name__ == "__main__":
     which = [int(a) for a in _sys.argv[1:]] or [1, 2, 3, 4, 5]

@@ -27,10 +27,11 @@ harness, NOT a performance number):
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         JAX_PLATFORMS=cpu python benchmarks/weak_scaling.py
 
-Arguments: [m_per_shard] [B] [k] [n]  (defaults 16384, 8, 32, 1024 on
-TPU — per-shard work equals the single-chip beyond-VMEM streaming
-regime; 128, 8, 4, 64 off-TPU so the total aspect ratio m/n stays
-well-posed for exact recovery at every shard count).
+Arguments: [m_per_shard] [B] [k] [n]  (defaults 1048576, 8, 32, 1024 on
+TPU — the 1-shard point is BASELINE config 5's full 1M-atom scale, and
+each added shard keeps that per-shard width; 128, 8, 4, 64 off-TPU so
+the total aspect ratio m/n stays well-posed for exact recovery at every
+shard count).
 """
 
 from __future__ import annotations
@@ -65,7 +66,11 @@ def main() -> int:
         return 2
 
     interp = jax.default_backend() != "tpu"
-    defaults = (128, 8, 4, 64) if interp else (16384, 8, 32, 1024)
+    # TPU default per-shard width = BASELINE config 5's full 1M-atom
+    # dictionary: the 1-shard point IS the headline scale (2 GB bf16
+    # stream per shard per step), and every added shard keeps that
+    # per-shard width (weak scaling).
+    defaults = (128, 8, 4, 64) if interp else (1_048_576, 8, 32, 1024)
     args = [int(a) for a in _sys.argv[1:]]
     m_per_shard, B, k, n = (args + list(defaults[len(args):]))[:4]
 
