@@ -240,7 +240,9 @@ class _Engine:
 
 def _outer_while(eng, maxiter: int, body_inner):
     """Run `body_inner(gate) -> done_update (B,1)` until every instance is
-    done or maxiter; carries (t, prev_rnorm2, done)."""
+    done or maxiter; carries (t, prev_rnorm2, done). Returns the executed
+    iteration count (the batch runs until its SLOWEST instance latches —
+    the number that explains wall-clock)."""
     prev0 = eng.rnorm2()
 
     def body(carry):
@@ -252,8 +254,10 @@ def _outer_while(eng, maxiter: int, body_inner):
         t, prev, done = carry
         return (t < maxiter) & (jnp.min(done) < 0.5)
 
-    lax.while_loop(cond, body,
-                   (jnp.int32(0), prev0, jnp.zeros((eng.B, 1), F32)))
+    t, _, _ = lax.while_loop(cond, body,
+                             (jnp.int32(0), prev0,
+                              jnp.zeros((eng.B, 1), F32)))
+    return t
 
 
 # ---------------------------------------------------------------------------
@@ -262,7 +266,8 @@ def _outer_while(eng, maxiter: int, body_inner):
 
 def _sp_kernel(k: int, maxiter: int, delta2: float,
                A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
-               cols, Ginv, Atbs, coefs, idxs, r, i_scr, acol_scr):
+               iters_ref, cols, Ginv, Atbs, coefs, idxs, r, i_scr,
+               acol_scr):
     """SP: expand by the top-k residual correlations, LS-refit on <= 2k
     atoms, prune to the k largest |coefficients|, iterate while the
     residual improves (the final pruned iterate is kept either way,
@@ -318,11 +323,12 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         res = jnp.where(gate, eng.rnorm2(), prev)
         return res, jnp.where((res <= delta2) | (prev <= res), 1.0, done)
 
-    _outer_while(eng, maxiter, body_inner)
+    t = _outer_while(eng, maxiter, body_inner)
 
     idx_ref[:, :] = idxs[:, :]
     coef_ref[:, :] = coefs[:, :]
     r_ref[:, :] = r[:, :]
+    iters_ref[:, :] = jnp.full((1, 1), t, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("k", "maxiter", "delta2", "corr_dtype",
@@ -338,11 +344,12 @@ def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,
     return pl.pallas_call(
         partial(_sp_kernel, k, maxiter, delta2),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((B, K2), jnp.int32),
             jax.ShapeDtypeStruct((B, K2), F32),
             jax.ShapeDtypeStruct((B, n), F32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),   # iterations run
         ],
         scratch_shapes=[
             pltpu.VMEM((B, K2, n), F32),       # cols
@@ -363,7 +370,7 @@ def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,
 
 def sp_fused_solve(A, Bs, k: int, delta: float = 1e-12,
                    maxiter: int | None = None, corr_dtype=jnp.bfloat16,
-                   interpret: bool = False):
+                   interpret: bool = False, return_iters: bool = False):
     """Batched subspace pursuit via the whole-solve fused kernel.
 
     Parity: src/twostage.jl:42-107, including the 16k maxiter default —
@@ -376,10 +383,13 @@ def sp_fused_solve(A, Bs, k: int, delta: float = 1e-12,
     if 2 * k > n:
         raise ValueError(f"2k = {2*k} > {n} = len(b) is invalid for SP")
     maxiter = int(maxiter if maxiter is not None else 16 * k)
-    idx, coef, r = _sp_fused_call(jnp.asarray(A), jnp.asarray(Bs), k,
-                                  maxiter, float(delta) ** 2, corr_dtype,
-                                  interpret)
-    return _to_solution(idx, coef, m), r
+    idx, coef, r, iters = _sp_fused_call(jnp.asarray(A), jnp.asarray(Bs),
+                                         k, maxiter, float(delta) ** 2,
+                                         corr_dtype, interpret)
+    sol = _to_solution(idx, coef, m)
+    if return_iters:
+        return sol, r, iters[0, 0]
+    return sol, r
 
 
 def supported_sp(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
@@ -401,7 +411,7 @@ def supported_sp(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
 
 def _ompr_kernel(k: int, maxiter: int, delta2: float, eta: float,
                  A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
-                 cols, Ginv, Atbs, coefs, idxs, r, amask, i_scr,
+                 iters_ref, cols, Ginv, Atbs, coefs, idxs, r, amask, i_scr,
                  acol_scr):
     """OMPR: select the best PASSIVE atom by |eta A'r| (for passive atoms
     the reference's gradient score x + eta A'r reduces to eta A'r — no
@@ -454,11 +464,12 @@ def _ompr_kernel(k: int, maxiter: int, delta2: float, eta: float,
                           1.0, done)
         return res, done2
 
-    _outer_while(eng, maxiter, body_inner)
+    t = _outer_while(eng, maxiter, body_inner)
 
     idx_ref[:, :] = idxs[:, :]
     coef_ref[:, :] = coefs[:, :]
     r_ref[:, :] = r[:, :]
+    iters_ref[:, :] = jnp.full((1, 1), t, jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("k", "maxiter", "delta2", "eta",
@@ -474,11 +485,12 @@ def _ompr_fused_call(A, Bs, k: int, maxiter: int, delta2: float, eta: float,
     return pl.pallas_call(
         partial(_ompr_kernel, k, maxiter, delta2, eta),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((B, K), jnp.int32),
             jax.ShapeDtypeStruct((B, K), F32),
             jax.ShapeDtypeStruct((B, n), F32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),   # iterations run
         ],
         scratch_shapes=[
             pltpu.VMEM((B, K, n), F32),
@@ -500,18 +512,22 @@ def _ompr_fused_call(A, Bs, k: int, maxiter: int, delta2: float, eta: float,
 
 def ompr_fused_solve(A, Bs, k: int, delta: float, eta: float = 1.0,
                      maxiter: int | None = None, corr_dtype=jnp.bfloat16,
-                     interpret: bool = False):
+                     interpret: bool = False, return_iters: bool = False):
     """Batched OMPR via the whole-solve fused kernel.
 
-    Parity: src/twostage.jl:110-202. Returns (SparseSolution, residuals).
-    """
+    Parity: src/twostage.jl:110-202. Returns (SparseSolution, residuals);
+    with return_iters also the executed outer-iteration count (the batch
+    runs until its slowest instance latches)."""
     n, m = A.shape
     k = int(k)
     maxiter = int(maxiter if maxiter is not None else n)
-    idx, coef, r = _ompr_fused_call(jnp.asarray(A), jnp.asarray(Bs), k,
-                                    maxiter, float(delta) ** 2, float(eta),
-                                    corr_dtype, interpret)
-    return _to_solution(idx, coef, m), r
+    idx, coef, r, iters = _ompr_fused_call(
+        jnp.asarray(A), jnp.asarray(Bs), k, maxiter, float(delta) ** 2,
+        float(eta), corr_dtype, interpret)
+    sol = _to_solution(idx, coef, m)
+    if return_iters:
+        return sol, r, iters[0, 0]
+    return sol, r
 
 
 def supported_ompr(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
