@@ -72,6 +72,22 @@ def _weighted_gram(A, b, sigma):
 # Tipping (2001) EM / fixed-point SBL
 # ---------------------------------------------------------------------------
 
+def _gamma_tol(g, min_change):
+    """Convergence floor for the gamma fixed point.
+
+    The reference's criterion is the absolute ||gamma_old - gamma|| <
+    min_change=1e-6 (src/sbl.jl:43-49), written for f64. In f32 at
+    m >~ 4096 the steady-state gamma jitters by ~eps per element and the
+    norm of that jitter exceeds 1e-6 forever — the loop then runs its
+    full 128*m bound (>1e6 n x n factorizations; observed as a device
+    timeout on TPU). Floor the threshold at a dtype-scaled RELATIVE term
+    that is ~1e-13*||gamma|| at f64 (never binds — exact parity) and
+    ~1e-5*||gamma|| at f32 (latches once the iterate reaches its own
+    noise floor)."""
+    rel = 100 * jnp.finfo(g.dtype).eps * (1.0 + jnp.linalg.norm(g))
+    return jnp.maximum(min_change, rel)
+
+
 @partial(jax.jit, static_argnames=("maxiter",))
 @_f32_matmuls
 def _sbl(A, b, sigma, maxiter: int, min_change):
@@ -98,7 +114,7 @@ def _sbl(A, b, sigma, maxiter: int, min_change):
         denom = jnp.maximum(1.0 - bdiag / g,
                             8 * jnp.finfo(A.dtype).eps)
         gnew = x * x / denom + 1e-14
-        done = jnp.linalg.norm(g - gnew) < min_change
+        done = jnp.linalg.norm(g - gnew) < _gamma_tol(gnew, min_change)
         return gnew, x, t + 1, done
 
     g0 = jnp.ones((m,), A.dtype)
@@ -108,13 +124,67 @@ def _sbl(A, b, sigma, maxiter: int, min_change):
     return x
 
 
-def sbl(A, b, sigma, maxiter: int | None = None, min_change: float = 1e-6):
+@partial(jax.jit, static_argnames=("maxiter",))
+@_f32_matmuls
+def _sbl_woodbury(A, b, sigma, maxiter: int, min_change):
+    """Tipping EM in the n x n (measurement-space) form for m >> n.
+
+    Algebraically identical to _sbl's m x m iteration (src/sbl.jl:26-35)
+    via the Woodbury identities on B = A' Sigma^-1 A + Gamma^-1 with
+    C = Sigma + A Gamma A' (n x n):
+
+        x         = Gamma A' C^-1 b
+        diag(B^-1) = gamma - gamma^2 * s,   s_k = a_k' C^-1 a_k
+
+    so the MacKay denominator 1 - diag(B^-1)/gamma reduces to gamma * s.
+    Per iteration: two (n, m) GEMMs + one n x n Cholesky — no m x m
+    build, which is what makes plain `sbl` usable at m >= 4096 (the
+    direct form factorizes an m x m matrix every step)."""
+    n, m = A.shape
+    Sig = _sigma_matrix(sigma, n, A.dtype)
+    eps = 8 * jnp.finfo(A.dtype).eps
+
+    def cond(c):
+        g, x, t, done = c
+        return (t < maxiter) & ~done
+
+    def body(c):
+        g, x, t, _ = c
+        C = Sig + (A * g) @ A.T
+        L = jnp.linalg.cholesky(C)
+        CiA = cho_solve((L, True), A)                # C^-1 A  (n, m)
+        s = jnp.sum(A * CiA, axis=0)                 # a_k' C^-1 a_k
+        q = b @ CiA                                  # a_k' C^-1 b
+        x = g * q
+        denom = jnp.maximum(g * s, eps)              # = 1 - diag(B^-1)/g
+        gnew = x * x / denom + 1e-14
+        done = jnp.linalg.norm(g - gnew) < _gamma_tol(gnew, min_change)
+        return gnew, x, t + 1, done
+
+    g0 = jnp.ones((m,), A.dtype)
+    _, x, _, _ = lax.while_loop(
+        cond, body, (g0, jnp.zeros((m,), A.dtype), jnp.int32(0),
+                     jnp.bool_(False)))
+    return x
+
+
+def sbl(A, b, sigma, maxiter: int | None = None, min_change: float = 1e-6,
+        method: str = "auto"):
     """Sparse Bayesian Learning (Tipping 2001) via the fixed-point gamma
     update. `sigma` is the noise variance (scalar) or covariance (matrix).
-    Returns the dense posterior-mean weights. Parity: src/sbl.jl:4-51."""
-    m = A.shape[1]
+    Returns the dense posterior-mean weights. Parity: src/sbl.jl:4-51.
+
+    `method`: "direct" iterates the reference's m x m system, "woodbury"
+    the algebraically-identical n x n measurement-space form (the only
+    usable one at m >> n), "auto" picks by aspect ratio."""
+    n, m = A.shape
     maxiter = int(maxiter if maxiter is not None else 128 * m)
-    return _sbl(A, b, sigma, maxiter, jnp.asarray(min_change, A.dtype))
+    if method not in ("auto", "direct", "woodbury"):
+        raise ValueError(f"unknown sbl method {method!r}")
+    if method == "auto":
+        method = "woodbury" if m > 2 * n else "direct"
+    fn = _sbl_woodbury if method == "woodbury" else _sbl
+    return fn(A, b, sigma, maxiter, jnp.asarray(min_change, A.dtype))
 
 
 # ---------------------------------------------------------------------------

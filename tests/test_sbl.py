@@ -145,3 +145,33 @@ def test_rmps_warm_start_steers_first_acquisition():
     xs, alph = rmps(A, y, 1e-4, return_alpha=True)
     xw = rmps(A, y, 1e-4, alpha0=alph)
     assert float(jnp.max(jnp.abs(xw))) == 0.0
+
+
+def test_sbl_woodbury_matches_direct():
+    # the n x n measurement-space EM must be algebraically identical to
+    # the reference's m x m iteration (same gamma fixed point, same
+    # posterior mean) — checked at f64 where both forms are exact
+    A, x, b, y = _problem(58, m=128)
+    xd = sbl(A, y, SIGMA ** 2, method="direct")
+    xw = sbl(A, y, SIGMA ** 2, method="woodbury")
+    np.testing.assert_allclose(np.asarray(xw), np.asarray(xd), atol=1e-8)
+    assert list(_thresh_support(xw)) == list(support(x))
+
+
+def test_sbl_auto_dispatch_wide():
+    # m > 2n routes to the woodbury form; recovery must hold at a scale
+    # the direct m x m iteration is already uncomfortable with
+    A, x, b, y = _problem(59, n=64, m=1024, k=3)
+    xs = sbl(A, y, SIGMA ** 2)  # auto -> woodbury
+    assert list(_thresh_support(xs)) == list(support(x))
+    np.testing.assert_allclose(np.asarray(A @ xs), np.asarray(b),
+                               atol=SIGMA)
+
+
+def test_sbl_full_covariance_woodbury():
+    # matrix-Sigma path through the n x n form (C = Sigma + A Gamma A')
+    A, x, b, y = _problem(60, m=128)
+    Sig = (SIGMA ** 2) * jnp.eye(A.shape[0], dtype=A.dtype)
+    xw = sbl(A, y, Sig, method="woodbury")
+    xd = sbl(A, y, SIGMA ** 2, method="direct")
+    np.testing.assert_allclose(np.asarray(xw), np.asarray(xd), atol=1e-8)
