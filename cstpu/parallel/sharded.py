@@ -73,6 +73,47 @@ def _bcast_cols(A_local, gsel, axis: str):
     return lax.psum(jnp.where(owner[:, None], lcol, 0.0), axis), owner
 
 
+# Exact f32 integer range: the fused single-collective payload carries the
+# global atom index as f32 lanes.
+_F32_EXACT_INT = 1 << 24
+
+
+def _select_bcast_fused(A_local, lval, lidx, axis: str):
+    """ONE collective per step instead of three (SURVEY.md:332 overlap
+    obligation): every shard speculatively ships its local-best COLUMN
+    together with its (|corr|, global index) candidate in a single
+    all-gather; winner resolution (max value, lowest-global-index ties —
+    identical to the pmax/pmin pair) then runs replicated on the gathered
+    table and selects the winning column locally.
+
+    vs the 3-collective path (pmax val, pmin idx, psum column): aggregate
+    ring traffic is the same O(s * B * n) for the column payload, but the
+    per-step latency is ONE collective round instead of three dependent
+    ones — the first-order cost on a pod where each DCN round is
+    ~100 us x k steps. Requires m < 2^24 so the index rides exactly in
+    the f32 payload (callers gate; the 1M-atom headline config is 2^20).
+
+    Returns (cols (B, n) f32, gsel (B,) i32).
+    """
+    B, n = lval.shape[0], A_local.shape[0]
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    gidx = shard * m_local + lidx.astype(jnp.int32)
+    lcol = jnp.take(A_local, lidx, axis=1).T.astype(jnp.float32)  # (B, n)
+    payload = jnp.concatenate(
+        [lcol, lval.astype(jnp.float32)[:, None],
+         gidx.astype(jnp.float32)[:, None]], axis=1)       # (B, n + 2)
+    allp = lax.all_gather(payload, axis)                   # (s, B, n + 2)
+    vals = allp[:, :, n]                                   # (s, B)
+    idxs = allp[:, :, n + 1]
+    vmax = jnp.max(vals, axis=0)                           # (B,)
+    isel = jnp.min(jnp.where(vals == vmax, idxs,
+                             jnp.float32(_F32_EXACT_INT)), axis=0)
+    win = ((vals == vmax) & (idxs == isel[None, :])).astype(jnp.float32)
+    cols = jnp.einsum("sb,sbn->bn", win, allp[:, :, :n])
+    return cols, isel.astype(jnp.int32)
+
+
 def _merge_topl(lval, gidx, ll: int, axis: str):
     """All-gather the per-shard top-l candidates (B, l) and select the
     global top-`ll`, value-descending with lowest-global-index ties —
@@ -212,7 +253,8 @@ def _omp_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str, k: int,
 # ---------------------------------------------------------------------------
 
 def _omp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, eps, m: int,
-                          axis: str, interpret: bool):
+                          axis: str, interpret: bool,
+                          fuse_collectives: bool = False):
     """Batched OMP over a column shard, selection via the Pallas streaming
     correlate+select kernel (cstpu.ops.stream_select).
 
@@ -244,11 +286,14 @@ def _omp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, eps, m: int,
         r = jax.vmap(aset.residual)(st, Bs_local)                  # (B, n)
         lval, lidx = correlate_select_stream(
             Ac_local, r, interpret=interpret)
-        gidx = shard * m_local + lidx.astype(jnp.int32)            # (B,)
-        gmax = lax.pmax(lval, axis)
-        cand = jnp.where(lval == gmax, gidx, INT_MAX)
-        gsel = lax.pmin(cand, axis)                                # (B,)
-        col, _ = _bcast_cols(A_local, gsel, axis)                   # (B, n)
+        if fuse_collectives:
+            col, gsel = _select_bcast_fused(A_local, lval, lidx, axis)
+        else:
+            gidx = shard * m_local + lidx.astype(jnp.int32)        # (B,)
+            gmax = lax.pmax(lval, axis)
+            cand = jnp.where(lval == gmax, gidx, INT_MAX)
+            gsel = lax.pmin(cand, axis)                            # (B,)
+            col, _ = _bcast_cols(A_local, gsel, axis)               # (B, n)
 
         present = jax.vmap(aset.contains)(st, gsel)
         full = st.k >= jnp.minimum(n, k)
@@ -269,7 +314,8 @@ def _omp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, eps, m: int,
 
 def omp_sharded_fused(A, Bs, k: int, mesh: Mesh, max_residual: float = 0.0,
                       atoms_axis: str = "atoms", batch_axis: str = "batch",
-                      corr_dtype=jnp.bfloat16, interpret: bool = False):
+                      corr_dtype=jnp.bfloat16, interpret: bool = False,
+                      fuse_collectives: bool | None = None):
     """Column-sharded batched OMP with the per-shard Pallas streaming
     selection kernel — the production multi-chip path for beyond-VMEM
     dictionaries (BASELINE's 1M-atom config).
@@ -291,9 +337,15 @@ def omp_sharded_fused(A, Bs, k: int, mesh: Mesh, max_residual: float = 0.0,
     _require_stream_ok(n, m // n_shards, Bs.shape[0],
                        mesh.shape[batch_axis], corr_dtype,
                        "omp_sharded_fused")
+    if fuse_collectives is None:
+        # default ON where the index rides exactly in the f32 payload
+        fuse_collectives = m < _F32_EXACT_INT
+    elif fuse_collectives and m >= _F32_EXACT_INT:
+        raise ValueError(f"fuse_collectives needs m < 2^24, got {m}")
     fn = _omp_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, m,
                                 float(max_residual), A.dtype.name,
-                                jnp.dtype(corr_dtype).name, bool(interpret))
+                                jnp.dtype(corr_dtype).name, bool(interpret),
+                                bool(fuse_collectives))
     return fn(A, jnp.asarray(A, corr_dtype), Bs)
 
 
@@ -301,14 +353,15 @@ def omp_sharded_fused(A, Bs, k: int, mesh: Mesh, max_residual: float = 0.0,
 def _omp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
                            k: int, m: int, max_residual: float,
                            dtype_name: str, corr_dtype_name: str,
-                           interpret: bool):
+                           interpret: bool, fuse_collectives: bool = False):
     dtype = jnp.dtype(dtype_name)
     eps = jnp.asarray(max_residual, dtype)
 
     def shard_fn(A_local, Ac_local, Bs_local):
         return _omp_fused_shard_body(A_local, Ac_local, Bs_local, k=k,
                                      eps=eps, m=m, axis=atoms_axis,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     fuse_collectives=fuse_collectives)
 
     from cstpu.utils.sparse import SparseSolution
     out_struct = SparseSolution(

@@ -436,3 +436,41 @@ def test_sharded_fused_omp_dp_tp_mesh():
         row = jax.tree.map(lambda leaf: leaf[i], sols)
         assert list(row.nzind) == list(ref.nzind)
         np.testing.assert_allclose(row.nzval, ref.nzval, rtol=1e-5)
+
+
+def test_fused_collectives_identical_selection(mesh):
+    # the single-collective (speculative column all-gather) step must be
+    # bit-identical in SELECTION to the pmax/pmin/psum triple — winner
+    # resolution is the same (max value, lowest-global-index ties), just
+    # computed on the gathered table
+    from cstpu.parallel.sharded import omp_sharded_fused
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(91))
+    A, x, b = sparse_data(kd, n=64, m=1024, k=5, dtype=jnp.float32)
+    Bs = jnp.stack([b, perturb(kn, b, DELTA / 2)] * 4)
+    fused = omp_sharded_fused(A, Bs, 5, mesh, corr_dtype=jnp.float32,
+                              interpret=True, fuse_collectives=True)
+    triple = omp_sharded_fused(A, Bs, 5, mesh, corr_dtype=jnp.float32,
+                               interpret=True, fuse_collectives=False)
+    np.testing.assert_array_equal(np.asarray(fused.idx),
+                                  np.asarray(triple.idx))
+    np.testing.assert_array_equal(np.asarray(fused.mask),
+                                  np.asarray(triple.mask))
+    np.testing.assert_allclose(np.asarray(fused.val),
+                               np.asarray(triple.val), rtol=1e-6)
+
+
+def test_fused_collectives_gate():
+    # m >= 2^24 cannot carry the index exactly in the f32 payload: the
+    # explicit opt-in must be rejected (auto would silently pick the
+    # 3-collective path)
+    import pytest
+
+    from cstpu.parallel.mesh import make_mesh
+    from cstpu.parallel.sharded import omp_sharded_fused
+
+    mesh = make_mesh((1, 8))
+    A = jnp.zeros((8, 1 << 24), jnp.float32)
+    Bs = jnp.zeros((8, 8), jnp.float32)
+    with pytest.raises(ValueError, match="fuse_collectives"):
+        omp_sharded_fused(A, Bs, 2, mesh, fuse_collectives=True)
