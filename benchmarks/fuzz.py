@@ -375,6 +375,28 @@ def check_sbl_batch_vs_single(trial, rng, A, b, k):
                          f"{got.tolist()} != single {want.tolist()}")
 
 
+def check_sbl_woodbury_vs_direct(trial, rng, A, b, k):
+    """Plain sbl's n x n woodbury form must agree with the reference's
+    m x m iteration on ANY input (same gamma fixed point) — f64, where
+    both forms are exact. Random scalar-vs-matrix Sigma too."""
+    sigma2 = float(10.0 ** rng.uniform(-5, -3))
+    A = jnp.asarray(A, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+    sig = sigma2 if rng.random() < 0.5 else sigma2 * jnp.eye(
+        A.shape[0], dtype=jnp.float64)
+    xd = np.asarray(cstpu.sbl(A, b, sig, method="direct"))
+    xw = np.asarray(cstpu.sbl(A, b, sig, method="woodbury"))
+    # same support at the noise scale and matching coefficients there
+    thr = np.sqrt(sigma2)
+    got, want = np.flatnonzero(np.abs(xw) > thr), np.flatnonzero(
+        np.abs(xd) > thr)
+    if not np.array_equal(got, want):
+        _flag(trial, f"sbl woodbury support {got.tolist()} != direct "
+                     f"{want.tolist()}")
+    elif not np.allclose(xw, xd, atol=1e-6):
+        _flag(trial, f"sbl woodbury coef dev {np.abs(xw - xd).max():.2e}")
+
+
 def check_bp_feasibility(trial, rng, A, b, k):
     """Convex path invariants on any input: BP iterates must be primal
     feasible and no sparser-objective certificate may exist (the exact
@@ -645,7 +667,7 @@ CHECKS = [check_batch_vs_single, check_fused_vs_xla,
           check_backward_batch_vs_single, check_sbl_batch_vs_single,
           check_bp_feasibility, check_active_set_sequence,
           check_bpd_oracle, check_convex_sharded, check_sbl_stationarity,
-          check_analysis_utilities]
+          check_analysis_utilities, check_sbl_woodbury_vs_direct]
 
 
 def main() -> int:
