@@ -31,7 +31,23 @@ from cstpu.models.sbl import _f32_matmuls
 from jax.scipy.linalg import cho_solve
 
 
-@_f32_matmuls
+def _with_matmul_precision(prec: str, fn):
+    """Trace `fn` under a chosen TPU matmul precision.
+
+    "float32" (HIGHEST, 6 bf16 passes) is the correctness-proven default
+    for every iterative convex path (the bf16 default silently breaks
+    ADMM feasibility — see benchmarks/README.md 2026-08-17).
+    "tensorfloat32" (HIGH, 3 passes) carries ~f32-grade mantissa coverage
+    at half the matmul cost and is offered as the measured middle ground
+    (VERDICT round-1 item 8); callers pick per solve."""
+
+    def wrapped(*a, **kw):
+        with jax.default_matmul_precision(prec):
+            return fn(*a, **kw)
+
+    return wrapped
+
+
 def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
                         axis: str, z0_local=None, u0_local=None):
     rho = jnp.asarray(rho, A_local.dtype)
@@ -106,17 +122,18 @@ def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
 
 @lru_cache(maxsize=64)
 def _bp_jit(mesh: Mesh, atoms_axis: str, maxiter: int, tol: float,
-            warm: bool):
+            warm: bool, mm_prec: str = "float32"):
     """Memoized jitted sharded-BP callable.
 
     Rebuilding shard_map + jit per call costs ~1.3 s of retracing on every
     solve (dwarfing the actual ADMM time); callables are cached per
-    (mesh, axis, maxiter, tol, warm-start arity). rho is a traced operand
-    (the adaptive loop returns its final value for warm restarts). Shape
-    changes retrace inside the cached jit as usual.
+    (mesh, axis, maxiter, tol, warm-start arity, matmul precision). rho is
+    a traced operand (the adaptive loop returns its final value for warm
+    restarts). Shape changes retrace inside the cached jit as usual.
     """
-    body = partial(_bp_admm_shard_body, maxiter=maxiter, tol=tol,
-                   axis=atoms_axis)
+    body = _with_matmul_precision(
+        mm_prec, partial(_bp_admm_shard_body, maxiter=maxiter, tol=tol,
+                         axis=atoms_axis))
     if not warm:
         return jax.jit(jax.shard_map(
             lambda A_l, b_l, w_l, rho: body(A_l, b_l, w_l, rho),
@@ -139,7 +156,8 @@ def _bp_jit(mesh: Mesh, atoms_axis: str, maxiter: int, tol: float,
 
 def bp_sharded(A, b, w=None, mesh: Mesh = None, rho: float = 1.0,
                maxiter: int = 20000, tol: float = None,
-               atoms_axis: str = "atoms", warm=None):
+               atoms_axis: str = "atoms", warm=None,
+               matmul_precision: str = "float32"):
     """(Weighted) basis pursuit with a column-sharded dictionary.
 
     Semantics match cstpu.bp (ADMM, incl. the adaptive-rho rebalancing);
@@ -162,13 +180,14 @@ def bp_sharded(A, b, w=None, mesh: Mesh = None, rho: float = 1.0,
     tol = float(tol)
     rho = jnp.asarray(rho, A.dtype)
     if warm is None:
-        fn = _bp_jit(mesh, atoms_axis, int(maxiter), tol, False)
+        fn = _bp_jit(mesh, atoms_axis, int(maxiter), tol, False,
+                     str(matmul_precision))
         return fn(A, b, w, rho)
-    fn = _bp_jit(mesh, atoms_axis, int(maxiter), tol, True)
+    fn = _bp_jit(mesh, atoms_axis, int(maxiter), tol, True,
+                 str(matmul_precision))
     return fn(A, b, w, jnp.asarray(warm[2], A.dtype), warm[0], warm[1])
 
 
-@_f32_matmuls
 def _ard_weights_shard_body(A_local, x_local, w_local, eps, iters: int,
                             axis: str):
     eps = jnp.asarray(eps, A_local.dtype)
@@ -192,9 +211,11 @@ def _ard_weights_shard_body(A_local, x_local, w_local, eps, iters: int,
 
 
 @lru_cache(maxsize=64)
-def _ard_jit(mesh: Mesh, atoms_axis: str, eps: float, iters: int):
-    body = partial(_ard_weights_shard_body, eps=eps, iters=iters,
-                   axis=atoms_axis)
+def _ard_jit(mesh: Mesh, atoms_axis: str, eps: float, iters: int,
+             mm_prec: str = "float32"):
+    body = _with_matmul_precision(
+        mm_prec, partial(_ard_weights_shard_body, eps=eps, iters=iters,
+                         axis=atoms_axis))
     return jax.jit(jax.shard_map(
         lambda A_l, x_l, w_l: body(A_l, x_l, w_l),
         mesh=mesh,
@@ -223,6 +244,7 @@ def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
     iteration: one sharded BP solve + one sharded ARD weight fixed point.
     """
     m = A.shape[1]
+    mm_prec = str(bp_kwargs.get("matmul_precision", "float32"))
     x, u, rho = bp_sharded(A, b, None, mesh, atoms_axis=atoms_axis,
                            **bp_kwargs)
     w = jnp.ones((m,), A.dtype)
@@ -231,7 +253,7 @@ def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
         # zero-weight check is a blocking device-to-host sync of the full
         # sharded vector, validating an invariant the fixed point's
         # dtype-eps floor already guarantees for internally-produced w
-        w = _ard_jit(mesh, atoms_axis, float(eps), 8)(A, x, w)
+        w = _ard_jit(mesh, atoms_axis, float(eps), 8, mm_prec)(A, x, w)
         xs, u, rho = bp_sharded(A, b, w, mesh, atoms_axis=atoms_axis,
                                 warm=(x, u, rho), **bp_kwargs)
         if float(jnp.linalg.norm(xs - x)) < min_decrease:

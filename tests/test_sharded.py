@@ -474,3 +474,15 @@ def test_fused_collectives_gate():
     Bs = jnp.zeros((8, 8), jnp.float32)
     with pytest.raises(ValueError, match="fuse_collectives"):
         omp_sharded_fused(A, Bs, 2, mesh, fuse_collectives=True)
+
+
+def test_bp_sharded_matmul_precision_knob(mesh):
+    # plumbing guard: the precision knob must thread through jit caching
+    # and produce the same f64 result on CPU (where precision is inert)
+    from cstpu.parallel.convex import bp_sharded
+
+    A, x, b, _ = _problem(77, n=32, m=48)
+    z_hi = np.asarray(bp_sharded(A, b, mesh=mesh)[0])
+    z_tf = np.asarray(bp_sharded(A, b, mesh=mesh,
+                                 matmul_precision="tensorfloat32")[0])
+    np.testing.assert_allclose(z_tf, z_hi, atol=1e-9)
