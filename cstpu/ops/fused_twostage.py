@@ -271,29 +271,183 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     """SP: expand by the top-k residual correlations, LS-refit on <= 2k
     atoms, prune to the k largest |coefficients|, iterate while the
     residual improves (the final pruned iterate is kept either way,
-    src/twostage.jl:92-99)."""
-    eng = _Engine(A_ref, Bs_ref, cols, Ginv, idxs, coefs, Atbs, r,
-                  AT_ref=AT_ref, i_scr=i_scr, acol_scr=acol_scr)
-    B, m, K2 = eng.B, eng.m, eng.K
-    slot_iota = eng.slot_iota
-    BIG = eng.BIG
+    src/twostage.jl:92-99).
 
-    def topk_append(sc, gate):
-        def one(_, sc):
-            i, smax = eng.argmax_masked(sc)
-            sc = jnp.where(eng.col_iota == i, -jnp.inf, sc)
-            # the exhaustion guard must survive an explicit gate: once all
-            # m scores are -inf the argmax index is meaningless
-            eng.append(i, gate & (smax > -jnp.inf))
+    Static-slot rebuild design (v2). The round-1 kernel drove SP through
+    the generic slot engine: every append/delete swept the (B, 2k, n)
+    cached-column buffer with a masked one-hot RMW (g = cols.a read +
+    cols += a (x) onehot write, ~2x16 MB per atom at config-2 sizes) —
+    ~64 sweeps per outer iteration, the whole cost of the kernel. This
+    version exploits SP's phase structure (the reference itself refits
+    from a FRESH factorization every iteration, src/twostage.jl:104-107):
+
+      * the loop-top invariant is a COMPACTED support: active atoms in
+        slots 0..k-1, so the k acquired atoms go to slots k..2k-1 with
+        static slot indices — plain stores, no masked RMW;
+      * the union Gram is ONE batched MXU GEMM over the column cache
+        (read once per iteration instead of once per atom), and the
+        bordered inverse updates then touch only (B, 2k, 2k) buffers
+        with Gram rows they read for free;
+      * deletions downdate only the inverse (column-cache cleanup is
+        folded into the end-of-iteration compaction);
+      * compaction is a batched permutation GEMM (rank = cumsum(keep)),
+        which also zeroes dead columns — again one pass over the cache.
+
+    Selection rules, degeneracy gates and the convergence latch are the
+    round-1 kernel's exactly; the slot ORDER of the output differs
+    (compacted, not first-free-with-holes), which SparseSolution's
+    mask/idx representation absorbs.
+    """
+    B, n = Bs_ref.shape
+    m = A_ref.shape[1]
+    K2 = idxs.shape[1]
+    cdt = A_ref.dtype
+    deg = _degeneracy_rtol(n)
+    col_iota = lax.broadcasted_iota(jnp.int32, (B, m), 1)
+    slot_iota = lax.broadcasted_iota(jnp.int32, (1, K2), 1)
+    s2_iota = lax.broadcasted_iota(jnp.int32, (B, K2), 1)
+    BIG = jnp.int32(K2 + 1)
+    eyeK = (lax.broadcasted_iota(jnp.int32, (1, K2, K2), 1)
+            == lax.broadcasted_iota(jnp.int32, (1, K2, K2), 2)).astype(F32)
+
+    def corr(x):
+        return lax.dot_general(x.astype(cdt), A_ref[:, :],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=F32)
+
+    def bmm(P, X):
+        """Batched (B, K2, K2) @ (B, K2, c) contraction."""
+        return lax.dot_general(P, X, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=F32)
+
+    def argmax_masked(sc):
+        smax = jnp.max(sc, axis=1, keepdims=True)
+        i = jnp.min(jnp.where(sc == smax, col_iota, INT_MAX),
+                    axis=1, keepdims=True)
+        return i, smax
+
+    def rnorm2():
+        return jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
+
+    def acquire_refit(sc, gate):
+        """Select k atoms into slots k..2k-1 (static stores), extend the
+        inverse by bordered updates against the batched union Gram, and
+        LS-refit. Mutates cols/Ginv/idxs/coefs/r; stores A'b in Atbs."""
+        # --- selection: k rounds of masked argmax, static slot stores ---
+        def select_one(j, sc):
+            i, smax = argmax_masked(sc)
+            sc = jnp.where(col_iota == i, -jnp.inf, sc)
+            dup = jnp.sum((idxs[:, :] == i).astype(F32), axis=1,
+                          keepdims=True) > 0
+            ok = gate & (smax > -jnp.inf) & ~dup           # (B, 1)
+            okf = ok.astype(F32)
+            i_scr[:, :] = i  # stage the index for the slice extraction
+            _extract_cols(AT_ref, i_scr, acol_scr, B)
+            s = k + j
+            cols[:, pl.ds(s, 1), :] = (acol_scr[:, :]
+                                       * okf)[:, None, :]
+            islot = jnp.where(ok, i, m).astype(jnp.int32)  # (B, 1)
+            idxs[:, :] = jnp.where(s2_iota == s, islot, idxs[:, :])
             return sc
 
-        lax.fori_loop(0, k, one, sc)
+        lax.fori_loop(0, k, select_one, sc)
 
-    eng.oblivious_init(k)
+        # --- union Gram + A'b: ONE pass over the column cache ----------
+        G = lax.dot_general(cols[:, :, :], cols[:, :, :],
+                            (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=F32)    # (B, K2, K2)
+        Atbs[:, :] = jnp.sum(cols[:, :, :] * Bs_ref[:, :][:, None, :],
+                             axis=2)
 
+        # --- bordered inverse: Gram rows are free, (B,K2,K2) ops only --
+        def border_one(j, inmask):
+            s = k + j
+            es = (slot_iota == s).astype(F32)              # (1, K2)
+            grow = jnp.sum(G * es[:, None, :], axis=2)     # (B, K2) row s
+            ata = jnp.sum(grow * es, axis=1, keepdims=True)
+            g = grow * inmask
+            u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)
+            d = ata - jnp.sum(g * u, axis=1, keepdims=True)
+            stored = jnp.sum((s2_iota == s).astype(F32)
+                             * (idxs[:, :] < m).astype(F32), axis=1,
+                             keepdims=True)
+            ok = (stored > 0) & (d > deg * ata)
+            okf = ok.astype(F32)
+            et = es * okf                                  # (B, K2)
+            dinv = okf / jnp.where(d > 0, d, 1.0)
+            w = u - et
+            Ginv[:, :, :] = Ginv[:, :, :] \
+                + dinv[:, :, None] * w[:, :, None] * w[:, None, :] \
+                - et[:, :, None] * et[:, None, :]
+            # a span-degenerate atom is rejected outright (idx -> m)
+            rej = ((stored > 0) & ~ok).astype(F32)         # (B, 1)
+            idxs[:, :] = jnp.where((s2_iota == s) & (rej > 0), m,
+                                   idxs[:, :])
+            return inmask + et
+
+        inmask0 = ((idxs[:, :] < m)
+                   & (slot_iota < k)).astype(F32)          # kept atoms
+        lax.fori_loop(0, k, border_one, inmask0)
+        refit()
+
+    def refit():
+        alive = (idxs[:, :] < m).astype(F32)
+        coefs[:, :] = jnp.sum(
+            Ginv[:, :, :] * (Atbs[:, :] * alive)[:, None, :], axis=2)
+        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
+        r[:, :] = Bs_ref[:, :] - fitted
+
+    def del_slot(ep, hasf):
+        """Schur downdate of the inverse only (column-cache cleanup is
+        the compaction GEMM's job)."""
+        qv = jnp.sum(Ginv[:, :, :] * ep[:, None, :], axis=2)
+        qpp = jnp.sum(qv * ep, axis=1, keepdims=True)
+        inv = hasf / jnp.where(qpp > 0, qpp, 1.0)
+        Ginv[:, :, :] = Ginv[:, :, :] \
+            - inv[:, :, None] * qv[:, :, None] * qv[:, None, :] \
+            + ep[:, :, None] * ep[:, None, :] * hasf[:, :, None]
+        idxs[:, :] = jnp.where(ep > 0, m, idxs[:, :])
+
+    def compact():
+        """Pack surviving atoms into slots 0..k-1 with one batched
+        permutation GEMM per state tensor; dead columns zero out in the
+        same pass. Idempotent: on already-compacted state (incl. done
+        rows) the permutation is the identity, exactly — no gating
+        needed."""
+        keep = (idxs[:, :] < m).astype(F32)                # (B, K2)
+        # rank_s = #kept slots before s (cumsum is not lowerable in
+        # Mosaic; a strictly-lower-triangular reduction is)
+        lt = (lax.broadcasted_iota(jnp.int32, (1, K2, K2), 2)
+              < lax.broadcasted_iota(jnp.int32, (1, K2, K2), 1)
+              ).astype(F32)                                # lt[0, s, t<s]
+        rank = jnp.sum(keep[:, None, :] * lt, axis=2) \
+            + keep - 1.0                                   # (B, K2)
+        sp_f = slot_iota.astype(F32)                       # (1, K2)
+        P = ((rank[:, None, :] == sp_f[0][None, :, None])
+             & (keep[:, None, :] > 0)).astype(F32)         # (B, s', s)
+        cols[:, :, :] = bmm(P, cols[:, :, :])
+        Ginv[:, :, :] = bmm(bmm(P, Ginv[:, :, :]),
+                            jnp.swapaxes(P, 1, 2))
+        pad = 1.0 - jnp.sum(P, axis=2)                     # (B, K2)
+        Ginv[:, :, :] = Ginv[:, :, :] + eyeK * pad[:, :, None]
+        new_idx = jnp.sum(P * idxs[:, :][:, None, :].astype(F32), axis=2)
+        idxs[:, :] = (new_idx + jnp.float32(m) * pad).astype(jnp.int32)
+        Atbs[:, :] = jnp.sum(P * Atbs[:, :][:, None, :], axis=2)
+        coefs[:, :] = jnp.sum(P * coefs[:, :][:, None, :], axis=2)
+
+    # --- init: oblivious top-k acquisition + refit + compact -------------
+    r[:, :] = Bs_ref[:, :]
+    cols[:, :, :] = jnp.zeros_like(cols)
+    Ginv[:, :, :] = jnp.broadcast_to(eyeK, (B, K2, K2))
+    Atbs[:, :] = jnp.zeros_like(Atbs)
+    coefs[:, :] = jnp.zeros_like(coefs)
+    idxs[:, :] = jnp.full_like(idxs, m)
+    acquire_refit(jnp.abs(corr(Bs_ref[:, :])), jnp.ones((B, 1), bool))
+    compact()
+
+    # --- outer loop -------------------------------------------------------
     def body_inner(gate, prev, done):
-        topk_append(jnp.abs(eng.corr(r[:, :])), gate)
-        eng.refit_residual()
+        acquire_refit(jnp.abs(corr(r[:, :])), gate)
 
         # prune to the k largest |coef| among active slots
         def pick(_, carry):
@@ -314,16 +468,30 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
                          keepdims=True)
             hasf = (ds < BIG).astype(F32)
             ep = (slot_iota == ds).astype(F32) * hasf
-            eng.delete_ep(ep, hasf)
+            del_slot(ep, hasf)
             return drop * (1.0 - ep)
 
         lax.fori_loop(0, k, drop_one, drop0)
-        eng.refit_residual()
+        refit()
 
-        res = jnp.where(gate, eng.rnorm2(), prev)
-        return res, jnp.where((res <= delta2) | (prev <= res), 1.0, done)
+        res = jnp.where(gate, rnorm2(), prev)
+        done2 = jnp.where((res <= delta2) | (prev <= res), 1.0, done)
+        compact()
+        return res, done2
 
-    t = _outer_while(eng, maxiter, body_inner)
+    prev0 = rnorm2()
+
+    def wbody(carry):
+        t, prev, done = carry
+        res, done2 = body_inner(done < 0.5, prev, done)
+        return t + 1, res, done2
+
+    def wcond(carry):
+        t, prev, done = carry
+        return (t < maxiter) & (jnp.min(done) < 0.5)
+
+    t, _, _ = lax.while_loop(wcond, wbody,
+                             (jnp.int32(0), prev0, jnp.zeros((B, 1), F32)))
 
     idx_ref[:, :] = idxs[:, :]
     coef_ref[:, :] = coefs[:, :]
