@@ -152,18 +152,26 @@ def main():
     ideal_atoms = B * measured_bw / (n * m * 4)
     vs = atoms_per_sec / ideal_atoms
 
+    # corr_effective_GBps is NOT a memory bandwidth: XLA hoists the
+    # loop-invariant dictionary into VMEM, so the "traffic" numerator is
+    # algorithmic bytes, not HBM bytes — it can (and does) exceed the
+    # measured HBM stream rate. Kept as an MXU-side utilization indicator.
     print(f"[bench] device={dev.device_kind} B={B} n={n} m={m} k={k} "
           f"solve={t_solve*1e3:.2f}ms solve_median={t_solve_median*1e3:.2f}ms "
           f"epochs_ms={[round(t*1e3, 2) for t in solve_epochs]} "
           f"corr={t_corr*1e3:.3f}ms "
-          f"corr_GBps={corr_bytes/t_corr/1e9:.1f} "
+          f"corr_effective_GBps={corr_bytes/t_corr/1e9:.1f} "
           f"stream_GBps={measured_bw/1e9:.1f} roofline_frac={vs:.3f} "
           f"recovery={recovery:.3f}",
           file=sys.stderr)
 
+    # value = best epoch (capability); value_median = median epoch
+    # (session weather) so round-over-round comparisons can separate the
+    # two — the tunnel wobbles +-40% between sessions
     print(json.dumps({
         "metric": "omp_batched_atom_selections_per_sec",
         "value": round(atoms_per_sec, 1),
+        "value_median": round(B * k / t_solve_median, 1),
         "unit": "atoms/s",
         "vs_baseline": round(vs, 4),
     }))

@@ -80,10 +80,15 @@ def _gamma_tol(g, min_change):
     m >~ 4096 the steady-state gamma jitters by ~eps per element and the
     norm of that jitter exceeds 1e-6 forever — the loop then runs its
     full 128*m bound (>1e6 n x n factorizations; observed as a device
-    timeout on TPU). Floor the threshold at a dtype-scaled RELATIVE term
-    that is ~1e-13*||gamma|| at f64 (never binds — exact parity) and
-    ~1e-5*||gamma|| at f32 (latches once the iterate reaches its own
-    noise floor)."""
+    timeout on TPU). For 32-bit dtypes, floor the threshold at a
+    dtype-scaled RELATIVE term (~1e-5*||gamma||) that latches once the
+    iterate reaches its own noise floor. At f64 the floor is NOT applied
+    at all: a relative term would overtake min_change=1e-6 once
+    ||gamma|| > ~4.5e7 (coefficients ~1e4 on unnormalized data) and
+    terminate earlier than the reference's absolute criterion — exact
+    parity requires the bare absolute threshold."""
+    if jnp.finfo(g.dtype).bits >= 64:
+        return jnp.asarray(min_change, g.dtype)
     rel = 100 * jnp.finfo(g.dtype).eps * (1.0 + jnp.linalg.norm(g))
     return jnp.maximum(min_change, rel)
 
@@ -679,23 +684,12 @@ def rmps_estimate_noise(A, b, sigma2_init: float = 1e-2, a_sigma2: float = 0.0,
     inner RMPS deliberately cold-starts — see the in-code note."""
     n, m = A.shape
     maxiter = int(maxiter if maxiter is not None else 2 * m)
-    sigma2 = float(sigma2_init)
-    alpha = jnp.full((m,), jnp.inf, A.dtype)
-    for _ in range(int(maxouteriter)):
-        # cold start per EM iteration — see _rmps_noise_one's note on the
-        # deliberate divergence from the reference's alpha carry
-        alpha = _rmps_optimize(A, b, jnp.asarray(sigma2, A.dtype),
-                               jnp.full((m,), jnp.inf, A.dtype),
-                               maxiter, n, n,
-                               jnp.asarray(min_increase, A.dtype))
-        x = _posterior_mean(A, b, jnp.asarray(sigma2, A.dtype), alpha)
-        g = jnp.where(jnp.isfinite(alpha), 1.0 / alpha, 0.0)
-        # Inverse-Gamma-regularized variance estimate (src/sbl.jl:462-470)
-        sigma2_new = float((norm2(b - A @ x) + 2 * b_sigma2)
-                           / (n - jnp.sum(g) + 2 * a_sigma2))
-        converged = abs(sigma2_new - sigma2) < min_change
-        sigma2 = sigma2_new
-        if converged:
-            break
-    x = _posterior_mean(A, b, jnp.asarray(sigma2, A.dtype), alpha)
-    return x, sigma2
+    # single fully-jitted EM loop (one device round-trip per solve) — the
+    # previous host-side loop paid a float() device sync per EM iteration,
+    # ~0.5 s each behind a tunneled device
+    x, sigma2 = _rmps_noise_one(
+        A, b, jnp.asarray(sigma2_init, A.dtype),
+        jnp.asarray(a_sigma2, A.dtype), jnp.asarray(b_sigma2, A.dtype),
+        maxiter, jnp.asarray(min_increase, A.dtype), int(maxouteriter),
+        jnp.asarray(min_change, A.dtype))
+    return x, float(sigma2)

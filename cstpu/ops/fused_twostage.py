@@ -550,6 +550,13 @@ def sp_fused_solve(A, Bs, k: int, delta: float = 1e-12,
     k = int(k)
     if 2 * k > n:
         raise ValueError(f"2k = {2*k} > {n} = len(b) is invalid for SP")
+    if m >= 1 << 24:
+        # compact()'s permutation GEMM round-trips atom indices through
+        # f32 lanes — exact only below 2^24. The VMEM budget rejects such
+        # m long before this, but the index-exactness contract must not
+        # depend on an unrelated guard (mirrors the omp_sharded_fused gate)
+        raise ValueError(f"sp_fused_solve needs m < 2^24 for exact index "
+                         f"bookkeeping, got m = {m}")
     maxiter = int(maxiter if maxiter is not None else 16 * k)
     idx, coef, r, iters = _sp_fused_call(jnp.asarray(A), jnp.asarray(Bs),
                                          k, maxiter, float(delta) ** 2,

@@ -74,8 +74,31 @@ def _bcast_cols(A_local, gsel, axis: str):
 
 
 # Exact f32 integer range: the fused single-collective payload carries the
-# global atom index as f32 lanes.
+# global atom index as f32 lanes. f64 payloads (f64 dictionaries) carry it
+# exactly up to 2^53.
 _F32_EXACT_INT = 1 << 24
+_F64_EXACT_INT = 1 << 53
+
+
+def _payload_exact_limit(dtype) -> int:
+    """Largest atom count whose global index rides exactly in a payload
+    lane of promote(dtype, f32)."""
+    pdt = jnp.promote_types(jnp.dtype(dtype), jnp.float32)
+    return _F32_EXACT_INT if pdt == jnp.float32 else _F64_EXACT_INT
+
+
+def _resolve_fuse(fuse, m: int, dtype, entry: str) -> bool:
+    """Shared fuse_collectives gate: default ON where the index rides
+    exactly in the payload dtype; explicit True beyond that is an error."""
+    limit = _payload_exact_limit(dtype)
+    if fuse is None:
+        return m < limit
+    if fuse and m >= limit:
+        raise ValueError(
+            f"{entry}: fuse_collectives needs m < 2^"
+            f"{limit.bit_length() - 1} for "
+            f"{jnp.dtype(dtype).name} payloads, got m = {m}")
+    return bool(fuse)
 
 
 def _select_bcast_fused(A_local, lval, lidx, axis: str):
@@ -90,28 +113,76 @@ def _select_bcast_fused(A_local, lval, lidx, axis: str):
     ring traffic is the same O(s * B * n) for the column payload, but the
     per-step latency is ONE collective round instead of three dependent
     ones — the first-order cost on a pod where each DCN round is
-    ~100 us x k steps. Requires m < 2^24 so the index rides exactly in
-    the f32 payload (callers gate; the 1M-atom headline config is 2^20).
+    ~100 us x k steps. The payload rides in promote(A.dtype, f32), so the
+    shipped column keeps the dictionary's full precision and the index
+    lane is exact for m < 2^24 (f32) / 2^53 (f64) — callers gate via
+    _resolve_fuse; the 1M-atom headline config is 2^20.
 
-    Returns (cols (B, n) f32, gsel (B,) i32).
+    Returns (cols (B, n) in A.dtype, gsel (B,) i32, vmax (B,) payload
+    dtype — the winning selection score, for callers that branch on it).
     """
     B, n = lval.shape[0], A_local.shape[0]
     m_local = A_local.shape[1]
+    pdt = jnp.promote_types(A_local.dtype, jnp.float32)
     shard = lax.axis_index(axis).astype(jnp.int32)
     gidx = shard * m_local + lidx.astype(jnp.int32)
-    lcol = jnp.take(A_local, lidx, axis=1).T.astype(jnp.float32)  # (B, n)
+    lcol = jnp.take(A_local, lidx, axis=1).T.astype(pdt)   # (B, n)
     payload = jnp.concatenate(
-        [lcol, lval.astype(jnp.float32)[:, None],
-         gidx.astype(jnp.float32)[:, None]], axis=1)       # (B, n + 2)
+        [lcol, lval.astype(pdt)[:, None],
+         gidx.astype(pdt)[:, None]], axis=1)               # (B, n + 2)
     allp = lax.all_gather(payload, axis)                   # (s, B, n + 2)
     vals = allp[:, :, n]                                   # (s, B)
     idxs = allp[:, :, n + 1]
     vmax = jnp.max(vals, axis=0)                           # (B,)
+    # sentinel: INT32_MAX exceeds every valid gidx in either payload dtype
     isel = jnp.min(jnp.where(vals == vmax, idxs,
-                             jnp.float32(_F32_EXACT_INT)), axis=0)
-    win = ((vals == vmax) & (idxs == isel[None, :])).astype(jnp.float32)
+                             jnp.asarray(INT_MAX, pdt)), axis=0)
+    win = ((vals == vmax) & (idxs == isel[None, :])).astype(pdt)
     cols = jnp.einsum("sb,sbn->bn", win, allp[:, :, :n])
-    return cols, isel.astype(jnp.int32)
+    return cols.astype(A_local.dtype), isel.astype(jnp.int32), vmax
+
+
+def _merge_topl_bcast_fused(A_local, lval, lidx, ll: int, axis: str):
+    """Fused top-l selection + column broadcast in ONE all-gather.
+
+    Every shard ships its ll candidate COLUMNS together with their
+    (|corr|, global index) lanes in a single (B, ll, n + 2) all-gather;
+    the global top-`ll` (value-descending, lowest-global-index ties —
+    exactly _merge_topl's order) is then resolved replicated on the
+    gathered table and each winner's column selected locally. Replaces
+    _merge_topl's 2 all-gathers + ll dependent column psums (ll + 2
+    collective rounds) with one round; aggregate traffic is the same
+    O(s * B * ll * n) the ll psums already paid. Same payload-exactness
+    gate as _select_bcast_fused.
+
+    Returns (gsels: list of ll (B,) i32, cols: list of ll (B, n) arrays
+    in A.dtype), best first."""
+    B = lval.shape[0]
+    n, m_local = A_local.shape
+    pdt = jnp.promote_types(A_local.dtype, jnp.float32)
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    gidx = shard * m_local + lidx.astype(jnp.int32)        # (B, ll)
+    lcols = jnp.moveaxis(jnp.take(A_local, lidx, axis=1),
+                         0, 2).astype(pdt)                 # (B, ll, n)
+    payload = jnp.concatenate(
+        [lcols, lval.astype(pdt)[:, :, None],
+         gidx.astype(pdt)[:, :, None]], axis=2)            # (B, ll, n + 2)
+    allp = lax.all_gather(payload, axis)                   # (s, B, ll, n+2)
+    allp = jnp.moveaxis(allp, 0, 1).reshape(B, -1, n + 2)  # (B, s*ll, n+2)
+    av = allp[:, :, n]
+    ai = allp[:, :, n + 1]
+    big = jnp.asarray(INT_MAX, pdt)
+    gsels, cols = [], []
+    for _ in range(ll):
+        gmax = jnp.max(av, axis=1, keepdims=True)
+        sel = jnp.min(jnp.where(av == gmax, ai, big), axis=1,
+                      keepdims=True)
+        win = (ai == sel).astype(pdt)                      # (B, s*ll)
+        cols.append(jnp.einsum("bs,bsn->bn", win,
+                               allp[:, :, :n]).astype(A_local.dtype))
+        gsels.append(sel[:, 0].astype(jnp.int32))
+        av = jnp.where(ai == sel, -jnp.inf, av)
+    return gsels, cols
 
 
 def _merge_topl(lval, gidx, ll: int, axis: str):
@@ -136,13 +207,14 @@ def _w_of(s, a):
     """Orthonormalized direction of column `a` against the active set
     (single instance — vmap over the batch): w = a_perp / sqrt(d). The
     deferred forward-rescaling downdate channel shared by the FR/SRR/
-    RMP/FoBa sharded bodies."""
+    RMP/FoBa sharded bodies. Always f32 — it feeds the kernel-side f32
+    rescaling channel regardless of the dictionary dtype."""
     g = jnp.where(s.mask, s.cols.T @ a, 0)
     u = s.Ginv @ g
     aperp = a - s.cols @ u
     ata = a @ a
     d = jnp.maximum(ata - g @ u, 1e-12 * jnp.maximum(ata, 1e-30))
-    return aperp * jnp.sqrt(1.0 / d)
+    return (aperp * jnp.sqrt(1.0 / d)).astype(jnp.float32)
 
 
 def _require_stream_ok(n: int, m_local: int, B: int, b_shards: int,
@@ -287,7 +359,7 @@ def _omp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, eps, m: int,
         lval, lidx = correlate_select_stream(
             Ac_local, r, interpret=interpret)
         if fuse_collectives:
-            col, gsel = _select_bcast_fused(A_local, lval, lidx, axis)
+            col, gsel, _ = _select_bcast_fused(A_local, lval, lidx, axis)
         else:
             gidx = shard * m_local + lidx.astype(jnp.int32)        # (B,)
             gmax = lax.pmax(lval, axis)
@@ -334,14 +406,13 @@ def omp_sharded_fused(A, Bs, k: int, mesh: Mesh, max_residual: float = 0.0,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    # gate before the shape checks so the payload-exactness error fires
+    # without forcing callers/tests to materialize a conforming dictionary
+    fuse_collectives = _resolve_fuse(fuse_collectives, m, A.dtype,
+                                     "omp_sharded_fused")
     _require_stream_ok(n, m // n_shards, Bs.shape[0],
                        mesh.shape[batch_axis], corr_dtype,
                        "omp_sharded_fused")
-    if fuse_collectives is None:
-        # default ON where the index rides exactly in the f32 payload
-        fuse_collectives = m < _F32_EXACT_INT
-    elif fuse_collectives and m >= _F32_EXACT_INT:
-        raise ValueError(f"fuse_collectives needs m < 2^24, got {m}")
     fn = _omp_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, m,
                                 float(max_residual), A.dtype.name,
                                 jnp.dtype(corr_dtype).name, bool(interpret),
@@ -381,14 +452,16 @@ def _omp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
 
 def _gomp_fused_shard_body(A_local, Ac_local, Bs_local, l: int, k: int,
                            rem: int, eps, m: int, axis: str,
-                           interpret: bool):
+                           interpret: bool, fuse_collectives: bool):
     """Batched GOMP over a column shard: per outer step each shard's
     top-l candidates come from one streaming top-l kernel sweep
     (cstpu.ops.stream_select.correlate_select_topl_stream), the global
     top-l is merged from an all-gather of the S*l per-shard candidates
     (value-descending, lowest-global-index ties — exactly the vmapped
     `topl(|A'r|)` order), and the l gated appends + one refit run
-    replicated. Parity: cstpu.models.matching_pursuit._gomp."""
+    replicated. With fuse_collectives the candidate columns ride the
+    same all-gather (one collective round per step instead of l + 2).
+    Parity: cstpu.models.matching_pursuit._gomp."""
     from cstpu.ops.stream_select import correlate_select_topl_stream
 
     B, n = Bs_local.shape
@@ -402,10 +475,15 @@ def _gomp_fused_shard_body(A_local, Ac_local, Bs_local, l: int, k: int,
         r = jax.vmap(aset.residual)(st, Bs_local)
         lval, lidx = correlate_select_topl_stream(
             Ac_local, r, ll, interpret=interpret)
-        gidx = shard * m_local + lidx.astype(jnp.int32)       # (B, ll)
+        if fuse_collectives:
+            gsels, colss = _merge_topl_bcast_fused(
+                A_local, lval, lidx, ll, axis)
+        else:
+            gidx = shard * m_local + lidx.astype(jnp.int32)   # (B, ll)
+            gsels = _merge_topl(lval, gidx, ll, axis)
+            colss = [_bcast_cols(A_local, gsel, axis)[0] for gsel in gsels]
         notfull = st.k < n                                    # (B,)
-        for gsel in _merge_topl(lval, gidx, ll, axis):
-            col, _ = _bcast_cols(A_local, gsel, axis)
+        for gsel, col in zip(gsels, colss):
             present = jax.vmap(aset.contains)(st, gsel)
             # `gate` carries the per-row done latch: converged rows must
             # stop acquiring (the XLA while_loop exits per instance —
@@ -437,7 +515,8 @@ def _gomp_fused_shard_body(A_local, Ac_local, Bs_local, l: int, k: int,
 def gomp_sharded_fused(A, Bs, l: int, k: int, mesh: Mesh,
                        max_residual: float = 0.0,
                        atoms_axis: str = "atoms", batch_axis: str = "batch",
-                       corr_dtype=jnp.bfloat16, interpret: bool = False):
+                       corr_dtype=jnp.bfloat16, interpret: bool = False,
+                       fuse_collectives: bool | None = None):
     """Column-sharded batched GOMP with per-shard streaming top-l
     selection kernels — the multi-chip path for l-atoms-per-step pursuit
     at beyond-VMEM dictionary scale. Semantics of cstpu.gomp."""
@@ -447,12 +526,15 @@ def gomp_sharded_fused(A, Bs, l: int, k: int, mesh: Mesh,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fuse_collectives = _resolve_fuse(fuse_collectives, m, A.dtype,
+                                     "gomp_sharded_fused")
     _require_stream_ok(n, m // n_shards, Bs.shape[0],
                        mesh.shape[batch_axis], corr_dtype,
                        "gomp_sharded_fused")
     fn = _gomp_sharded_fused_jit(mesh, atoms_axis, batch_axis, l, k, k % l,
                                  m, float(max_residual), A.dtype.name,
-                                 jnp.dtype(corr_dtype).name, bool(interpret))
+                                 jnp.dtype(corr_dtype).name, bool(interpret),
+                                 fuse_collectives)
     return fn(A, jnp.asarray(A, corr_dtype), Bs)
 
 
@@ -460,14 +542,16 @@ def gomp_sharded_fused(A, Bs, l: int, k: int, mesh: Mesh,
 def _gomp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
                             l: int, k: int, rem: int, m: int,
                             max_residual: float, dtype_name: str,
-                            corr_dtype_name: str, interpret: bool):
+                            corr_dtype_name: str, interpret: bool,
+                            fuse_collectives: bool = False):
     dtype = jnp.dtype(dtype_name)
     eps = jnp.asarray(max_residual, dtype)
 
     def shard_fn(A_local, Ac_local, Bs_local):
         return _gomp_fused_shard_body(A_local, Ac_local, Bs_local, l=l,
                                       k=k, rem=rem, eps=eps, m=m,
-                                      axis=atoms_axis, interpret=interpret)
+                                      axis=atoms_axis, interpret=interpret,
+                                      fuse_collectives=fuse_collectives)
 
     from cstpu.utils.sparse import SparseSolution
     out_struct = SparseSolution(
@@ -515,11 +599,14 @@ def _prune_to_k(st, b, k: int, m: int):
 
 
 def _sp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, maxiter: int,
-                         delta, m: int, axis: str, interpret: bool):
+                         delta, m: int, axis: str, interpret: bool,
+                         fuse_collectives: bool):
     """Batched SP over a column shard: oblivious top-k init, then per
     iteration a streaming top-k kernel sweep + all-gather merge expands
     the support to <= 2k, and the prune to the k largest |coefficients|
-    rebuilds from cached columns. Parity: cstpu.models.twostage._sp."""
+    rebuilds from cached columns. With fuse_collectives the k candidate
+    columns ride the merge's all-gather (one collective round per
+    iteration instead of k + 2). Parity: cstpu.models.twostage._sp."""
     from cstpu.ops.stream_select import correlate_select_topl_stream
 
     B, n = Bs_local.shape
@@ -533,9 +620,14 @@ def _sp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, maxiter: int,
     def acquire(st, r, gate):
         lval, lidx = correlate_select_topl_stream(
             Ac_local, r, k, interpret=interpret)
-        gidx = shard * m_local + lidx.astype(jnp.int32)
-        for gsel in _merge_topl(lval, gidx, k, axis):
-            col, _ = _bcast_cols(A_local, gsel, axis)
+        if fuse_collectives:
+            gsels, colss = _merge_topl_bcast_fused(
+                A_local, lval, lidx, k, axis)
+        else:
+            gidx = shard * m_local + lidx.astype(jnp.int32)
+            gsels = _merge_topl(lval, gidx, k, axis)
+            colss = [_bcast_cols(A_local, gsel, axis)[0] for gsel in gsels]
+        for gsel, col in zip(gsels, colss):
             present = jax.vmap(aset.contains)(st, gsel)
             ok = ~present & (st.k < cap) & gate
             st = jax.vmap(aset.append_col_gated)(
@@ -573,7 +665,8 @@ def _sp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, maxiter: int,
 def sp_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
                      maxiter: int | None = None,
                      atoms_axis: str = "atoms", batch_axis: str = "batch",
-                     corr_dtype=jnp.bfloat16, interpret: bool = False):
+                     corr_dtype=jnp.bfloat16, interpret: bool = False,
+                     fuse_collectives: bool | None = None):
     """Column-sharded batched Subspace Pursuit with per-shard streaming
     top-k selection kernels. Semantics of cstpu.sp."""
     n, m = A.shape
@@ -584,12 +677,15 @@ def sp_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fuse_collectives = _resolve_fuse(fuse_collectives, m, A.dtype,
+                                     "sp_sharded_fused")
     _require_stream_ok(n, m // n_shards, Bs.shape[0],
                        mesh.shape[batch_axis], corr_dtype,
                        "sp_sharded_fused")
     fn = _sp_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, maxiter, m,
                                float(delta), A.dtype.name,
-                               jnp.dtype(corr_dtype).name, bool(interpret))
+                               jnp.dtype(corr_dtype).name, bool(interpret),
+                               fuse_collectives)
     return fn(A, jnp.asarray(A, corr_dtype), Bs)
 
 
@@ -597,14 +693,15 @@ def sp_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
 def _sp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
                           k: int, maxiter: int, m: int, delta: float,
                           dtype_name: str, corr_dtype_name: str,
-                          interpret: bool):
+                          interpret: bool, fuse_collectives: bool = False):
     dtype = jnp.dtype(dtype_name)
     delta_ = jnp.asarray(delta, dtype)
 
     def shard_fn(A_local, Ac_local, Bs_local):
         return _sp_fused_shard_body(A_local, Ac_local, Bs_local, k=k,
                                     maxiter=maxiter, delta=delta_, m=m,
-                                    axis=atoms_axis, interpret=interpret)
+                                    axis=atoms_axis, interpret=interpret,
+                                    fuse_collectives=fuse_collectives)
 
     from cstpu.utils.sparse import SparseSolution
     out_struct = SparseSolution(
@@ -623,7 +720,8 @@ def _sp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
 
 
 def _fr_fused_shard_body(A_local, Ac_local, Bs_local, k: int, max_eps,
-                         min_delta, m: int, axis: str, interpret: bool):
+                         min_delta, m: int, axis: str, interpret: bool,
+                         fuse_collectives: bool):
     """Batched forward regression over a column shard.
 
     Each shard keeps the OLS rescaling for ITS atoms (B, m_local); the
@@ -659,14 +757,19 @@ def _fr_fused_shard_body(A_local, Ac_local, Bs_local, k: int, max_eps,
         il2c = jnp.stack([il, jnp.full_like(il, -1)], axis=1)
         dmax_l, lidx, resc = fr_step_select(
             Ac_local, r, W, il2c, cn2, resc, deg, interpret=interpret)
-        gidx = shard * m_local + lidx.astype(jnp.int32)
-        dmax = lax.pmax(dmax_l, axis)
-        cand = jnp.where(dmax_l == dmax, gidx, INT_MAX)
-        gsel = lax.pmin(cand, axis)                              # (B,)
+        if fuse_collectives:
+            acol, gsel, dmax = _select_bcast_fused(
+                A_local, dmax_l, lidx, axis)
+            owner = (gsel // m_local) == shard
+        else:
+            gidx = shard * m_local + lidx.astype(jnp.int32)
+            dmax = lax.pmax(dmax_l, axis)
+            cand = jnp.where(dmax_l == dmax, gidx, INT_MAX)
+            gsel = lax.pmin(cand, axis)                          # (B,)
+            acol, owner = _bcast_cols(A_local, gsel, axis)
         rnorm2 = jnp.sum(r * r, axis=1)
         accept = (~done & (rnorm2 > max_eps2) & (dmax > min_d2)
                   & (st.k < kcap))
-        acol, owner = _bcast_cols(A_local, gsel, axis)
 
         # w for the NEXT sweep's rescaling downdate (pre-append state)
         W2 = jax.vmap(_w_of)(st, acol) * accept[:, None]
@@ -690,7 +793,8 @@ def _fr_fused_shard_body(A_local, Ac_local, Bs_local, k: int, max_eps,
 def fr_sharded_fused(A, Bs, sparsity: int, mesh: Mesh,
                      max_residual: float = 0.0, min_decrease: float = 0.0,
                      atoms_axis: str = "atoms", batch_axis: str = "batch",
-                     corr_dtype=jnp.bfloat16, interpret: bool = False):
+                     corr_dtype=jnp.bfloat16, interpret: bool = False,
+                     fuse_collectives: bool | None = None):
     """Column-sharded batched forward regression (OLS rule) with the
     combined rescaling+select streaming kernel. Semantics of cstpu.fr
     with a sparsity cap."""
@@ -699,13 +803,15 @@ def fr_sharded_fused(A, Bs, sparsity: int, mesh: Mesh,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fuse_collectives = _resolve_fuse(fuse_collectives, m, A.dtype,
+                                     "fr_sharded_fused")
     _require_stream_ok(n, m // n_shards, Bs.shape[0],
                        mesh.shape[batch_axis], corr_dtype,
                        "fr_sharded_fused")
     fn = _fr_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, m,
                                float(max_residual), float(min_decrease),
                                A.dtype.name, jnp.dtype(corr_dtype).name,
-                               bool(interpret))
+                               bool(interpret), fuse_collectives)
     return fn(A, jnp.asarray(A, corr_dtype), Bs)
 
 
@@ -713,7 +819,8 @@ def fr_sharded_fused(A, Bs, sparsity: int, mesh: Mesh,
 def _fr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
                           k: int, m: int, max_residual: float,
                           min_decrease: float, dtype_name: str,
-                          corr_dtype_name: str, interpret: bool):
+                          corr_dtype_name: str, interpret: bool,
+                          fuse_collectives: bool = False):
     dtype = jnp.dtype(dtype_name)
     eps = jnp.asarray(max_residual, dtype)
     mind = jnp.asarray(min_decrease, dtype)
@@ -721,7 +828,8 @@ def _fr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
     def shard_fn(A_local, Ac_local, Bs_local):
         return _fr_fused_shard_body(A_local, Ac_local, Bs_local, k=k,
                                     max_eps=eps, min_delta=mind, m=m,
-                                    axis=atoms_axis, interpret=interpret)
+                                    axis=atoms_axis, interpret=interpret,
+                                    fuse_collectives=fuse_collectives)
 
     from cstpu.utils.sparse import SparseSolution
     out_struct = SparseSolution(
@@ -740,7 +848,8 @@ def _fr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
 
 
 def _mp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, m: int,
-                         axis: str, interpret: bool):
+                         axis: str, interpret: bool,
+                         fuse_collectives: bool):
     """Batched matching pursuit over a column shard: the coefficient
     vector stays SHARDED with the atoms (each shard owns x for its
     columns); per step the streaming select kernel finds the global best
@@ -764,11 +873,15 @@ def _mp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, m: int,
         # computed in exact f32 from the broadcast column below either way
         lval, lidx = correlate_select_stream(Ac_local, r,
                                              interpret=interpret)
-        gidx = shard * m_local + lidx.astype(jnp.int32)
-        gmax = lax.pmax(lval, axis)
-        cand = jnp.where(lval == gmax, gidx, INT_MAX)
-        gsel = lax.pmin(cand, axis)                              # (B,)
-        col, owner = _bcast_cols(A_local, gsel, axis)
+        if fuse_collectives:
+            col, gsel, _ = _select_bcast_fused(A_local, lval, lidx, axis)
+            owner = (gsel // m_local) == shard
+        else:
+            gidx = shard * m_local + lidx.astype(jnp.int32)
+            gmax = lax.pmax(lval, axis)
+            cand = jnp.where(lval == gmax, gidx, INT_MAX)
+            gsel = lax.pmin(cand, axis)                          # (B,)
+            col, owner = _bcast_cols(A_local, gsel, axis)
         p = jnp.sum(r * col, axis=1)                             # signed
         sel_local = jnp.where(owner, gsel % m_local, -1)
         x_local = x_local + jnp.where(
@@ -783,7 +896,8 @@ def _mp_fused_shard_body(A_local, Ac_local, Bs_local, k: int, m: int,
 
 def mp_sharded_fused(A, Bs, k: int, mesh: Mesh,
                      atoms_axis: str = "atoms", batch_axis: str = "batch",
-                     corr_dtype=jnp.bfloat16, interpret: bool = False):
+                     corr_dtype=jnp.bfloat16, interpret: bool = False,
+                     fuse_collectives: bool | None = None):
     """Column-sharded batched matching pursuit via the streaming select
     kernel. Returns the dense (B, m) coefficients (sharded over both mesh
     axes). Semantics of cstpu.mp; shards are merged on the kernel's own
@@ -794,22 +908,26 @@ def mp_sharded_fused(A, Bs, k: int, mesh: Mesh,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fuse_collectives = _resolve_fuse(fuse_collectives, m, A.dtype,
+                                     "mp_sharded_fused")
     _require_stream_ok(n, m // n_shards, Bs.shape[0],
                        mesh.shape[batch_axis], corr_dtype,
                        "mp_sharded_fused")
     fn = _mp_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, m,
                                A.dtype.name, jnp.dtype(corr_dtype).name,
-                               bool(interpret))
+                               bool(interpret), fuse_collectives)
     return fn(A, jnp.asarray(A, corr_dtype), Bs)
 
 
 @lru_cache(maxsize=64)
 def _mp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
                           k: int, m: int, dtype_name: str,
-                          corr_dtype_name: str, interpret: bool):
+                          corr_dtype_name: str, interpret: bool,
+                          fuse_collectives: bool = False):
     def shard_fn(A_local, Ac_local, Bs_local):
         return _mp_fused_shard_body(A_local, Ac_local, Bs_local, k=k, m=m,
-                                    axis=atoms_axis, interpret=interpret)
+                                    axis=atoms_axis, interpret=interpret,
+                                    fuse_collectives=fuse_collectives)
 
     return jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
@@ -822,7 +940,7 @@ def _mp_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
 
 def _ompr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
                            maxiter: int, delta, eta, m: int, axis: str,
-                           interpret: bool):
+                           interpret: bool, fuse_collectives: bool):
     """Batched OMPR over a column shard: the passive-atom gradient
     selection reduces to a MASKED top-1 |corr| sweep (off-support the
     dense coefficient is zero, so the score is eta*|<a,r>|), the active
@@ -856,9 +974,13 @@ def _ompr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
     st = st0
     lval, lidx = correlate_select_topl_stream(
         Ac_local, Bs_local, k, interpret=interpret)
-    gidx = shard * m_local + lidx.astype(jnp.int32)
-    for gsel in _merge_topl(lval, gidx, k, axis):
-        owner, col = bcast_col(gsel)
+    if fuse_collectives:
+        gsels, colss = _merge_topl_bcast_fused(A_local, lval, lidx, k, axis)
+    else:
+        gidx = shard * m_local + lidx.astype(jnp.int32)
+        gsels = _merge_topl(lval, gidx, k, axis)
+        colss = [bcast_col(gsel)[1] for gsel in gsels]
+    for gsel, col in zip(gsels, colss):
         present = jax.vmap(aset.contains)(st, gsel)
         ok = ~present
         st = jax.vmap(aset.append_col_gated)(col, Bs_local, st, gsel, ok)
@@ -875,14 +997,17 @@ def _ompr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
         r = jax.vmap(aset.residual)(st, Bs_local)
         lval, lidx = correlate_select_masked_stream(
             Ac_local, r, M, interpret=interpret)
-        gidx = shard * m_local + lidx.astype(jnp.int32)
-        gmax = lax.pmax(lval, axis)
-        cand = jnp.where(lval == gmax, gidx, INT_MAX)
-        gsel = lax.pmin(cand, axis)
+        if fuse_collectives:
+            col, gsel, gmax = _select_bcast_fused(A_local, lval, lidx, axis)
+        else:
+            gidx = shard * m_local + lidx.astype(jnp.int32)
+            gmax = lax.pmax(lval, axis)
+            cand = jnp.where(lval == gmax, gidx, INT_MAX)
+            gsel = lax.pmin(cand, axis)
+            _, col = bcast_col(gsel)
         nochange = ~(gmax > 0)            # reference's i == 0 bail-out
         act = ~done & ~nochange
 
-        owner, col = bcast_col(gsel)
         st2 = jax.vmap(aset.append_col_gated)(
             col, Bs_local, st, gsel, act)
         # gradient coefficient step over the (new) active set
@@ -915,7 +1040,8 @@ def ompr_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
                        eta: float = 1.0, maxiter: int | None = None,
                        atoms_axis: str = "atoms",
                        batch_axis: str = "batch",
-                       corr_dtype=jnp.bfloat16, interpret: bool = False):
+                       corr_dtype=jnp.bfloat16, interpret: bool = False,
+                       fuse_collectives: bool | None = None):
     """Column-sharded batched OMP-with-replacement via the masked
     streaming select kernel. Semantics of cstpu.ompr."""
     n, m = A.shape
@@ -924,13 +1050,15 @@ def ompr_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fuse_collectives = _resolve_fuse(fuse_collectives, m, A.dtype,
+                                     "ompr_sharded_fused")
     _require_stream_ok(n, m // n_shards, Bs.shape[0],
                        mesh.shape[batch_axis], corr_dtype,
                        "ompr_sharded_fused")
     fn = _ompr_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, maxiter,
                                  m, float(delta), float(eta), A.dtype.name,
                                  jnp.dtype(corr_dtype).name,
-                                 bool(interpret))
+                                 bool(interpret), fuse_collectives)
     return fn(A, jnp.asarray(A, corr_dtype), Bs)
 
 
@@ -938,7 +1066,8 @@ def ompr_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
 def _ompr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
                             k: int, maxiter: int, m: int, delta: float,
                             eta: float, dtype_name: str,
-                            corr_dtype_name: str, interpret: bool):
+                            corr_dtype_name: str, interpret: bool,
+                            fuse_collectives: bool = False):
     dtype = jnp.dtype(dtype_name)
     delta_ = jnp.asarray(delta, dtype)
     eta_ = jnp.asarray(eta, dtype)
@@ -947,7 +1076,8 @@ def _ompr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
         return _ompr_fused_shard_body(A_local, Ac_local, Bs_local, k=k,
                                       maxiter=maxiter, delta=delta_,
                                       eta=eta_, m=m, axis=atoms_axis,
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      fuse_collectives=fuse_collectives)
 
     from cstpu.utils.sparse import SparseSolution
     out_struct = SparseSolution(
@@ -967,7 +1097,7 @@ def _ompr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
 
 def _srr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
                           maxiter: int, delta, m: int, axis: str,
-                          interpret: bool):
+                          interpret: bool, fuse_collectives: bool):
     """Batched SRR (l=1, oblivious init) over a column shard.
 
     Forward steps ride fr_step_select with BOTH deferred rescaling
@@ -1004,10 +1134,15 @@ def _srr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
     st = st0
     lval, lidx = correlate_select_topl_stream(
         Ac_local, Bs_local, k, interpret=interpret)
-    gidx = shard * m_local + lidx.astype(jnp.int32)
+    if fuse_collectives:
+        gsels, colss = _merge_topl_bcast_fused(A_local, lval, lidx, k, axis)
+    else:
+        gidx = shard * m_local + lidx.astype(jnp.int32)
+        gsels = _merge_topl(lval, gidx, k, axis)
+        colss = [bcast_col(gsel)[1] for gsel in gsels]
     active_local = jnp.zeros((B, m_local), bool)
-    for gsel in _merge_topl(lval, gidx, k, axis):
-        owner, col = bcast_col(gsel)
+    for gsel, col in zip(gsels, colss):
+        owner = (gsel // m_local) == shard
         present = jax.vmap(aset.contains)(st, gsel)
         ok = ~present
         st = jax.vmap(aset.append_col_gated)(col, Bs_local, st, gsel, ok)
@@ -1019,7 +1154,7 @@ def _srr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
     Z = jax.vmap(lambda s: s.cols.T @ Af32)(st)           # (B, kmax, ml)
     GZ = jax.vmap(lambda s, z: s.Ginv @ z)(st, Z)
     resc = jnp.broadcast_to(cn2, (B, m_local)) - jnp.sum(Z * GZ, axis=1)
-    resc = jnp.where(active_local, -1.0, resc)
+    resc = jnp.where(active_local, -1.0, resc).astype(jnp.float32)
 
     res0 = jnp.linalg.norm(jax.vmap(aset.residual)(st, Bs_local), axis=1)
     W0 = jnp.zeros((B, n), jnp.float32)
@@ -1037,13 +1172,18 @@ def _srr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
         dmax_l, lidx, resc = fr_step_select(
             Ac_local, r, W, il2c, cn2, resc, deg, V=V,
             interpret=interpret)
-        gidx = shard * m_local + lidx.astype(jnp.int32)
-        dmax = lax.pmax(dmax_l, axis)
-        cand = jnp.where(dmax_l == dmax, gidx, INT_MAX)
-        gsel = lax.pmin(cand, axis)
+        if fuse_collectives:
+            col, gsel, dmax = _select_bcast_fused(
+                A_local, dmax_l, lidx, axis)
+            owner = (gsel // m_local) == shard
+        else:
+            gidx = shard * m_local + lidx.astype(jnp.int32)
+            dmax = lax.pmax(dmax_l, axis)
+            cand = jnp.where(dmax_l == dmax, gidx, INT_MAX)
+            gsel = lax.pmin(cand, axis)
+            owner, col = bcast_col(gsel)
         rnorm2 = jnp.sum(r * r, axis=1)
         accept = gate & (rnorm2 > 0) & (dmax > 0) & (st.k < kmax)
-        owner, col = bcast_col(gsel)
         W2 = jax.vmap(_w_of)(st, col) * accept[:, None]
         ilm2 = jnp.where(accept & owner,
                          (gsel % m_local).astype(jnp.int32), -1)
@@ -1064,9 +1204,9 @@ def _srr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
         ep = jax.nn.one_hot(pos, kmax, dtype=jnp.float32)
         qv = jax.vmap(lambda s, e: s.Ginv @ e)(st2, ep)
         qpp = jnp.sum(qv * ep, axis=1)
-        V2 = jax.vmap(lambda s, q: s.cols @ q)(st2, qv) \
-            * (jnp.sqrt(1.0 / jnp.maximum(qpp, 1e-30))
-               * dodel.astype(jnp.float32))[:, None]
+        V2 = (jax.vmap(lambda s, q: s.cols @ q)(st2, qv)
+              * (jnp.sqrt(1.0 / jnp.maximum(qpp, 1e-30))
+                 * dodel.astype(jnp.float32))[:, None]).astype(jnp.float32)
         downer = (didx // m_local) == shard
         ilr2 = jnp.where(dodel & downer,
                          (didx % m_local).astype(jnp.int32), -1)
@@ -1099,7 +1239,8 @@ def _srr_fused_shard_body(A_local, Ac_local, Bs_local, k: int,
 def srr_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
                       maxiter: int | None = None,
                       atoms_axis: str = "atoms", batch_axis: str = "batch",
-                      corr_dtype=jnp.bfloat16, interpret: bool = False):
+                      corr_dtype=jnp.bfloat16, interpret: bool = False,
+                      fuse_collectives: bool | None = None):
     """Column-sharded batched SRR (l=1, oblivious init) — one streamed
     dictionary pass per replacement iteration. Semantics of cstpu.srr."""
     n, m = A.shape
@@ -1108,13 +1249,15 @@ def srr_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fuse_collectives = _resolve_fuse(fuse_collectives, m, A.dtype,
+                                     "srr_sharded_fused")
     _require_stream_ok(n, m // n_shards, Bs.shape[0],
                        mesh.shape[batch_axis], corr_dtype,
                        "srr_sharded_fused")
     fn = _srr_sharded_fused_jit(mesh, atoms_axis, batch_axis, k, maxiter,
                                 m, float(delta), A.dtype.name,
                                 jnp.dtype(corr_dtype).name,
-                                bool(interpret))
+                                bool(interpret), fuse_collectives)
     return fn(A, jnp.asarray(A, corr_dtype), Bs)
 
 
@@ -1122,14 +1265,15 @@ def srr_sharded_fused(A, Bs, k: int, mesh: Mesh, delta: float = 1e-12,
 def _srr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
                            k: int, maxiter: int, m: int, delta: float,
                            dtype_name: str, corr_dtype_name: str,
-                           interpret: bool):
+                           interpret: bool, fuse_collectives: bool = False):
     dtype = jnp.dtype(dtype_name)
     delta_ = jnp.asarray(delta, dtype)
 
     def shard_fn(A_local, Ac_local, Bs_local):
         return _srr_fused_shard_body(A_local, Ac_local, Bs_local, k=k,
                                      maxiter=maxiter, delta=delta_, m=m,
-                                     axis=atoms_axis, interpret=interpret)
+                                     axis=atoms_axis, interpret=interpret,
+                                     fuse_collectives=fuse_collectives)
 
     from cstpu.utils.sparse import SparseSolution
     kmax = min(k + 1, m)
@@ -1150,7 +1294,8 @@ def _srr_sharded_fused_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
 
 def _rmp_fused_shard_body(A_local, Ac_local, Bs_local, kmax: int,
                           maxiter: int, delta2, m: int, axis: str,
-                          interpret: bool, foba: bool):
+                          interpret: bool, foba: bool,
+                          fuse_collectives: bool):
     """Batched RMP (delta variant) or FoBa over a column shard.
 
     Forward steps ride fr_step_select (one streamed pass each, the
@@ -1179,17 +1324,22 @@ def _rmp_fused_shard_body(A_local, Ac_local, Bs_local, kmax: int,
         il2c = jnp.stack([il, jnp.full_like(il, -1)], axis=1)
         dmax_l, lidx, resc = fr_step_select(
             Ac_local, r, W, il2c, cn2, resc, deg, interpret=interpret)
-        gidx = shard * m_local + lidx.astype(jnp.int32)
-        dmax = lax.pmax(dmax_l, axis)
-        cand = jnp.where(dmax_l == dmax, gidx, INT_MAX)
-        gsel = lax.pmin(cand, axis)
+        if fuse_collectives:
+            acol, gsel, dmax = _select_bcast_fused(
+                A_local, dmax_l, lidx, axis)
+            owner = (gsel // m_local) == shard
+        else:
+            gidx = shard * m_local + lidx.astype(jnp.int32)
+            dmax = lax.pmax(dmax_l, axis)
+            cand = jnp.where(dmax_l == dmax, gidx, INT_MAX)
+            gsel = lax.pmin(cand, axis)
+            acol, owner = _bcast_cols(A_local, gsel, axis)
         rnorm2 = jnp.sum(r * r, axis=1)
         limit = jnp.minimum(n, m)
         wanted = gate & (rnorm2 > 0) & (dmax > delta2) & (st.k < limit)
         full = st.k >= kmax
         accept = wanted & ~full
         capped = capped | (wanted & full)
-        acol, owner = _bcast_cols(A_local, gsel, axis)
         W2 = jax.vmap(_w_of)(st, acol) * accept[:, None]
         il2 = jnp.where(accept & owner,
                         (gsel % m_local).astype(jnp.int32), -1)
@@ -1213,8 +1363,9 @@ def _rmp_fused_shard_body(A_local, Ac_local, Bs_local, kmax: int,
         ep = jax.nn.one_hot(pos, st.idx.shape[1], dtype=jnp.float32)
         qv = jax.vmap(lambda s, e: s.Ginv @ e)(st, ep)
         qpp = jnp.sum(qv * ep, axis=1)
-        v = jax.vmap(lambda s, q: s.cols @ q)(st, qv) \
-            * (jnp.sqrt(1.0 / jnp.maximum(qpp, 1e-30)))[:, None]
+        v = (jax.vmap(lambda s, q: s.cols @ q)(st, qv)
+             * (jnp.sqrt(1.0 / jnp.maximum(qpp, 1e-30)))[:, None]
+             ).astype(jnp.float32)
         return pos, dmin, didx, v
 
     def apply_delete(st, resc, pos, didx, v, acc, skip_resc):
@@ -1320,18 +1471,21 @@ def _rmp_fused_shard_body(A_local, Ac_local, Bs_local, kmax: int,
 
 def _rmp_foba_sharded(A, Bs, mesh: Mesh, kmax: int, maxiter: int,
                       delta: float, atoms_axis: str, batch_axis: str,
-                      corr_dtype, interpret: bool, foba: bool):
+                      corr_dtype, interpret: bool, foba: bool,
+                      fuse_collectives):
     n, m = A.shape
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
         raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    fuse_collectives = _resolve_fuse(fuse_collectives, m, A.dtype,
+                                     "rmp/foba_sharded_fused")
     _require_stream_ok(n, m // n_shards, Bs.shape[0],
                        mesh.shape[batch_axis], corr_dtype,
                        "rmp/foba_sharded_fused")
     fn = _rmp_sharded_jit(mesh, atoms_axis, batch_axis, int(kmax),
                           int(maxiter), m, float(delta) ** 2, A.dtype.name,
                           jnp.dtype(corr_dtype).name, bool(interpret),
-                          bool(foba))
+                          bool(foba), fuse_collectives)
     idx, val, mask, capped = fn(A, jnp.asarray(A, corr_dtype), Bs)
     from cstpu.utils.sparse import SparseSolution
     return SparseSolution(idx=idx, val=val, mask=mask, m=m), capped
@@ -1340,30 +1494,33 @@ def _rmp_foba_sharded(A, Bs, mesh: Mesh, kmax: int, maxiter: int,
 def rmp_sharded_fused(A, Bs, delta: float, mesh: Mesh, kmax: int = 32,
                       maxiter: int = 1, atoms_axis: str = "atoms",
                       batch_axis: str = "batch", corr_dtype=jnp.bfloat16,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      fuse_collectives: bool | None = None):
     """Column-sharded batched RMP (delta variant) with the kmax-cap +
     `capped` contract. Returns (SparseSolution, capped (B,) bool)."""
     return _rmp_foba_sharded(A, Bs, mesh, kmax, maxiter, delta,
                              atoms_axis, batch_axis, corr_dtype, interpret,
-                             foba=False)
+                             foba=False, fuse_collectives=fuse_collectives)
 
 
 def foba_sharded_fused(A, Bs, delta: float, mesh: Mesh, kmax: int = 32,
                        atoms_axis: str = "atoms", batch_axis: str = "batch",
-                       corr_dtype=jnp.bfloat16, interpret: bool = False):
+                       corr_dtype=jnp.bfloat16, interpret: bool = False,
+                       fuse_collectives: bool | None = None):
     """Column-sharded batched FoBa (half-the-last-gain backward rule).
     Returns (SparseSolution, capped (B,) bool)."""
     n = A.shape[0]
     return _rmp_foba_sharded(A, Bs, mesh, kmax, int(n), delta,
                              atoms_axis, batch_axis, corr_dtype, interpret,
-                             foba=True)
+                             foba=True, fuse_collectives=fuse_collectives)
 
 
 @lru_cache(maxsize=64)
 def _rmp_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
                      kmax: int, maxiter: int, m: int, delta2: float,
                      dtype_name: str, corr_dtype_name: str,
-                     interpret: bool, foba: bool):
+                     interpret: bool, foba: bool,
+                     fuse_collectives: bool = False):
     dtype = jnp.dtype(dtype_name)
     d2 = jnp.asarray(delta2, dtype)
 
@@ -1371,7 +1528,8 @@ def _rmp_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
         return _rmp_fused_shard_body(A_local, Ac_local, Bs_local,
                                      kmax=kmax, maxiter=maxiter, delta2=d2,
                                      m=m, axis=atoms_axis,
-                                     interpret=interpret, foba=foba)
+                                     interpret=interpret, foba=foba,
+                                     fuse_collectives=fuse_collectives)
 
     return jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,

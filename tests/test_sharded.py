@@ -463,17 +463,75 @@ def test_fused_collectives_identical_selection(mesh):
 def test_fused_collectives_gate():
     # m >= 2^24 cannot carry the index exactly in the f32 payload: the
     # explicit opt-in must be rejected (auto would silently pick the
-    # 3-collective path)
+    # 3-collective path). The gate fires on (shape, dtype) alone — a
+    # ShapeDtypeStruct avoids materializing the 512 MB dictionary
     import pytest
 
     from cstpu.parallel.mesh import make_mesh
     from cstpu.parallel.sharded import omp_sharded_fused
 
     mesh = make_mesh((1, 8))
-    A = jnp.zeros((8, 1 << 24), jnp.float32)
+    A = jax.ShapeDtypeStruct((8, 1 << 24), jnp.float32)
     Bs = jnp.zeros((8, 8), jnp.float32)
     with pytest.raises(ValueError, match="fuse_collectives"):
         omp_sharded_fused(A, Bs, 2, mesh, fuse_collectives=True)
+    # f64 payload carries the index exactly up to 2^53: same m resolves ON
+    from cstpu.parallel.sharded import _resolve_fuse
+
+    assert _resolve_fuse(None, 1 << 24, jnp.float64, "t") is True
+    assert _resolve_fuse(None, 1 << 24, jnp.float32, "t") is False
+
+
+@pytest.mark.parametrize("dtype_name", ["float32", "float64"])
+def test_fused_collectives_identity_all_bodies(mesh, dtype_name):
+    # every hybrid sharded body must make bit-identical SELECTIONS with
+    # fuse_collectives on and off (SURVEY.md:332 propagated to all 9
+    # bodies); the f64 case additionally pins the payload dtype — the
+    # shipped column must keep the dictionary's full precision, so the
+    # coefficients agree to f64 resolution, not f32 (ADVICE round-2)
+    from cstpu.parallel import sharded as sh
+
+    dtype = jnp.dtype(dtype_name)
+    kd, kn = jax.random.split(jax.random.PRNGKey(93))
+    A, x, b = sparse_data(kd, n=64, m=1024, k=5, dtype=dtype)
+    Bs = jnp.stack([b, perturb(kn, b, DELTA / 2)] * 4)
+    kw = dict(corr_dtype=jnp.float32, interpret=True)
+    rtol = 1e-6 if dtype == jnp.float32 else 1e-13
+
+    cases = {
+        "omp": lambda fc: sh.omp_sharded_fused(
+            A, Bs, 5, mesh, fuse_collectives=fc, **kw),
+        "gomp": lambda fc: sh.gomp_sharded_fused(
+            A, Bs, 2, 7, mesh, fuse_collectives=fc, **kw),
+        "sp": lambda fc: sh.sp_sharded_fused(
+            A, Bs, 5, mesh, fuse_collectives=fc, **kw),
+        "fr": lambda fc: sh.fr_sharded_fused(
+            A, Bs, 5, mesh, fuse_collectives=fc, **kw),
+        "ompr": lambda fc: sh.ompr_sharded_fused(
+            A, Bs, 5, mesh, fuse_collectives=fc, **kw),
+        "srr": lambda fc: sh.srr_sharded_fused(
+            A, Bs, 5, mesh, fuse_collectives=fc, **kw),
+        "rmp": lambda fc: sh.rmp_sharded_fused(
+            A, Bs, 1e-3, mesh, kmax=16, fuse_collectives=fc, **kw)[0],
+        "foba": lambda fc: sh.foba_sharded_fused(
+            A, Bs, 1e-3, mesh, kmax=16, fuse_collectives=fc, **kw)[0],
+    }
+    for name, run in cases.items():
+        fused, triple = run(True), run(False)
+        np.testing.assert_array_equal(
+            np.asarray(fused.idx), np.asarray(triple.idx),
+            err_msg=f"{name}: fused selection diverged")
+        np.testing.assert_array_equal(
+            np.asarray(fused.mask), np.asarray(triple.mask),
+            err_msg=f"{name}: fused mask diverged")
+        np.testing.assert_allclose(
+            np.asarray(fused.val), np.asarray(triple.val), rtol=rtol,
+            atol=1e-30, err_msg=f"{name}: fused coefficients diverged")
+    # mp returns dense coefficients
+    xf = sh.mp_sharded_fused(A, Bs, 10, mesh, fuse_collectives=True, **kw)
+    xt = sh.mp_sharded_fused(A, Bs, 10, mesh, fuse_collectives=False, **kw)
+    np.testing.assert_allclose(np.asarray(xf), np.asarray(xt), rtol=rtol,
+                               atol=1e-30, err_msg="mp: fused diverged")
 
 
 def test_bp_sharded_matmul_precision_knob(mesh):
