@@ -461,7 +461,7 @@ def sbl_batch(A, Bs, sigma, maxiter=None, min_change: float = 1e-6):
                                    min_change=min_change))(jnp.asarray(Bs))
 
 
-def rmps_batch(A, Bs, sigma, fused: bool = False, **kw):
+def rmps_batch(A, Bs, sigma, **kw):
     """Batched RMPS over measurement rows Bs (B, n).
 
     On TPU with scalar noise this dispatches to the atom-sharded RMPS
@@ -472,28 +472,21 @@ def rmps_batch(A, Bs, sigma, fused: bool = False, **kw):
     on a single chip, and it scales over the atom axis. Returns dense
     (B, m) weights either way.
 
-    `fused=True` (TPU, scalar noise, supported shapes) runs the
-    per-instance fused kernel (cstpu.ops.fused_sbl.rmps_fused_solve):
-    one launch per outer iteration, the refresh/acquisition/deletion
-    stages in VMEM. Opt-in until measured to win on hardware.
+    (A per-instance whole-solve Pallas kernel existed through round 2
+    but lost every hardware A/B 3-5x to this atom-sharded XLA path —
+    the per-action serial chain cannot feed the MXU — and was removed;
+    see docs/DESIGN.md §3b.)
     """
     import jax.numpy as jnp
-
-    from cstpu.ops import fused_sbl
 
     A = jnp.asarray(A)
     Bs = jnp.asarray(Bs)
     shard_kw = {k_: v for k_, v in kw.items()
                 if k_ in ("maxiter", "maxiter_acquisition",
                           "maxiter_deletion", "min_increase")}
-    if (fused and A.dtype == jnp.float32
-            and jax.default_backend() == "tpu"
-            and shard_kw == kw
-            and fused_sbl.supported_rmps(A, Bs, sigma)):
-        return fused_sbl.rmps_fused_solve(A, Bs, sigma, **shard_kw)
     if (jax.default_backend() == "tpu" and Bs.ndim == 2
             and A.dtype == jnp.float32
-            and jnp.ndim(jnp.asarray(sigma)) == 0
+            and jnp.ndim(jnp.asarray(sigma)) in (0, 2)
             and shard_kw == kw):
         from cstpu.parallel.sharded_sbl import rmps_sharded
 
@@ -528,39 +521,23 @@ def rmps_estimate_noise_batch(A, Bs, sigma2_init: float = 1e-2,
         jnp.asarray(min_change, A.dtype)))(Bs)
 
 
-def fsbl_batch(A, Bs, sigma, maxiter=None, min_increase: float = 1e-6,
-               fused: bool = False):
+def fsbl_batch(A, Bs, sigma, maxiter=None, min_increase: float = 1e-6):
     """Batched fast SBL over measurement rows Bs (B, n) — dense (B, m) out.
 
-    With `fused=True` (TPU, scalar noise, supported shapes) this runs the
-    whole-solve fused FSBL kernel (cstpu.ops.fused_sbl, one instance per
-    grid program): the transposed dictionary, C^-1, and the S/Q factors
-    stay pinned in VMEM across every add/delete/re-estimate action,
-    everything in f32 (the SBL family is not precision-tolerant). The
-    default stays on the atom-sharded XLA path until the restructured
-    kernel has been timed on hardware (benchmarks/fsbl_kernel_ab.py; its
-    all-batch predecessor measured ~1.5x slower than XLA at n=128
-    m=1024 B=8). Opt in only where the kernel has been measured to win.
+    On TPU with scalar noise this rides the atom-sharded FSBL (measured
+    3.2x faster than the vmapped path at 1024x8192 on one chip). A
+    per-instance whole-solve Pallas kernel existed through round 2 but
+    lost every hardware A/B (fsbl 204-260 ms vs XLA 42-46 ms per
+    8-batch) — the greedy per-action serial chain starves the MXU — and
+    was removed; see docs/DESIGN.md §3b.
     """
     import jax.numpy as jnp
 
-    from cstpu.ops import fused_sbl
-
     A = jnp.asarray(A)
     Bs = jnp.asarray(Bs)
-    use_fused = (
-        fused
-        and A.dtype == jnp.float32
-        and Bs.ndim == 2
-        and jax.default_backend() == "tpu"
-        and fused_sbl.supported_fsbl(A, Bs, sigma)
-    )
-    if use_fused:
-        return fused_sbl.fsbl_fused_solve(A, Bs, sigma, maxiter,
-                                          min_increase)
     if (jax.default_backend() == "tpu" and Bs.ndim == 2
             and A.dtype == jnp.float32
-            and jnp.ndim(jnp.asarray(sigma)) == 0):
+            and jnp.ndim(jnp.asarray(sigma)) in (0, 2)):
         # atom-sharded FSBL on a one-device mesh: same greedy ascent, but
         # the posterior mean rides mu = Gamma A' C^-1 b (no (m, m) build)
         # — measured 3.2x faster than the vmapped path at 1024x8192

@@ -273,108 +273,17 @@ def test_ompr_fused_preappend_gradient_score():
             assert got == want, (seed, row, got, want)
 
 
-def test_fsbl_fused_matches_xla_path():
-    from cstpu import fsbl, perturb, sparse_data, support
-    from cstpu.ops.fused_sbl import fsbl_fused_solve
-
-    kd, kn = jax.random.split(jax.random.PRNGKey(900))
-    A, x, b = sparse_data(kd, n=32, m=128, k=3, dtype=jnp.float32)
-    sigma = 1e-2
-    y = perturb(kn, b, sigma)
-    Bs = jnp.stack([b, y])
-    xs = fsbl_fused_solve(A, Bs, sigma ** 2, interpret=True)
-    ref = jax.vmap(lambda bb: fsbl(A, bb, sigma ** 2))(Bs)
-    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref),
-                               atol=1e-4)
-    got = np.flatnonzero(np.abs(np.asarray(xs[1])) > sigma)
-    np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
-
-
-def test_fsbl_fused_delete_path_matches_xla():
-    # Correlated dictionary at small noise: the greedy ascent overshoots to
-    # 8 active atoms then DELETES back down to 3 (verified via fsbl_traced),
-    # exercising the kernel's delete/re-estimate branch — the trickiest
-    # gamma_change sign case (src/sbl.jl:319-321).
-    from cstpu import correlated_data, fsbl, perturb
-    from cstpu.ops.fused_sbl import fsbl_fused_solve
-
-    kd, kn = jax.random.split(jax.random.PRNGKey(0))
-    A, x, b = correlated_data(kd, n=32, m=128, k=3, dtype=jnp.float32)
-    y = perturb(kn, b, 1e-2)
-    Bs = jnp.stack([b, y])
-    xs = fsbl_fused_solve(A, Bs, 1e-4, interpret=True)
-    ref = jax.vmap(lambda bb: fsbl(A, bb, 1e-4))(Bs)
-    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-4)
-
-
-def test_rmps_fused_matches_xla_path():
-    # one kernel launch per outer iteration; Gaussian (add-dominated) and
-    # correlated (delete-heavy) problems cover all three in-kernel stages.
-    # Bitwise agreement with the XLA path holds on well-separated problems
-    # like these; on near-tied correlated problems the two exact-but-
-    # different refresh arithmetics can land in different valid optima
-    # (covered by the recovery sweep below).
-    from cstpu import correlated_data, perturb, rmps, sparse_data
-    from cstpu.ops.fused_sbl import rmps_fused_solve
-
-    for seed, gen in ((3, sparse_data), (0, correlated_data)):
-        kd, kn = jax.random.split(jax.random.PRNGKey(seed))
-        A, x, b = gen(kd, n=32, m=128, k=3, dtype=jnp.float32)
-        y = perturb(kn, b, 1e-2)
-        Bs = jnp.stack([b, y])
-        xs = rmps_fused_solve(A, Bs, 1e-4, interpret=True)
-        ref = jax.vmap(lambda bb: rmps(A, bb, 1e-4))(Bs)
-        np.testing.assert_allclose(np.asarray(xs), np.asarray(ref),
-                                   atol=1e-4)
-
-
-def test_rmps_fused_recovery_sweep():
-    # the conformance CONTRACT across fused/XLA: comparable solution
-    # quality, not bitwise coefficient equality (docs/DESIGN.md §3b
-    # caveat). Seeds 4/5 correlated are exactly the near-tied problems
-    # where the two paths' refresh arithmetics (Woodbury re-add vs
-    # Cholesky; and in this f64 suite, the kernel's pinned f32 vs the XLA
-    # path's f64) can pick different optima bitwise — residual fit must
-    # still agree to a few percent. The well-separated Gaussian problem
-    # additionally demands exact planted-support recovery from BOTH.
-    from cstpu import correlated_data, perturb, rmps, sparse_data, support
-    from cstpu.ops.fused_sbl import rmps_fused_solve
-
-    sigma = 1e-2
-    for seed, gen in ((4, correlated_data), (5, correlated_data),
-                      (7, sparse_data)):
-        kd, kn = jax.random.split(jax.random.PRNGKey(seed))
-        A, x, b = gen(kd, n=32, m=128, k=3, dtype=jnp.float32)
-        y = perturb(kn, b, sigma)
-        xs = rmps_fused_solve(A, y[None, :], sigma ** 2, interpret=True)
-        ref = rmps(A, y, sigma ** 2)
-        res_fused = float(jnp.linalg.norm(A @ xs[0] - y))
-        res_xla = float(jnp.linalg.norm(A @ ref - y))
-        assert res_fused <= 1.25 * res_xla + 1e-6, (seed, res_fused,
-                                                   res_xla)
-        assert res_xla <= 1.25 * res_fused + 1e-6, (seed, res_fused,
-                                                    res_xla)
-        if gen is sparse_data:
-            planted = set(np.asarray(support(x)).tolist())
-            for label, sol in (("fused", xs[0]), ("xla", ref)):
-                got = set(np.flatnonzero(
-                    np.abs(np.asarray(sol)) > sigma).tolist())
-                assert planted <= got, (seed, label, got, planted)
-
-
 def test_rmps_capped_acquisition_not_starved():
     # maxiter_acquisition=1 adds at most one atom per OUTER iteration, so
     # recovering k=3 needs >= 3 outer iterations. Right after an optimal
     # add the re-estimate gain is exactly zero in exact arithmetic — the
     # "deletion changed nothing" convergence test used to ride a +-ulp
     # sign here and could terminate on a 1-atom starved support. With the
-    # pending-adds guard both paths must keep iterating and recover.
-    # sparse_data seed 9 is a verified discriminator: the unguarded XLA
-    # path returns the single atom {102} on this well-separated Gaussian
-    # problem (where exact recovery is otherwise guaranteed); correlated
-    # seed 0 discriminates for the fused kernel's in-kernel guard.
+    # pending-adds guard the solver must keep iterating and recover.
+    # sparse_data seed 9 is a verified discriminator: the unguarded path
+    # returns the single atom {102} on this well-separated Gaussian
+    # problem (where exact recovery is otherwise guaranteed).
     from cstpu import correlated_data, perturb, rmps, sparse_data, support
-    from cstpu.ops.fused_sbl import rmps_fused_solve
 
     for seed, gen in ((9, sparse_data), (0, correlated_data)):
         kd, kn = jax.random.split(jax.random.PRNGKey(seed))
@@ -386,12 +295,6 @@ def test_rmps_capped_acquisition_not_starved():
         got_xla = set(np.flatnonzero(
             np.abs(np.asarray(ref)) > 1e-2).tolist())
         assert planted <= got_xla, (seed, got_xla, planted)
-
-        xs = rmps_fused_solve(A, y[None, :], 1e-4, maxiter_acquisition=1,
-                              interpret=True)
-        got_fused = set(np.flatnonzero(
-            np.abs(np.asarray(xs[0])) > 1e-2).tolist())
-        assert planted <= got_fused, (seed, got_fused, planted)
 
 
 def test_rmp_fused_matches_xla_path():
