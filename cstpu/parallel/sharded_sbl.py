@@ -15,8 +15,9 @@ local GEMV per shard — instead of the (m, m) normal-equations build the
 single-device path inherits from the reference (src/sbl.jl:131-143),
 which is infeasible at sharded scale anyway.
 
-Scalar noise only (C^-1 init is I/sigma^2); full-covariance noise stays
-on the single-device path.
+Noise may be a scalar variance or a full (n, n) covariance Sigma —
+Sigma is n x n and rides replicated (like C^-1), so nothing shards
+differently (parity: src/sbl.jl:10-17 accepts either everywhere).
 """
 
 from __future__ import annotations
@@ -29,23 +30,36 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cstpu.models.sbl import (_delta_add, _delta_delete, _delta_update,
-                              _f32_matmuls, _get_sq, _optimal_alpha)
+                              _f32_matmuls, _get_sq, _optimal_alpha,
+                              _sigma_matrix)
 
 INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-def _rebuild_C(A_local, gamma, sigma2, axis: str):
-    """C = sigma^2 I + A diag(gamma) A' rebuilt EXACTLY from per-shard
+def _check_sigma(sigma, n: int, entry: str) -> None:
+    nd = jnp.ndim(jnp.asarray(sigma))
+    if nd == 0:
+        return
+    if nd != 2 or jnp.shape(jnp.asarray(sigma)) != (n, n):
+        raise ValueError(
+            f"{entry}: sigma must be a scalar variance or an (n, n) "
+            f"covariance with n = {n}, got shape "
+            f"{jnp.shape(jnp.asarray(sigma))}")
+
+
+def _rebuild_C(A_local, gamma, sigma, axis: str):
+    """C = Sigma + A diag(gamma) A' rebuilt EXACTLY from per-shard
     Gram partials (one psum) — the numerically sensitive refresh anchor
     shared by the FSBL/RMPS posterior means and the RMPS per-outer-
-    iteration state refresh."""
+    iteration state refresh. `sigma` is a scalar variance or a full
+    (n, n) covariance (replicated)."""
     B = gamma.shape[0]
     n, m_local = A_local.shape
-    eye = jnp.eye(n, dtype=A_local.dtype)
+    Sig = _sigma_matrix(sigma, n, A_local.dtype)
     Cpart = jnp.einsum("bik,bjk->bij",
                        A_local[None, :, :] * gamma[:, None, :],
                        jnp.broadcast_to(A_local, (B, n, m_local)))
-    return lax.psum(Cpart, axis) + sigma2 * eye[None, :, :]
+    return lax.psum(Cpart, axis) + Sig[None, :, :]
 
 
 def _posterior_mean_local(A_local, Bs_local, alpha, sigma2, axis: str):
@@ -68,11 +82,23 @@ def _fsbl_shard_body(A_local, Bs_local, sigma2, maxiter: int,
     loc_iota = lax.broadcasted_iota(jnp.int32, (B, m_local), 1)
     eye = jnp.eye(n, dtype=f)
 
-    # empty-active-set closed form: C = sigma^2 I
-    Cinv0 = jnp.broadcast_to(eye / sigma2, (B, n, n)) + 0.0
-    S0 = jnp.broadcast_to(jnp.sum(A_local * A_local, axis=0)[None, :]
-                          / sigma2, (B, m_local)) + 0.0
-    Q0 = (Bs_local @ A_local) / sigma2
+    # empty-active-set init: C = Sigma (scalar: closed form; matrix:
+    # Cholesky solves, the same arithmetic as models.sbl._init_sq)
+    if jnp.ndim(sigma2) == 2:
+        from jax.scipy.linalg import cho_solve
+
+        L = jnp.linalg.cholesky(sigma2)
+        Cinv_n = cho_solve((L, True), eye)
+        SiA = cho_solve((L, True), A_local)                   # (n, ml)
+        Cinv0 = jnp.broadcast_to(Cinv_n, (B, n, n)) + 0.0
+        S0 = jnp.broadcast_to(jnp.sum(SiA * A_local, axis=0)[None, :],
+                              (B, m_local)) + 0.0
+        Q0 = Bs_local @ SiA
+    else:
+        Cinv0 = jnp.broadcast_to(eye / sigma2, (B, n, n)) + 0.0
+        S0 = jnp.broadcast_to(jnp.sum(A_local * A_local, axis=0)[None, :]
+                              / sigma2, (B, m_local)) + 0.0
+        Q0 = (Bs_local @ A_local) / sigma2
     alpha0 = jnp.full((B, m_local), jnp.inf, f)
 
     def action_deltas(alpha, S, Q):
@@ -162,11 +188,13 @@ def fsbl_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
     """Batched FSBL with the dictionary and per-atom state column-sharded.
 
     Returns the dense posterior-mean weights (B, m), sharded over
-    ('batch', 'atoms'). Semantics of vmap(cstpu.fsbl) with scalar noise.
+    ('batch', 'atoms'). Semantics of vmap(cstpu.fsbl); `sigma` is a
+    scalar noise variance or a full (n, n) covariance (replicated —
+    only the n x n C^-1 is ever global state, so a matrix Sigma shards
+    exactly like the scalar case; parity src/sbl.jl:10-17).
     """
     n, m = A.shape
-    if jnp.ndim(jnp.asarray(sigma)) != 0:
-        raise ValueError("fsbl_sharded supports scalar noise only")
+    _check_sigma(sigma, n, "fsbl_sharded")
     maxiter = int(maxiter if maxiter is not None else 2 * m)
     n_shards = mesh.shape[atoms_axis]
     if m % n_shards:
@@ -392,11 +420,12 @@ def rmps_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
     """Batched RMPS with the dictionary and per-atom state column-sharded.
 
     Returns the dense posterior-mean weights (B, m), sharded over
-    ('batch', 'atoms'). Semantics of vmap(cstpu.rmps) with scalar noise.
+    ('batch', 'atoms'). Semantics of vmap(cstpu.rmps); `sigma` is a
+    scalar noise variance or a full (n, n) covariance (replicated, as
+    in fsbl_sharded).
     """
     n, m = A.shape
-    if jnp.ndim(jnp.asarray(sigma)) != 0:
-        raise ValueError("rmps_sharded supports scalar noise only")
+    _check_sigma(sigma, n, "rmps_sharded")
     maxiter = int(maxiter if maxiter is not None else n)
     macq = int(maxiter_acquisition if maxiter_acquisition is not None else n)
     mdel = int(maxiter_deletion if maxiter_deletion is not None else n)

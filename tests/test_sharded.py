@@ -311,6 +311,40 @@ def test_sharded_rmps_matches_single_device(mesh):
     np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
 
 
+def test_sharded_sbl_full_covariance_matches_single_device(mesh):
+    # matrix Sigma on the SHARDED SBL path (round-2 gap): a full (n, n)
+    # noise covariance rides replicated exactly like C^-1, so the sharded
+    # ascent must agree with the single-device solvers that have always
+    # accepted it (parity src/sbl.jl:10-17)
+    from cstpu import fsbl, rmps
+    from cstpu.parallel.sharded_sbl import fsbl_sharded, rmps_sharded
+
+    kd, kn, ks = jax.random.split(jax.random.PRNGKey(83), 3)
+    A, x, b = sparse_data(kd, n=32, m=128, k=3, dtype=jnp.float32)
+    sigma = 1e-2
+    y = perturb(kn, b, sigma)
+    Bs = jnp.stack([b, y] * 4)
+    # well-conditioned non-diagonal SPD covariance ~ sigma^2 scale
+    W = jax.random.normal(ks, (32, 32), jnp.float32) / jnp.sqrt(32.0)
+    Sig = sigma ** 2 * (0.5 * jnp.eye(32) + W @ W.T)
+
+    xs = fsbl_sharded(A, Bs, Sig, mesh)
+    ref = jax.vmap(lambda bb: fsbl(A, bb, Sig))(Bs)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-4)
+
+    xs = rmps_sharded(A, Bs, Sig, mesh)
+    ref = jax.vmap(lambda bb: rmps(A, bb, Sig))(Bs)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(ref), atol=1e-4)
+    got = np.flatnonzero(np.abs(np.asarray(xs[1])) > sigma)
+    np.testing.assert_array_equal(np.sort(got), np.sort(support(x)))
+
+    # malformed covariance must be rejected up front
+    import pytest
+
+    with pytest.raises(ValueError, match="sigma"):
+        fsbl_sharded(A, Bs, jnp.eye(16), mesh)
+
+
 def test_sharded_gomp_converged_rows_stop_acquiring(mesh):
     # the batch outer loop runs until ALL rows are done, so a row that
     # hit max_residual early must be gated out of later group steps —
