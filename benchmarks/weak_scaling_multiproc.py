@@ -1,0 +1,243 @@
+"""Process-spanning weak-scaling datum for the column-sharded OMP path.
+
+BASELINE.md:31 targets >= 85% weak-scaling efficiency at 2+ hosts.
+Single-chip hardware cannot produce that point, and the single-process
+virtual-mesh sweep (benchmarks/weak_scaling.py) never crosses a process
+boundary — so its efficiency numbers exclude exactly the cost the target
+is about (coordinator-federated collectives over an inter-host fabric).
+This harness produces the missing PROCESS-SPANNING datum: it launches
+real OS processes (the tests/test_distributed.py recipe: CPU backend,
+gloo collectives standing in for DCN, jax.distributed coordinator),
+keeps the PER-SHARD atom width fixed, and reports
+
+    efficiency(2 procs) = t(1 process) / t(2 processes)
+
+for the column-sharded OMP solve (cstpu.parallel.sharded.omp_sharded —
+the compiled XLA body whose per-step collective pattern, pmax/pmin/psum,
+is exactly the hybrid kernels' non-fused selection round; the Pallas
+streaming kernels themselves cannot lower on CPU, and interpret-mode
+per-step Python overhead would swamp the collective cost this datum
+exists to expose).
+
+Caveats (stated in the emitted JSON): CPU gloo-over-localhost latency is
+not DCN latency, and CPU GEMV rates are not TPU rates — the number is a
+lower-bound sanity datum for the process-spanning path plus a validation
+of the analytic collective budget in docs/DESIGN.md, not a pod
+measurement.
+
+Run:  python benchmarks/weak_scaling_multiproc.py
+      (driver mode: spawns 1-process and 2-process runs, prints one
+       JSON line per run plus the efficiency line)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+_DEVICES_PER_PROC = 4
+_B, _N, _K = 8, 256, 8
+_M_PER_SHARD = 1024
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+# ---------------------------------------------------------------------------
+# worker
+# ---------------------------------------------------------------------------
+
+def worker(args) -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cstpu.parallel import distributed as dist
+    from cstpu.parallel.sharded import omp_sharded
+
+    if args.num_processes > 1:
+        dist.initialize(f"localhost:{args.port}", args.num_processes,
+                        args.process_id)
+    mesh = dist.global_mesh()
+    ndev = jax.device_count()
+    m = _M_PER_SHARD * ndev  # fixed per-shard width: weak scaling
+
+    # identical seeded problem in every process; planted k-sparse rows
+    rng = np.random.default_rng(11)
+    A_np = rng.standard_normal((_N, m))
+    A_np /= np.linalg.norm(A_np, axis=0, keepdims=True)
+    sup = np.stack([rng.choice(m, _K, replace=False) for _ in range(_B)])
+    X = np.zeros((_B, m))
+    for i in range(_B):
+        X[i, sup[i]] = 1.0
+    Bs_np = X @ A_np.T
+
+    A_sh = dist.shard_global(lambda idx: A_np[idx], mesh,
+                             P(None, "atoms"), global_shape=A_np.shape)
+    Bs_sh = dist.shard_global(lambda idx: Bs_np[idx], mesh,
+                              P("batch", None), global_shape=Bs_np.shape)
+
+    fetch = jax.jit(lambda v: jnp.sum(v),
+                    out_shardings=NamedSharding(mesh, P()))
+    scale = jax.jit(
+        lambda x, c: x * c,
+        out_shardings=NamedSharding(mesh, P("batch", None)))
+
+    def run(reps: int, base: float) -> float:
+        t0 = time.perf_counter()
+        acc = 0.0
+        for i in range(reps):
+            Bsi = scale(Bs_sh, base + i * 1e-7)
+            acc += float(np.asarray(fetch(omp_sharded(A_sh, Bsi,
+                                                      _K, mesh).val)))
+        return time.perf_counter() - t0
+
+    # recovery gate: a fast wrong answer is not a datum
+    sol = omp_sharded(A_sh, Bs_sh, _K, mesh)
+    idx = np.asarray(
+        jax.jit(lambda v: v, out_shardings=NamedSharding(mesh, P()))(
+            sol.idx))
+    mask = np.asarray(
+        jax.jit(lambda v: v, out_shardings=NamedSharding(mesh, P()))(
+            sol.mask))
+    rec = float(np.mean([
+        set(sup[i]) <= set(np.asarray(idx[i])[mask[i]].tolist())
+        for i in range(_B)]))
+    if rec < 1.0:
+        _emit(args, {"error": f"recovery {rec} < 1.0"})
+        return 1
+
+    run(1, 1.0)        # compile
+    run(2, 1.0001)     # warm
+    r1, r2 = 2, 12
+    t1 = min(run(r1, 1.0 + 0.001 * j) for j in range(3))
+    t2 = min(run(r2, 1.1 + 0.001 * j) for j in range(3))
+    per_solve = (t2 - t1) / (r2 - r1)
+
+    # fabric constant: latency of ONE dependent collective round on this
+    # mesh (chained psums inside one jit; sequential dependence defeats
+    # batching). This is what lets docs/DESIGN.md's analytic budget
+    # [t(s) = t(1) + rounds_per_solve x L_fabric] be checked against the
+    # measured t_per_solve gap instead of hand-waving.
+    from functools import partial as _partial
+
+    from jax import lax
+
+    @_partial(jax.jit, static_argnames=("reps",))
+    def psum_chain(x, reps: int):
+        def f(y):
+            for _ in range(reps):
+                y = lax.psum(y, "atoms") / ndev + 1e-9
+            return y
+        return jax.shard_map(f, mesh=mesh, in_specs=P(), out_specs=P(),
+                             check_vma=False)(x)
+
+    xx = jnp.ones((_B,))
+    float(np.asarray(fetch(psum_chain(xx, 4))))
+    float(np.asarray(fetch(psum_chain(xx, 64))))
+    tL1 = min_time(lambda: float(np.asarray(fetch(psum_chain(xx, 4)))))
+    tL2 = min_time(lambda: float(np.asarray(fetch(psum_chain(xx, 64)))))
+    L = max((tL2 - tL1) / 60, 0.0)
+
+    _emit(args, {"t_per_solve_s": per_solve, "recovery": rec,
+                 "devices": ndev, "m": m, "processes": args.num_processes,
+                 "collective_round_s": L,
+                 "solve_collective_rounds": 3 * _K})
+    return 0
+
+
+def min_time(fn, n: int = 3) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _emit(args, payload: dict) -> None:
+    if args.process_id == 0:
+        with open(args.out, "w") as f:
+            json.dump(payload, f)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def _launch(nproc: int, outdir: str) -> dict:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo  # strip the axon sitecustomize: CPU only
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                        f"{_DEVICES_PER_PROC}")
+    env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
+    out = os.path.join(outdir, f"ws_{nproc}proc.json")
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "--process-id", str(pid), "--num-processes", str(nproc),
+         "--port", str(port), "--out", out],
+        env=env, cwd=repo) for pid in range(nproc)]
+    for p in procs:
+        if p.wait(timeout=900):
+            for q in procs:   # exact PIDs only, never a pattern
+                q.kill()
+            raise RuntimeError(f"worker exited {p.returncode}")
+    with open(out) as f:
+        return json.load(f)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process-id", type=int)
+    ap.add_argument("--num-processes", type=int)
+    ap.add_argument("--port", type=int)
+    ap.add_argument("--out")
+    args = ap.parse_args()
+    if args.process_id is not None:
+        return worker(args)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        r1 = _launch(1, td)
+        r2 = _launch(2, td)
+    for r in (r1, r2):
+        if "error" in r:
+            print(json.dumps(r))
+            return 1
+        print(json.dumps(r))
+    eff = r1["t_per_solve_s"] / r2["t_per_solve_s"]
+    print(json.dumps({
+        "metric": "weak_scaling_efficiency_2proc_cpu_gloo",
+        "efficiency": round(eff, 4),
+        "per_shard_atoms": _M_PER_SHARD,
+        "devices_per_process": _DEVICES_PER_PROC,
+        "caveat": "CPU+gloo localhost stand-in for DCN; lower-bound "
+                  "sanity datum for the process-spanning collective "
+                  "path, not a pod measurement (docs/DESIGN.md budget)",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
