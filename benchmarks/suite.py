@@ -318,6 +318,58 @@ def config4():
     print(json.dumps({"config": "4:sbl_sigma_sweep_128x512_k6", **results}))
 
 
+def config4e():
+    """Atom-sharded FSBL/RMPS at beyond-VMEM m (131,072 and 1,048,576).
+
+    The S/Q sweep Av = A'v (src/sbl.jl:355-365) is the m-axis hot loop;
+    these rows show it at the dictionary scales where config-5-class
+    problems live. The per-atom state (alpha, S, Q) shards with the
+    columns; only C^-1 (n x n) is replicated, so the path is identical
+    at any device count (1 device here). Reports recovery and the
+    per-action sweep rate (GB/s over the f32 shard)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cstpu.models.batched import fsbl_batch, rmps_batch
+
+    B, n, k = 8, 1024, 16
+    sigma = 1e-2
+    for m in (131_072, 1_048_576):
+        A, X, Bs, sup = _planted(jax.random.PRNGKey(44), B, n, m, k)
+        keyn = jax.random.PRNGKey(18)
+        from cstpu import perturb
+
+        Y = jax.vmap(lambda kk, bb: perturb(kk, bb, sigma))(
+            jax.random.split(keyn, B), Bs)
+        out = {}
+        for name, solver in (
+                ("fsbl", lambda Ys: fsbl_batch(A, Ys, sigma ** 2,
+                                               maxiter=4 * k)),
+                ("rmps", lambda Ys: rmps_batch(A, Ys, sigma ** 2))):
+            dense = np.asarray(solver(Y))  # warmup + recovery check
+            got = [set(np.flatnonzero(np.abs(d) > sigma)) for d in dense]
+            planted = np.sort(np.asarray(sup), 1)
+            rec = float(np.mean([set(planted[i]) <= got[i]
+                                 for i in range(B)]))
+            _require_recovery(rec, f"4e:{name}_m{m}")
+            dts = []
+            for rep in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(
+                    solver(Y * (1.0 + (rep + 1) * 1e-7)))
+                dts.append(time.perf_counter() - t0)
+            t = min(dts)
+            # every action sweeps the f32 shard once (Av = v'A) and the
+            # selection scores all m atoms: >= k actions per instance
+            sweep_gb = B * k * n * m * 4 / t / 1e9
+            out[name] = {"recovery": rec,
+                         "s_per_batch": round(t, 2),
+                         "action_sweep_GBps_lb": round(sweep_gb, 1)}
+        print(json.dumps({"config": f"4e:sbl_sharded_1024x{m}_k16",
+                          **out}))
+
+
 def config5():
     """Column-sharded reweighted BP (ARD) — single-host sharded analog."""
     import jax
@@ -437,10 +489,56 @@ def config5():
                       "recovery": rec5, "devices": ndev}))
 
 
+def config5ard():
+    """BASELINE config 5's ACTUAL workload at its stated scale: ARD-
+    reweighted Basis Pursuit on a 1,048,576-atom dictionary, column-
+    sharded (1 device here; on a pod each chip holds m/ndev columns).
+
+    The 4 GB f32 dictionary + m-length ADMM state fit v5e HBM; AA' and
+    the ARD kernel K are n x n psums of shard partials, so nothing about
+    the path changes with the device count. Exercises the ARD fixed
+    point (parity ard_weights!, /root/reference/src/basispursuit.jl:49-65)
+    at the scale the config names. Reports recovery, FEASIBILITY
+    (||Ax - b||/||b|| — the bf16-corruption sentinel), and s/solve.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cstpu.parallel.convex import bp_ard_sharded
+    from cstpu.parallel.mesh import make_mesh
+
+    ndev = jax.device_count()
+    mesh = make_mesh((1, ndev))
+    n, m, k = 1024, 1_048_576, 32
+    A, X, Bs, sup = _planted(jax.random.PRNGKey(55), 1, n, m, k)
+    b = Bs[0]
+    kw = dict(eps=1e-2, maxiter=4, maxiter_admm=6000, tol=3e-6)
+
+    x = bp_ard_sharded(A, b, mesh, **kw)          # compile + first solve
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    x = bp_ard_sharded(A, b * (1.0 + 1e-7), mesh, **kw)
+    jax.block_until_ready(x)
+    dt = time.perf_counter() - t0
+
+    xd = np.asarray(x)
+    feas = float(jnp.linalg.norm(A @ x - b * (1.0 + 1e-7))
+                 / jnp.linalg.norm(b))
+    got = set(np.flatnonzero(np.abs(xd) > 1e-3))
+    rec = float(set(np.asarray(sup)[0].tolist()) <= got)
+    _require_recovery(rec, "config5ard")
+    print(json.dumps({"config": f"5ard:bp_ard_sharded_{ndev}dev_m{m}",
+                      "recovery": rec, "feasibility_rel": round(feas, 8),
+                      "s_per_solve": round(dt, 2),
+                      "nnz_1e-3": int(len(got)), "devices": ndev}))
+
+
 if __name__ == "__main__":
     which = [int(a) for a in _sys.argv[1:]] or [1, 2, 3, 4, 5]
     for c in which:
-        {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}[c]()
+        {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+         6: config5ard, 7: config4e}[c]()
         if c == 3:
             config3d()
             config3e()

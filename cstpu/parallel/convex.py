@@ -236,14 +236,19 @@ def ard_weights_sharded(A, x, w, mesh: Mesh, eps: float, iters: int = 8,
 
 def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
                    min_decrease: float = 1e-8, atoms_axis: str = "atoms",
-                   **bp_kwargs):
+                   maxiter_admm: int | None = None, **bp_kwargs):
     """ARD-reweighted basis pursuit, column-sharded end to end.
 
     The distributed counterpart of cstpu.bp_ard (parity:
     /root/reference/src/basispursuit.jl:70-74 + :18-31); per outer
     iteration: one sharded BP solve + one sharded ARD weight fixed point.
+    `maxiter` is the OUTER reweighting count; `maxiter_admm` caps the
+    inner ADMM solve (bp_sharded's maxiter — the names collide, hence
+    the alias).
     """
     m = A.shape[1]
+    if maxiter_admm is not None:
+        bp_kwargs = {**bp_kwargs, "maxiter": int(maxiter_admm)}
     mm_prec = str(bp_kwargs.get("matmul_precision", "float32"))
     x, u, rho = bp_sharded(A, b, None, mesh, atoms_axis=atoms_axis,
                            **bp_kwargs)

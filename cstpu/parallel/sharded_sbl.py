@@ -52,13 +52,21 @@ def _rebuild_C(A_local, gamma, sigma, axis: str):
     Gram partials (one psum) — the numerically sensitive refresh anchor
     shared by the FSBL/RMPS posterior means and the RMPS per-outer-
     iteration state refresh. `sigma` is a scalar variance or a full
-    (n, n) covariance (replicated)."""
-    B = gamma.shape[0]
+    (n, n) covariance (replicated).
+
+    Sequential lax.map over batch rows, NOT a batched einsum: the
+    instance-batched form materializes a (B, n, m_local) temp — 32 TB at
+    the 1M-atom scale this path exists for. Per row the scaled copy of
+    the shard is one A-sized transient; the GEMM is n^2 m/shard flops
+    (MXU-bound at large m)."""
     n, m_local = A_local.shape
     Sig = _sigma_matrix(sigma, n, A_local.dtype)
-    Cpart = jnp.einsum("bik,bjk->bij",
-                       A_local[None, :, :] * gamma[:, None, :],
-                       jnp.broadcast_to(A_local, (B, n, m_local)))
+
+    def one(g):
+        Z = A_local * g[None, :]
+        return lax.dot_general(Z, A_local, (((1,), (1,)), ((), ())))
+
+    Cpart = lax.map(one, gamma)                               # (B, n, n)
     return lax.psum(Cpart, axis) + Sig[None, :, :]
 
 
@@ -235,16 +243,24 @@ def _fsbl_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
 def _sq_refresh(A_local, Bs_local, alpha, sigma2, axis: str):
     """Rebuild (S, Q, C^-1) exactly from alpha — the sharded form of the
     refresh anchor (cstpu.models.sbl._rmps_optimize): C comes from one
-    psum of per-shard Gram partials, the per-shard solves stay local."""
+    psum of per-shard Gram partials, the per-shard solves stay local.
+
+    The S sweep runs per batch row (lax.map) for the same reason as
+    _rebuild_C: a batched CA would be a (B, n, m_local) temp — fatal at
+    beyond-VMEM m. Q is the cheap (B, n) @ (n, m_local) GEMM."""
     B, n = Bs_local.shape
     f = A_local.dtype
     eye = jnp.eye(n, dtype=f)
     gamma = jnp.where(jnp.isfinite(alpha), 1.0 / alpha, 0.0)
     C = _rebuild_C(A_local, gamma, sigma2, axis)
     Cinv = jax.vmap(lambda Cb: jnp.linalg.solve(Cb, eye))(C)
-    CA = jnp.einsum("bij,jk->bik", Cinv, A_local)             # (B, n, ml)
-    S = jnp.einsum("bik,ik->bk", CA, A_local)
-    Q = jnp.einsum("bik,bi->bk", CA, Bs_local)
+
+    def s_one(Cb):
+        CA = lax.dot_general(Cb, A_local, (((1,), (0,)), ((), ())))
+        return jnp.sum(CA * A_local, axis=0)                  # (ml,)
+
+    S = lax.map(s_one, Cinv)                                  # (B, ml)
+    Q = jnp.einsum("bij,bi->bj", Cinv, Bs_local) @ A_local    # (B, ml)
     return S, Q, Cinv
 
 
