@@ -513,10 +513,17 @@ def config5ard():
     n, m, k = 1024, 1_048_576, 32
     A, X, Bs, sup = _planted(jax.random.PRNGKey(55), 1, n, m, k)
     b = Bs[0]
-    kw = dict(eps=1e-2, maxiter=4, maxiter_admm=6000, tol=3e-6)
+    # admm_chunk bounds each device program to ~11 s (1000 GEMV-pair
+    # iterations over the 4 GB dictionary) — a single 6000-iteration
+    # while_loop program trips the device watchdog behind the tunnel
+    kw = dict(eps=1e-2, maxiter=4, maxiter_admm=6000, tol=3e-6,
+              admm_chunk=1000)
 
+    print("[5ard] data ready, first solve (compile)...", file=_sys.stderr,
+          flush=True)
     x = bp_ard_sharded(A, b, mesh, **kw)          # compile + first solve
     jax.block_until_ready(x)
+    print("[5ard] warm timed solve...", file=_sys.stderr, flush=True)
     t0 = time.perf_counter()
     x = bp_ard_sharded(A, b * (1.0 + 1e-7), mesh, **kw)
     jax.block_until_ready(x)

@@ -48,33 +48,66 @@ def _with_matmul_precision(prec: str, fn):
     return wrapped
 
 
+# Above this many bytes, the whitened copy of the local dictionary shard
+# (L^-1 A, a full (n, m_local) temp) no longer pays for itself: at BASELINE
+# config 5's single-chip scale (1024 x 1,048,576 f32 = 4 GB) the
+# triangular solve's blocked temps + the copy overflow the 16 GB HBM
+# (measured: 16.01 G of 15.75 G, r3). The lean path keeps A as the only
+# (n, m)-sized buffer and applies the projection through an n x n
+# cho_solve per iteration instead.
+_WHITEN_BYTES_MAX = 1 << 28     # 256 MB
+
+
 def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
                         axis: str, z0_local=None, u0_local=None):
     rho = jnp.asarray(rho, A_local.dtype)
     tol = jnp.asarray(tol, A_local.dtype)
     n, m_local = A_local.shape
-    # Row-whiten the constraint exactly as the single-chip path does
-    # (models/basis_pursuit._bp_admm): L = chol(psum(A_s A_s')) is
-    # replicated, each shard whitens ITS columns, and the projection
-    # becomes a psum'd GEMV pair with no per-iteration triangular solve
-    # two passes, same reason as the single-chip path: the first
-    # whitening's forward error (O(cond * eps)) leaves the rows
-    # measurably non-orthonormal at f32, and the fast projection
-    # assumes orthonormality; the second pass contracts the defect
-    # quadratically. One extra psum'd n x n Gram + triangular solve,
-    # one-time.
-    Aw_local, bw = A_local, b
-    for _ in range(2):
-        AAt = lax.psum(Aw_local @ Aw_local.T, axis)
+    lean = (n * m_local * A_local.dtype.itemsize) > _WHITEN_BYTES_MAX
+    if not lean:
+        # Row-whiten the constraint exactly as the single-chip path does
+        # (models/basis_pursuit._bp_admm): L = chol(psum(A_s A_s')) is
+        # replicated, each shard whitens ITS columns, and the projection
+        # becomes a psum'd GEMV pair with no per-iteration triangular
+        # solve; two passes, same reason as the single-chip path: the
+        # first whitening's forward error (O(cond * eps)) leaves the rows
+        # measurably non-orthonormal at f32, and the fast projection
+        # assumes orthonormality; the second pass contracts the defect
+        # quadratically. One extra psum'd n x n Gram + triangular solve,
+        # one-time.
+        Aw_local, bw = A_local, b
+        for _ in range(2):
+            AAt = lax.psum(Aw_local @ Aw_local.T, axis)
+            L = jnp.linalg.cholesky(AAt)
+            Aw_local = solve_triangular(L, Aw_local, lower=True)
+            bw = solve_triangular(L, bw, lower=True)
+
+        def project(v_local):  # exact projection onto {x : Ax = b}
+            Av = lax.psum(Aw_local @ v_local, axis)
+            return v_local - (Av - bw) @ Aw_local
+
+        x0 = bw @ Aw_local  # min-norm feasible point (local)
+    else:
+        # Memory-lean exact projection: same fixed point, no whitened
+        # copy. P(v) = v - A'(AA')^-1 (Av - b) via the replicated n x n
+        # Cholesky; the per-iteration cost adds two n x n triangular
+        # solves on an n-VECTOR (microseconds) while the GEMV pair over
+        # the shard (the real per-iteration cost at this scale) is
+        # unchanged. Algebraically this IS the whitened projection
+        # composed back through L, so the ADMM iterates match the
+        # whitened path up to round-off; the convergence norms live on
+        # m-vectors and are identical in both modes.
+        AAt = lax.psum(A_local @ A_local.T, axis)
         L = jnp.linalg.cholesky(AAt)
-        Aw_local = solve_triangular(L, Aw_local, lower=True)
-        bw = solve_triangular(L, bw, lower=True)
 
-    def project(v_local):  # exact projection onto {x : Ax = b}
-        Av = lax.psum(Aw_local @ v_local, axis)
-        return v_local - (Av - bw) @ Aw_local
+        def _solve_n(v):  # (AA')^-1 v through the cached Cholesky
+            return cho_solve((L, True), v)
 
-    x0 = bw @ Aw_local  # min-norm feasible point (local)
+        def project(v_local):
+            Av = lax.psum(A_local @ v_local, axis)
+            return v_local - _solve_n(Av - b) @ A_local
+
+        x0 = _solve_n(b) @ A_local  # min-norm feasible point (local)
     relax = jnp.asarray(1.8, A_local.dtype)   # over-relaxation
     mu = jnp.asarray(10.0, A_local.dtype)     # residual balancing
     tau = jnp.asarray(2.0, A_local.dtype)
@@ -188,17 +221,51 @@ def bp_sharded(A, b, w=None, mesh: Mesh = None, rho: float = 1.0,
     return fn(A, b, w, jnp.asarray(warm[2], A.dtype), warm[0], warm[1])
 
 
+def _ard_chunk(m_local: int) -> int:
+    """Column-chunk width for the lean ARD sweeps: the largest power-of-two
+    divisor of m_local capped at 65536 (256 MB of f32 chunk temps at
+    n = 1024)."""
+    c = 1
+    while c < 65536 and (m_local % (2 * c)) == 0:
+        c *= 2
+    return c
+
+
 def _ard_weights_shard_body(A_local, x_local, w_local, eps, iters: int,
                             axis: str):
     eps = jnp.asarray(eps, A_local.dtype)
-    n = A_local.shape[0]
+    n, m_local = A_local.shape
+    lean = (n * m_local * A_local.dtype.itemsize) > _WHITEN_BYTES_MAX
+    c = _ard_chunk(m_local)
 
     def body(_, w_l):
         wx = jnp.abs(x_local) / w_l
-        K = eps * jnp.eye(n, dtype=A_local.dtype) + lax.psum(
-            (A_local * wx[None, :]) @ A_local.T, axis)
-        KA = cho_solve((jnp.linalg.cholesky(K), True), A_local)
-        q = jnp.sum(A_local * KA, axis=0)
+        if not lean:
+            K = eps * jnp.eye(n, dtype=A_local.dtype) + lax.psum(
+                (A_local * wx[None, :]) @ A_local.T, axis)
+            KA = cho_solve((jnp.linalg.cholesky(K), True), A_local)
+            q = jnp.sum(A_local * KA, axis=0)
+        else:
+            # chunked sweeps: (A * wx) and K^-1 A are full (n, m_local)
+            # temps (4 GB at config-5 scale) — stream them in 256 MB
+            # column chunks so A stays the only shard-sized buffer
+            def kacc(j, Kacc):
+                Ac = lax.dynamic_slice(A_local, (0, j * c), (n, c))
+                wc = lax.dynamic_slice(wx, (j * c,), (c,))
+                return Kacc + (Ac * wc[None, :]) @ Ac.T
+
+            K = eps * jnp.eye(n, dtype=A_local.dtype) + lax.psum(
+                lax.fori_loop(0, m_local // c, kacc,
+                              jnp.zeros((n, n), A_local.dtype)), axis)
+            Lk = jnp.linalg.cholesky(K)
+
+            def qacc(j, qv):
+                Ac = lax.dynamic_slice(A_local, (0, j * c), (n, c))
+                qc = jnp.sum(Ac * cho_solve((Lk, True), Ac), axis=0)
+                return lax.dynamic_update_slice(qv, qc, (j * c,))
+
+            q = lax.fori_loop(0, m_local // c, qacc,
+                              jnp.zeros((m_local,), A_local.dtype))
         # dtype-eps floor (global max over shards): a rounding-negative
         # form for a pruned atom must not clamp to an exact 0 weight —
         # the next |x|/w would NaN the solve (models/basis_pursuit.py)
@@ -236,7 +303,8 @@ def ard_weights_sharded(A, x, w, mesh: Mesh, eps: float, iters: int = 8,
 
 def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
                    min_decrease: float = 1e-8, atoms_axis: str = "atoms",
-                   maxiter_admm: int | None = None, **bp_kwargs):
+                   maxiter_admm: int | None = None,
+                   admm_chunk: int | None = None, **bp_kwargs):
     """ARD-reweighted basis pursuit, column-sharded end to end.
 
     The distributed counterpart of cstpu.bp_ard (parity:
@@ -244,14 +312,31 @@ def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
     iteration: one sharded BP solve + one sharded ARD weight fixed point.
     `maxiter` is the OUTER reweighting count; `maxiter_admm` caps the
     inner ADMM solve (bp_sharded's maxiter — the names collide, hence
-    the alias).
-    """
+    the alias). `admm_chunk` splits each inner solve into warm-restarted
+    device programs of at most that many iterations: at config-5 scale a
+    full 6000-iteration while_loop over a 4 GB dictionary is a single
+    >60 s device program, long enough to trip device/tunnel watchdogs —
+    chunking bounds program runtime without changing the fixed point
+    (rho travels with the warm start; one compile since every chunk has
+    the same static maxiter)."""
     m = A.shape[1]
     if maxiter_admm is not None:
         bp_kwargs = {**bp_kwargs, "maxiter": int(maxiter_admm)}
     mm_prec = str(bp_kwargs.get("matmul_precision", "float32"))
-    x, u, rho = bp_sharded(A, b, None, mesh, atoms_axis=atoms_axis,
-                           **bp_kwargs)
+
+    def solve(w, warm):
+        if not admm_chunk:
+            return bp_sharded(A, b, w, mesh, atoms_axis=atoms_axis,
+                              warm=warm, **bp_kwargs)
+        total = int(bp_kwargs.get("maxiter", 20000))
+        kw = {**bp_kwargs, "maxiter": int(admm_chunk)}
+        out = warm
+        for _ in range(-(-total // int(admm_chunk))):
+            out = bp_sharded(A, b, w, mesh, atoms_axis=atoms_axis,
+                             warm=out, **kw)
+        return out
+
+    x, u, rho = solve(None, None)
     w = jnp.ones((m,), A.dtype)
     for _ in range(1, int(maxiter)):
         # call the jitted fixed point directly: the public entry's
@@ -259,8 +344,7 @@ def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
         # sharded vector, validating an invariant the fixed point's
         # dtype-eps floor already guarantees for internally-produced w
         w = _ard_jit(mesh, atoms_axis, float(eps), 8, mm_prec)(A, x, w)
-        xs, u, rho = bp_sharded(A, b, w, mesh, atoms_axis=atoms_axis,
-                                warm=(x, u, rho), **bp_kwargs)
+        xs, u, rho = solve(w, (x, u, rho))
         if float(jnp.linalg.norm(xs - x)) < min_decrease:
             return xs
         x = xs

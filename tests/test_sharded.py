@@ -103,6 +103,25 @@ def test_bp_ard_sharded_recovers(mesh):
     assert list(np.flatnonzero(np.abs(sol) > 1e-5)) == list(support(x))
 
 
+def test_bp_ard_sharded_lean_mode_matches(mesh, monkeypatch):
+    # the memory-lean projection/ARD mode (auto above _WHITEN_BYTES_MAX —
+    # BASELINE config 5's 4 GB dictionary regime) must reproduce the
+    # whitened small-m path: same fixed point, no whitened (n, m) copy
+    import cstpu.parallel.convex as cv
+    A, x, b, _ = _problem(76, n=32, m=48)
+    ref = np.asarray(cv.bp_ard_sharded(A, b, mesh))
+    monkeypatch.setattr(cv, "_WHITEN_BYTES_MAX", 0)
+    cv._bp_jit.cache_clear()
+    cv._ard_jit.cache_clear()
+    try:
+        lean = np.asarray(cv.bp_ard_sharded(A, b, mesh))
+    finally:
+        cv._bp_jit.cache_clear()
+        cv._ard_jit.cache_clear()
+    np.testing.assert_allclose(lean, ref, atol=1e-10)
+    assert list(np.flatnonzero(np.abs(lean) > 1e-5)) == list(support(x))
+
+
 def test_distributed_mesh_and_shard_global():
     # single-process path over the 8 virtual devices
     import jax
