@@ -530,13 +530,24 @@ def config5ard():
     dt = time.perf_counter() - t0
 
     xd = np.asarray(x)
-    feas = float(jnp.linalg.norm(A @ x - b * (1.0 + 1e-7))
-                 / jnp.linalg.norm(b))
+    bt = b * (1.0 + 1e-7)
+    feas = float(jnp.linalg.norm(A @ x - bt) / jnp.linalg.norm(b))
     got = set(np.flatnonzero(np.abs(xd) > 1e-3))
     rec = float(set(np.asarray(sup)[0].tolist()) <= got)
     _require_recovery(rec, "config5ard")
+    # first-order solvers at this scale find the exact support long
+    # before the coefficients converge (131k needs ~6k ADMM iterations
+    # for feas ~1e-3; 1M is far slower) — the production answer is the
+    # LS polish on the recovered support (cstpu.polish, the reference's
+    # intended droptol!-with-refit), reported alongside the raw number
+    from cstpu import polish
+
+    xp = polish(A, bt, x, tol=1e-3)
+    feas_p = float(jnp.linalg.norm(A @ xp - bt) / jnp.linalg.norm(b))
     print(json.dumps({"config": f"5ard:bp_ard_sharded_{ndev}dev_m{m}",
-                      "recovery": rec, "feasibility_rel": round(feas, 8),
+                      "recovery": rec,
+                      "feasibility_admm": round(feas, 8),
+                      "feasibility_polished": round(feas_p, 10),
                       "s_per_solve": round(dt, 2),
                       "nnz_1e-3": int(len(got)), "devices": ndev}))
 

@@ -42,6 +42,7 @@ from cstpu.utils.sparse import (
     support,
     samesupport,
     droptol,
+    polish,
 )
 from cstpu.models.matching_pursuit import mp, omp, gomp, oblivious
 from cstpu.models.forward import fr, ols, oomp, ormp, stepwise_regression
@@ -82,7 +83,7 @@ __all__ = [
     "coherent_data", "perturb",
     "colnorms", "normalize_columns", "coherence", "babel", "cumbabel",
     "mean_preconditioner", "svd_preconditioner", "precondition",
-    "SparseSolution", "support", "samesupport", "droptol",
+    "SparseSolution", "support", "samesupport", "droptol", "polish",
     "mp", "omp", "gomp", "oblivious",
     "fr", "ols", "oomp", "ormp", "stepwise_regression",
     "br", "fbr", "lace",

@@ -101,6 +101,47 @@ def droptol(x, tol: float):
     return jnp.where(jnp.abs(x) > tol, x, 0)
 
 
+def polish(A, b, x, tol: float = 1e-3):
+    """Least-squares refit of `x` on its |value| > tol support.
+
+    The working version of the reference's intended drop-and-refit
+    helper: `droptol!(x, F, tol)` takes the QR factorization precisely
+    to re-solve on the surviving support but references an undefined
+    variable (src/util.jl:163-170 — defect not replicated); its tests
+    apply droptol before support comparison
+    (/root/reference/test/basispursuit.jl:27-36). For first-order convex
+    solutions (ADMM/ISTA at large m) this is the standard polishing
+    step: the support is exact long before the coefficients are, and the
+    k-column LS solve restores exact feasibility on that support.
+
+    Host-side support extraction (not jit-safe); the LS solve runs on
+    device. Returns a dense vector for dense input, a SparseSolution
+    for SparseSolution input.
+    """
+    A = jnp.asarray(A)
+    m = A.shape[1]
+    if isinstance(x, SparseSolution):
+        nz = np.asarray(droptol(x, tol).nzind)
+    else:
+        nz = np.flatnonzero(np.abs(np.asarray(x)) > tol)
+    if len(nz) == 0:
+        return (x if isinstance(x, SparseSolution)
+                else jnp.zeros((m,), A.dtype))
+    Ai = jnp.take(A, jnp.asarray(nz), axis=1)
+    coef, *_ = jnp.linalg.lstsq(Ai, jnp.asarray(b, A.dtype))
+    if isinstance(x, SparseSolution):
+        kmax = x.idx.shape[0]
+        idx = np.full((kmax,), m, np.int32)
+        val = np.zeros((kmax,), np.asarray(coef).dtype)
+        mask = np.zeros((kmax,), bool)
+        idx[: len(nz)] = nz
+        val[: len(nz)] = np.asarray(coef)
+        mask[: len(nz)] = True
+        return SparseSolution(jnp.asarray(idx), jnp.asarray(val),
+                              jnp.asarray(mask), int(m))
+    return jnp.zeros((m,), A.dtype).at[jnp.asarray(nz)].set(coef)
+
+
 def support(x, tol: float = 0.0) -> np.ndarray:
     """Sorted support of a dense vector or SparseSolution.
 

@@ -101,6 +101,30 @@ def test_droptol():
     np.testing.assert_array_equal(sol.nzval, [1.0, -2.0])
 
 
+def test_polish_refits_support():
+    # the working version of the reference's intended droptol!-with-refit
+    # (src/util.jl:163-170 is broken): polishing a perturbed solution
+    # restores the exact LS coefficients on the surviving support
+    import jax.numpy as jnp
+
+    from cstpu import polish
+    from cstpu.utils.sparse import from_dense
+
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((16, 24))
+    A /= np.linalg.norm(A, axis=0, keepdims=True)
+    xt = np.zeros(24)
+    xt[[2, 7, 19]] = [1.5, -2.0, 0.75]
+    b = A @ xt
+    noisy = xt + rng.standard_normal(24) * 1e-4   # biased coefficients
+    noisy[np.abs(xt) == 0] *= 5.0                 # sub-tol clutter
+    xp = np.asarray(polish(A, b, jnp.asarray(noisy), tol=1e-2))
+    np.testing.assert_allclose(xp, xt, atol=1e-10)
+    sol = polish(A, b, from_dense(noisy, kmax=8, tol=1e-2), tol=1e-2)
+    np.testing.assert_array_equal(sol.nzind, [2, 7, 19])
+    np.testing.assert_allclose(sol.nzval, [1.5, -2.0, 0.75], atol=1e-10)
+
+
 def test_active_set_bookkeeping():
     # analog of the dropindex!/addindex! bookkeeping test (test/util.jl:48-59)
     from cstpu.ops import active_set as aset
