@@ -287,12 +287,13 @@ def rmp_batch(A, Bs, k=None, delta=None, maxiter: int = 1, kmax: int = 32,
               precision=None):
     """Batched RMP over measurement rows Bs (B, n).
 
-    The delta variant dispatches on TPU to the whole-solve fused RMP
-    kernel with a `kmax`-slot active-set cap; instances whose forward
-    stage outgrows the cap are reported by the kernel and re-solved on
-    the uncapped vmapped XLA path, so the cap is a pure performance knob.
-    The k variant always takes the XLA path (its forward stage runs to
-    ~min(n, m) atoms — beyond any sensible slot cap).
+    Both variants dispatch on TPU to the whole-solve fused RMP kernel
+    with a `kmax`-slot active-set cap; instances whose forward stage
+    outgrows the cap are reported by the kernel and re-solved on the
+    uncapped vmapped XLA path, so the cap is a pure performance knob.
+    (The k variant's forward stage runs to exhaustion, so on problems
+    whose f32 exhaustion support exceeds kmax the fallback simply does
+    more of the work — raise kmax to keep it on-kernel.)
     """
     import jax.numpy as jnp
 
@@ -308,23 +309,23 @@ def rmp_batch(A, Bs, k=None, delta=None, maxiter: int = 1, kmax: int = 32,
     Bs = jnp.asarray(Bs)
     use_fused = (
         precision in (None, "bf16", "f32")
-        and delta is not None
         and A.dtype == jnp.float32
         and Bs.ndim == 2
+        and (k is None or int(k) <= int(kmax))
         and jax.default_backend() == "tpu"
         and fused_twostage.supported_rmp(A, Bs, int(kmax), _cdt(precision))
     )
     if use_fused:
         cdt = _cdt(precision)
         sol, _, capped = fused_twostage.rmp_fused_solve(
-            A, Bs, delta=delta, maxiter=maxiter, kmax=int(kmax),
+            A, Bs, k=k, delta=delta, maxiter=maxiter, kmax=int(kmax),
             corr_dtype=cdt)
         import numpy as np
 
         capped_rows = np.flatnonzero(np.asarray(capped))
         if capped_rows.size:
             # exact fallback for the (rare) instances that outgrew kmax
-            redo = jax.vmap(lambda bb: rmp(A, bb, delta=delta,
+            redo = jax.vmap(lambda bb: rmp(A, bb, k=k, delta=delta,
                                            maxiter=maxiter))(Bs[capped_rows])
             sol = _merge_solution_rows(sol, redo, capped_rows, A.shape[1])
         return sol
@@ -421,10 +422,15 @@ def lace_batch(A, Bs, max_residual=None, max_increase=None,
     """Batched LACE. On TPU dispatches to the fused deletion kernel
     (min-|coefficient| selection) — see cstpu.ops.fused_backward.
 
-    With `return_failed=True` also returns the per-instance (B,)
-    instability flags (fused path only — a failed instance conservatively
-    stops deleting; the XLA path's exact refits have no failure mode and
-    report all-False)."""
+    With `return_failed=True` also returns per-instance (B,) instability
+    flags with the SAME meaning on both paths: "numerical instability was
+    detected while solving this instance". On the fused path that is the
+    kernel's Schur-downdate guard (the instance conservatively stops
+    deleting, mirroring the reference's throw at src/backward.jl:169-173);
+    on the XLA path, whose refits are exact solves with no tracked factor
+    to go indefinite, it is a non-finite check on the final active
+    coefficients (the way an exact-refit path actually manifests
+    instability)."""
     import jax.numpy as jnp
 
     from cstpu.models.backward import lace
@@ -443,7 +449,7 @@ def lace_batch(A, Bs, max_residual=None, max_increase=None,
             A, Bs, sparsity=sparsity, **kw)
     else:
         sol = jax.vmap(lambda bb: lace(A, bb, sparsity=sparsity, **kw))(Bs)
-        failed = jnp.zeros((Bs.shape[0],), bool)
+        failed = jnp.any(~jnp.isfinite(sol.val) & sol.mask, axis=-1)
     return (sol, failed) if return_failed else sol
 
 

@@ -104,12 +104,16 @@ def droptol(x, tol: float):
 def polish(A, b, x, tol: float = 1e-3):
     """Least-squares refit of `x` on its |value| > tol support.
 
-    The working version of the reference's intended drop-and-refit
-    helper: `droptol!(x, F, tol)` takes the QR factorization precisely
-    to re-solve on the surviving support but references an undefined
-    variable (src/util.jl:163-170 — defect not replicated); its tests
-    apply droptol before support comparison
-    (/root/reference/test/basispursuit.jl:27-36). For first-order convex
+    An EXTENSION motivated by the reference's QR-maintaining
+    `droptol!(x, F, tol)` helper (src/util.jl:163-170): that helper only
+    removes the dropped entries' columns from the QR factorization and
+    zeroes the entries — it never re-solves for coefficients — and is
+    broken anyway (references an undefined variable; defect not
+    replicated). We go one step further and refit, because the
+    factorization it maintains exists to make exactly that refit cheap,
+    and because the reference's tests apply droptol before support
+    comparison (/root/reference/test/basispursuit.jl:27-36), which a
+    refit preserves. For first-order convex
     solutions (ADMM/ISTA at large m) this is the standard polishing
     step: the support is exact long before the coefficients are, and the
     k-column LS solve restores exact feasibility on that support.

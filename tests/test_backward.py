@@ -75,6 +75,24 @@ def test_backward_batch_wrappers():
     assert f.idx.shape[0] == 2 and l.idx.shape[0] == 2
 
 
+def test_lace_batch_failed_flag_is_real_on_xla_path():
+    # the XLA path must report a REAL per-instance instability signal
+    # (non-finite active coefficients), not a fabricated all-False: a NaN
+    # measurement row yields NaN refits and must flag exactly that
+    # instance while the clean instance stays False
+    import jax.numpy as jnp
+
+    from cstpu import lace_batch
+
+    A, x, y = _problem(61)
+    bad = jnp.full_like(y, jnp.nan)
+    Bs = jnp.stack([y, bad])
+    sols, failed = lace_batch(A, Bs, sparsity=3, return_failed=True)
+    failed = np.asarray(failed)
+    assert failed.dtype == bool and failed.shape == (2,)
+    assert not failed[0] and failed[1]
+
+
 def test_fbr_rank_deficient_sets_failed():
     # a duplicated column makes the Gram singular and the Cholesky init
     # NaN; the failure flag must latch (the predicate is a negated >= so
