@@ -160,17 +160,27 @@ basispursuit = bp
 @_f32_matmuls
 def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
     n, m = A.shape
-    # x-update solves (I + A'A) x = rhs; factor once on the smaller side
+    # x-update solves (I + A'A) x = rhs; factor once on the smaller side.
+    # xstep returns (x, A x) so each branch streams the dictionary the
+    # minimum number of times — at large m the GEMV pair over A IS the
+    # per-iteration cost.
     if m <= n:
         L = jnp.linalg.cholesky(jnp.eye(m, dtype=A.dtype) + A.T @ A)
 
-        def xsolve(rhs):
-            return cho_solve((L, True), rhs)
+        def xstep(rhs):
+            x = cho_solve((L, True), rhs)
+            return x, A @ x
     else:
         L = jnp.linalg.cholesky(jnp.eye(n, dtype=A.dtype) + A @ A.T)
 
-        def xsolve(rhs):  # Woodbury: (I + A'A)^-1 = I - A'(I + AA')^-1 A
-            return rhs - cho_solve((L, True), A @ rhs) @ A
+        def xstep(rhs):  # Woodbury: (I + A'A)^-1 = I - A'(I + AA')^-1 A
+            Arhs = A @ rhs
+            c = cho_solve((L, True), Arhs)
+            # A x = A rhs - AA' c = c EXACTLY (since (I + AA') c = A rhs),
+            # so the fitted vector is the Woodbury correction itself: the
+            # third full (n, m) dictionary pass per iteration is free, with
+            # no cancellation (c comes from the well-conditioned I + AA')
+            return rhs - c @ A, c
 
     def project_ball(v):
         d = v - b
@@ -186,8 +196,7 @@ def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
 
     def body(c):
         x, z, y, uz, uy, t, _ = c
-        x = xsolve((z - uz) + (y - uy) @ A)
-        Ax = A @ x
+        x, Ax = xstep((z - uz) + (y - uy) @ A)
         z_new = _shrink(x + uz, thresh)
         y_new = project_ball(Ax + uy)
         uz = uz + x - z_new

@@ -25,6 +25,8 @@ from cstpu.parallel.sharded import (
 )
 from cstpu.parallel.sharded_sbl import fsbl_sharded, rmps_sharded
 from cstpu.parallel.convex import (bp_sharded, bp_ard_sharded,
+                                   bpd_sharded, bpd_candes_sharded,
+                                   bpd_ard_sharded,
                                    ista_sharded, fista_sharded)
 
 __all__ = [
@@ -34,5 +36,6 @@ __all__ = [
     "mp_sharded_fused", "ompr_sharded_fused", "srr_sharded_fused",
     "rmp_sharded_fused", "foba_sharded_fused",
     "fsbl_sharded", "rmps_sharded",
-    "bp_sharded", "bp_ard_sharded", "ista_sharded", "fista_sharded",
+    "bp_sharded", "bp_ard_sharded", "bpd_sharded", "bpd_candes_sharded",
+    "bpd_ard_sharded", "ista_sharded", "fista_sharded",
 ]

@@ -48,14 +48,48 @@ def _with_matmul_precision(prec: str, fn):
     return wrapped
 
 
-# Above this many bytes, the whitened copy of the local dictionary shard
-# (L^-1 A, a full (n, m_local) temp) no longer pays for itself: at BASELINE
-# config 5's single-chip scale (1024 x 1,048,576 f32 = 4 GB) the
-# triangular solve's blocked temps + the copy overflow the 16 GB HBM
-# (measured: 16.01 G of 15.75 G, r3). The lean path keeps A as the only
-# (n, m)-sized buffer and applies the projection through an n x n
-# cho_solve per iteration instead.
+# Above this many bytes per shard, full-width row-whitening no longer
+# fits: at BASELINE config 5's single-chip scale (1024 x 1,048,576 f32 =
+# 4 GB) the full-width triangular solve's blocked temps + copies overflow
+# the 16 GB HBM (measured: 16.01 G of 15.75 G, r3). The lean path runs
+# the SAME two-pass whitening but materializes the whitened copy in
+# column chunks (peak: A + one whitened buffer + a 256 MB chunk temp),
+# so both modes share one set of numerics.
 _WHITEN_BYTES_MAX = 1 << 28     # 256 MB
+
+
+def _whiten_pass_chunked(A_loc, b, axis: str, c: int):
+    """One row-whitening pass (Aw = L^-1 A, bw = L^-1 b, L = chol(psum
+    Gram)) materialized in column chunks of width c: the Gram accumulates
+    chunk outer products and the triangular solve streams chunk-by-chunk
+    into ONE extra shard-sized buffer (the fori_loop carry), instead of a
+    full-width solve_triangular whose blocked temps overflow HBM at
+    config-5 scale (16.01 G of 15.75 G measured, r3). Triangular solves
+    are column-independent, so the result is bit-identical to the
+    full-width pass up to Gram summation order."""
+    n, m_local = A_loc.shape
+    nfull, tail = divmod(m_local, c)
+
+    def gacc(j, acc):
+        Ac = lax.dynamic_slice(A_loc, (0, j * c), (n, c))
+        return acc + Ac @ Ac.T
+
+    G = lax.fori_loop(0, nfull, gacc, jnp.zeros((n, n), A_loc.dtype))
+    if tail:
+        At = A_loc[:, nfull * c:]
+        G = G + At @ At.T
+    L = jnp.linalg.cholesky(lax.psum(G, axis))
+
+    def wchunk(j, Aw):
+        Ac = lax.dynamic_slice(Aw, (0, j * c), (n, c))
+        return lax.dynamic_update_slice(
+            Aw, solve_triangular(L, Ac, lower=True), (0, j * c))
+
+    Aw = lax.fori_loop(0, nfull, wchunk, A_loc)
+    if tail:
+        Aw = Aw.at[:, nfull * c:].set(
+            solve_triangular(L, Aw[:, nfull * c:], lower=True))
+    return Aw, solve_triangular(L, b, lower=True)
 
 
 def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
@@ -88,26 +122,29 @@ def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
 
         x0 = bw @ Aw_local  # min-norm feasible point (local)
     else:
-        # Memory-lean exact projection: same fixed point, no whitened
-        # copy. P(v) = v - A'(AA')^-1 (Av - b) via the replicated n x n
-        # Cholesky; the per-iteration cost adds two n x n triangular
-        # solves on an n-VECTOR (microseconds) while the GEMV pair over
-        # the shard (the real per-iteration cost at this scale) is
-        # unchanged. Algebraically this IS the whitened projection
-        # composed back through L, so the ADMM iterates match the
-        # whitened path up to round-off; the convergence norms live on
-        # m-vectors and are identical in both modes.
-        AAt = lax.psum(A_local @ A_local.T, axis)
-        L = jnp.linalg.cholesky(AAt)
+        # Memory-lean variant of the SAME two-pass row-whitening: the
+        # whitened copy is materialized chunk-by-chunk (one extra
+        # shard-sized buffer — the fori_loop carry — plus a 256 MB chunk
+        # temp) instead of through full-width triangular solves. The
+        # previous cho_solve-per-iteration projection was abandoned: a
+        # single un-refined f32 n x n solve loses ALL accurate digits
+        # once cond(A)^2 * eps ~ 1 (measured rel feasibility 0.48 vs the
+        # whitened path's 2e-6 on a cond~3e4 dictionary), and iterative
+        # refinement cannot converge there either. Whitening works at
+        # the same conditioning because each pass freezes its rounding
+        # error into the materialized matrix and the next pass corrects
+        # it; chunking only changes Gram summation order, so there is no
+        # numerics cliff across the _WHITEN_BYTES_MAX auto-switch.
+        c = _ard_chunk(m_local)
+        Aw_local, bw = A_local, b
+        for _ in range(2):
+            Aw_local, bw = _whiten_pass_chunked(Aw_local, bw, axis, c)
 
-        def _solve_n(v):  # (AA')^-1 v through the cached Cholesky
-            return cho_solve((L, True), v)
+        def project(v_local):  # exact projection onto {x : Ax = b}
+            Av = lax.psum(Aw_local @ v_local, axis)
+            return v_local - (Av - bw) @ Aw_local
 
-        def project(v_local):
-            Av = lax.psum(A_local @ v_local, axis)
-            return v_local - _solve_n(Av - b) @ A_local
-
-        x0 = _solve_n(b) @ A_local  # min-norm feasible point (local)
+        x0 = bw @ Aw_local  # min-norm feasible point (local)
     relax = jnp.asarray(1.8, A_local.dtype)   # over-relaxation
     mu = jnp.asarray(10.0, A_local.dtype)     # residual balancing
     tau = jnp.asarray(2.0, A_local.dtype)
@@ -221,14 +258,18 @@ def bp_sharded(A, b, w=None, mesh: Mesh = None, rho: float = 1.0,
     return fn(A, b, w, jnp.asarray(warm[2], A.dtype), warm[0], warm[1])
 
 
+# 65536 f32 columns at n = 1024 is 256 MB of chunk temps; module-level so
+# tests can shrink it to exercise the remainder-tail path at test sizes
+_ARD_CHUNK_MAX = 65536
+
+
 def _ard_chunk(m_local: int) -> int:
-    """Column-chunk width for the lean ARD sweeps: the largest power-of-two
-    divisor of m_local capped at 65536 (256 MB of f32 chunk temps at
-    n = 1024)."""
-    c = 1
-    while c < 65536 and (m_local % (2 * c)) == 0:
-        c *= 2
-    return c
+    """Column-chunk width for the lean ARD sweeps: up to _ARD_CHUNK_MAX
+    columns. Any m_local is handled — full chunks ride a fori_loop and the
+    remainder is a separately-shaped static tail (no power-of-two
+    divisibility requirement; an odd shard must not degrade to width-1
+    slices)."""
+    return min(m_local, _ARD_CHUNK_MAX)
 
 
 def _ard_weights_shard_body(A_local, x_local, w_local, eps, iters: int,
@@ -248,15 +289,22 @@ def _ard_weights_shard_body(A_local, x_local, w_local, eps, iters: int,
         else:
             # chunked sweeps: (A * wx) and K^-1 A are full (n, m_local)
             # temps (4 GB at config-5 scale) — stream them in 256 MB
-            # column chunks so A stays the only shard-sized buffer
+            # column chunks so A stays the only shard-sized buffer; the
+            # remainder columns (m_local % c) get one separately-shaped
+            # static tail pass so odd shard widths keep chunk-rate sweeps
+            nfull, tail = m_local // c, m_local % c
+
             def kacc(j, Kacc):
                 Ac = lax.dynamic_slice(A_local, (0, j * c), (n, c))
                 wc = lax.dynamic_slice(wx, (j * c,), (c,))
                 return Kacc + (Ac * wc[None, :]) @ Ac.T
 
-            K = eps * jnp.eye(n, dtype=A_local.dtype) + lax.psum(
-                lax.fori_loop(0, m_local // c, kacc,
-                              jnp.zeros((n, n), A_local.dtype)), axis)
+            Kacc = lax.fori_loop(0, nfull, kacc,
+                                 jnp.zeros((n, n), A_local.dtype))
+            if tail:
+                At = A_local[:, nfull * c:]
+                Kacc = Kacc + (At * wx[nfull * c:][None, :]) @ At.T
+            K = eps * jnp.eye(n, dtype=A_local.dtype) + lax.psum(Kacc, axis)
             Lk = jnp.linalg.cholesky(K)
 
             def qacc(j, qv):
@@ -264,8 +312,12 @@ def _ard_weights_shard_body(A_local, x_local, w_local, eps, iters: int,
                 qc = jnp.sum(Ac * cho_solve((Lk, True), Ac), axis=0)
                 return lax.dynamic_update_slice(qv, qc, (j * c,))
 
-            q = lax.fori_loop(0, m_local // c, qacc,
+            q = lax.fori_loop(0, nfull, qacc,
                               jnp.zeros((m_local,), A_local.dtype))
+            if tail:
+                At = A_local[:, nfull * c:]
+                q = q.at[nfull * c:].set(
+                    jnp.sum(At * cho_solve((Lk, True), At), axis=0))
         # dtype-eps floor (global max over shards): a rounding-negative
         # form for a pruned atom must not clamp to an exact 0 weight —
         # the next |x|/w would NaN the solve (models/basis_pursuit.py)
@@ -329,11 +381,28 @@ def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
             return bp_sharded(A, b, w, mesh, atoms_axis=atoms_axis,
                               warm=warm, **bp_kwargs)
         total = int(bp_kwargs.get("maxiter", 20000))
-        kw = {**bp_kwargs, "maxiter": int(admm_chunk)}
+        chunk = min(int(admm_chunk), total)
         out = warm
-        for _ in range(-(-total // int(admm_chunk))):
+        remaining = total
+        while remaining > 0:
+            # cap the tail chunk at the remaining budget so `maxiter` is
+            # honored exactly (a short tail re-jits once; every full
+            # chunk shares one compile)
+            kw = {**bp_kwargs, "maxiter": min(chunk, remaining)}
+            prev = out
             out = bp_sharded(A, b, w, mesh, atoms_axis=atoms_axis,
                              warm=out, **kw)
+            remaining -= kw["maxiter"]
+            if prev is not None and remaining > 0:
+                # early exit: once the inner ADMM has converged, a
+                # restarted chunk only jitters z by round-off — stop
+                # dispatching the remaining device programs
+                dz = float(jnp.linalg.norm(out[0] - prev[0]))
+                tol_eff = bp_kwargs.get("tol") or (
+                    1e-9 if A.dtype == jnp.float64 else 1e-6)
+                if dz <= float(tol_eff) * (
+                        1.0 + float(jnp.linalg.norm(prev[0]))):
+                    break
         return out
 
     x, u, rho = solve(None, None)
@@ -346,6 +415,176 @@ def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
         w = _ard_jit(mesh, atoms_axis, float(eps), 8, mm_prec)(A, x, w)
         xs, u, rho = solve(w, (x, u, rho))
         if float(jnp.linalg.norm(xs - x)) < min_decrease:
+            return xs
+        x = xs
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Sharded basis pursuit DENOISING (l2-ball constraint)
+# ---------------------------------------------------------------------------
+
+def _bpd_admm_shard_body(A_local, b, delta, w_local, rho, maxiter: int, tol,
+                         axis: str, warm=None):
+    """Column-sharded BPD ADMM (parity: cstpu.models.basis_pursuit._bpd_admm
+    in its m > n Woodbury form, itself replacing the reference's ECOS SOCP,
+    /root/reference/src/basispursuit.jl:80-124).
+
+    Sharding: x/z/uz/w live with the dictionary columns; y/uy/b are
+    replicated n-vectors. Per iteration exactly ONE n-length psum (of the
+    local A_s @ rhs_s products) plus one packed scalar psum: the fitted
+    vector A x IS the Woodbury correction c exactly (since
+    (I + AA') c = A rhs implies A rhs - AA' c = c), so no second
+    dictionary pass or collective is needed and no cancellation occurs.
+    """
+    rho = jnp.asarray(rho, A_local.dtype)
+    tol = jnp.asarray(tol, A_local.dtype)
+    n, m_local = A_local.shape
+    AAt = lax.psum(A_local @ A_local.T, axis)
+    L = jnp.linalg.cholesky(jnp.eye(n, dtype=A_local.dtype) + AAt)
+    del AAt
+    thresh = w_local / rho
+    tiny = jnp.finfo(A_local.dtype).tiny
+
+    def project_ball(v):
+        d = v - b
+        nd = jnp.linalg.norm(d)
+        return b + d * jnp.minimum(1.0, delta / jnp.maximum(nd, tiny))
+
+    def cond(c):
+        x, z, y, uz, uy, t, done = c
+        return (t < maxiter) & ~done
+
+    def body(c):
+        x, z, y, uz, uy, t, _ = c
+        rhs = (z - uz) + (y - uy) @ A_local          # local (m_local,)
+        Arhs = lax.psum(A_local @ rhs, axis)         # THE collective
+        cvec = cho_solve((L, True), Arhs)
+        x = rhs - cvec @ A_local
+        Ax = cvec                                    # = A x exactly
+        z_new = _shrink(x + uz, thresh)
+        y_new = project_ball(Ax + uy)
+        uz = uz + x - z_new
+        uy = uy + Ax - y_new
+        sq = lax.psum(jnp.stack([
+            jnp.sum((x - z_new) * (x - z_new)),
+            jnp.sum((z_new - z) * (z_new - z)),
+            jnp.sum(z_new * z_new)]), axis)
+        pri = jnp.sqrt(sq[0]) + jnp.linalg.norm(Ax - y_new)
+        dua = rho * (jnp.sqrt(sq[1]) + jnp.linalg.norm(y_new - y))
+        scale = 1.0 + jnp.sqrt(sq[2])
+        done = (pri < tol * scale) & (dua < tol * scale)
+        return x, z_new, y_new, uz, uy, t + 1, done
+
+    z0 = jnp.zeros((m_local,), A_local.dtype)
+    if warm is None:
+        state = (z0, z0, jnp.asarray(b, A_local.dtype), z0,
+                 jnp.zeros((n,), A_local.dtype))
+    else:
+        zw, uzw, yw, uyw = warm
+        state = (zw, zw, yw, uzw, uyw)  # carried x is dead until body
+    x, z, y, uz, uy, _, _ = lax.while_loop(
+        cond, body, (*state, jnp.int32(0), jnp.bool_(False)))
+    return z, uz, y, uy
+
+
+@lru_cache(maxsize=64)
+def _bpd_jit(mesh: Mesh, atoms_axis: str, maxiter: int, tol: float,
+             warm: bool, mm_prec: str = "float32"):
+    body = _with_matmul_precision(
+        mm_prec, partial(_bpd_admm_shard_body, maxiter=maxiter, tol=tol,
+                         axis=atoms_axis))
+    if not warm:
+        return jax.jit(jax.shard_map(
+            lambda A_l, b_l, d, w_l, rho: body(A_l, b_l, d, w_l, rho),
+            mesh=mesh,
+            in_specs=(P(None, atoms_axis), P(None), P(), P(atoms_axis), P()),
+            out_specs=(P(atoms_axis), P(atoms_axis), P(None), P(None)),
+            check_vma=False,
+        ))
+    return jax.jit(jax.shard_map(
+        lambda A_l, b_l, d, w_l, rho, z_l, uz_l, y, uy: body(
+            A_l, b_l, d, w_l, rho, warm=(z_l, uz_l, y, uy)),
+        mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(None), P(), P(atoms_axis), P(),
+                  P(atoms_axis), P(atoms_axis), P(None), P(None)),
+        out_specs=(P(atoms_axis), P(atoms_axis), P(None), P(None)),
+        check_vma=False,
+    ))
+
+
+def bpd_sharded(A, b, delta, w=None, mesh: Mesh = None, rho: float = 1.0,
+                maxiter: int = 20000, tol: float = None,
+                atoms_axis: str = "atoms", warm=None,
+                matmul_precision: str = "float32"):
+    """(Weighted) basis pursuit denoising, column-sharded.
+
+    Semantics match cstpu.bpd (ADMM, l2-ball projection); returns
+    (z, uz, y, uy) — pass the 4-tuple back as `warm=` to continue a solve
+    (chunked device programs at large m). Callers wanting just the
+    solution take element 0. Parity: src/basispursuit.jl:80-100.
+    """
+    n, m = A.shape
+    if tol is None:
+        tol = 1e-8 if A.dtype == jnp.float64 else 1e-5
+    if w is None:
+        w = jnp.ones((m,), A.dtype)
+    w = jnp.asarray(w, A.dtype)
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    delta = jnp.asarray(delta, A.dtype)
+    rho = jnp.asarray(rho, A.dtype)
+    if warm is None:
+        fn = _bpd_jit(mesh, atoms_axis, int(maxiter), float(tol), False,
+                      str(matmul_precision))
+        return fn(A, b, delta, w, rho)
+    fn = _bpd_jit(mesh, atoms_axis, int(maxiter), float(tol), True,
+                  str(matmul_precision))
+    return fn(A, b, delta, w, rho, *warm)
+
+
+def bpd_candes_sharded(A, b, delta, mesh: Mesh, eps: float = None,
+                       maxiter: int = 8, atoms_axis: str = "atoms",
+                       **bpd_kwargs):
+    """Candes-reweighted sharded BPD (eps defaults to delta, parity
+    src/basispursuit.jl:119-121). The weight rule w = 1/(|x| + eps) is
+    elementwise, so it stays local to each shard."""
+    eps = float(delta) if eps is None else float(eps)
+    m = A.shape[1]
+    out = bpd_sharded(A, b, delta, None, mesh, atoms_axis=atoms_axis,
+                      **bpd_kwargs)
+    x = out[0]
+    for _ in range(1, int(maxiter)):
+        w = 1.0 / (jnp.abs(x) + eps)
+        out = bpd_sharded(A, b, delta, w, mesh, atoms_axis=atoms_axis,
+                          **bpd_kwargs)
+        xs = out[0]
+        if float(jnp.linalg.norm(xs - x)) < 1e-4:
+            return xs
+        x = xs
+    return x
+
+
+def bpd_ard_sharded(A, b, delta, mesh: Mesh, eps: float = None,
+                    maxiter: int = 8, atoms_axis: str = "atoms",
+                    **bpd_kwargs):
+    """ARD-reweighted sharded BPD (eps defaults to delta^2, parity
+    src/basispursuit.jl:122-124); weights via the sharded ARD fixed point
+    (ard_weights_sharded's lean/chunked kernel at large shards)."""
+    eps = float(delta) ** 2 if eps is None else float(eps)
+    m = A.shape[1]
+    mm_prec = str(bpd_kwargs.get("matmul_precision", "float32"))
+    out = bpd_sharded(A, b, delta, None, mesh, atoms_axis=atoms_axis,
+                      **bpd_kwargs)
+    x = out[0]
+    w = jnp.ones((m,), A.dtype)
+    for _ in range(1, int(maxiter)):
+        w = _ard_jit(mesh, atoms_axis, eps, 8, mm_prec)(A, x, w)
+        out = bpd_sharded(A, b, delta, w, mesh, atoms_axis=atoms_axis,
+                          **bpd_kwargs)
+        xs = out[0]
+        if float(jnp.linalg.norm(xs - x)) < 1e-4:
             return xs
         x = xs
     return x

@@ -122,6 +122,104 @@ def test_bp_ard_sharded_lean_mode_matches(mesh, monkeypatch):
     assert list(np.flatnonzero(np.abs(lean) > 1e-5)) == list(support(x))
 
 
+def test_bp_sharded_lean_matches_whitened_f32_ill_conditioned(
+        mesh, monkeypatch):
+    # the lean mode exists ONLY for the f32 TPU large-m regime, so its
+    # f32 accuracy must be pinned where the whitened path needs two
+    # whitening passes: an ill-conditioned (correlated, cond ~3e4)
+    # dictionary at f32. The lean mode runs the same two-pass whitening
+    # (chunk-materialized), so equality-constraint feasibility must stay
+    # in the same class across the silent _WHITEN_BYTES_MAX auto-switch
+    # — the abandoned cho_solve projection measured rel feasibility 0.48
+    # here vs 2e-6 whitened.
+    import cstpu.parallel.convex as cv
+    from cstpu.utils.data import correlated_data
+
+    A64, x, b64 = correlated_data(jax.random.PRNGKey(77), n=32, m=48, k=3)
+    A = jnp.asarray(A64, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+
+    whit = np.asarray(cv.bp_sharded(A, b, mesh=mesh)[0])
+    monkeypatch.setattr(cv, "_WHITEN_BYTES_MAX", 0)
+    cv._bp_jit.cache_clear()
+    try:
+        lean = np.asarray(cv.bp_sharded(A, b, mesh=mesh)[0])
+    finally:
+        cv._bp_jit.cache_clear()
+    feas_whit = np.linalg.norm(np.asarray(A) @ whit - np.asarray(b))
+    feas_lean = np.linalg.norm(np.asarray(A) @ lean - np.asarray(b))
+    bnorm = np.linalg.norm(np.asarray(b))
+    # both modes must deliver a genuinely feasible point at f32...
+    assert feas_whit < 1e-4 * bnorm
+    assert feas_lean < 1e-4 * bnorm
+    # ...and the lean mode must not be meaningfully worse than whitened
+    assert feas_lean <= 4.0 * feas_whit + 1e-6 * bnorm
+
+
+def test_bpd_sharded_matches_single_device(mesh):
+    from cstpu import bpd, perturb, support
+    from cstpu.parallel.convex import bpd_sharded
+    A, x, b, _ = _problem(79, n=32, m=48)
+    delta = 1e-2
+    y = perturb(jax.random.PRNGKey(790), b, delta / 2)
+    ref = np.asarray(bpd(A, y, delta))
+    sol = np.asarray(bpd_sharded(A, y, delta, mesh=mesh)[0])
+    # same ADMM fixed point (collective split changes only rounding)
+    np.testing.assert_allclose(sol, ref, atol=1e-6)
+    assert list(np.flatnonzero(np.abs(sol) > 1e-2)) == list(support(x))
+    # the l2-ball constraint must actually hold (boundary to rounding)
+    feas = np.linalg.norm(np.asarray(A) @ sol - np.asarray(y))
+    assert feas <= delta * (1 + 1e-5)
+
+
+def test_bpd_sharded_warm_restart_continues(mesh):
+    # a chunked solve (2 x 300 iterations, warm-restarted) must land at
+    # the same fixed point as one 600-iteration program — the contract
+    # the large-m chunked driver relies on
+    from cstpu import perturb
+    from cstpu.parallel.convex import bpd_sharded
+    A, x, b, _ = _problem(80, n=32, m=48)
+    delta = 1e-2
+    y = perturb(jax.random.PRNGKey(800), b, delta / 2)
+    one = np.asarray(bpd_sharded(A, y, delta, mesh=mesh, maxiter=600,
+                                 tol=0.0)[0])
+    out = bpd_sharded(A, y, delta, mesh=mesh, maxiter=300, tol=0.0)
+    out = bpd_sharded(A, y, delta, mesh=mesh, maxiter=300, tol=0.0,
+                      warm=out)
+    np.testing.assert_allclose(np.asarray(out[0]), one, atol=1e-9)
+
+
+def test_bpd_reweighted_sharded_recover(mesh):
+    from cstpu import bpd_candes, bpd_ard, perturb, support
+    from cstpu.parallel.convex import bpd_ard_sharded, bpd_candes_sharded
+    A, x, b, _ = _problem(81, n=32, m=48)
+    delta = 1e-2
+    y = perturb(jax.random.PRNGKey(810), b, delta / 2)
+    for fn in (bpd_candes_sharded, bpd_ard_sharded):
+        sol = np.asarray(fn(A, y, delta, mesh))
+        assert list(np.flatnonzero(np.abs(sol) > 1e-2)) == list(support(x))
+
+
+def test_ard_chunk_remainder_tail(mesh, monkeypatch):
+    # odd m_local in lean mode must stream near-cap chunks plus one
+    # static remainder tail — NOT degrade to width-1 dynamic slices; the
+    # result must match the unchunked whitened path bit-for-bit in f64
+    import cstpu.parallel.convex as cv
+    A, x, b, _ = _problem(78, n=32, m=56)  # m_local = 7 per shard (odd)
+    ref = np.asarray(cv.bp_ard_sharded(A, b, mesh))
+    monkeypatch.setattr(cv, "_WHITEN_BYTES_MAX", 0)
+    monkeypatch.setattr(cv, "_ARD_CHUNK_MAX", 4)  # 7 = 4 + tail 3
+    cv._bp_jit.cache_clear()
+    cv._ard_jit.cache_clear()
+    try:
+        lean = np.asarray(cv.bp_ard_sharded(A, b, mesh))
+    finally:
+        cv._bp_jit.cache_clear()
+        cv._ard_jit.cache_clear()
+    np.testing.assert_allclose(lean, ref, atol=1e-9)
+    assert list(np.flatnonzero(np.abs(lean) > 1e-5)) == list(support(x))
+
+
 def test_distributed_mesh_and_shard_global():
     # single-process path over the 8 virtual devices
     import jax
