@@ -83,7 +83,8 @@ def worker(args) -> int:
     rng = np.random.default_rng(11)
     A_np = rng.standard_normal((_N, m))
     A_np /= np.linalg.norm(A_np, axis=0, keepdims=True)
-    sup = np.stack([rng.choice(m, _K, replace=False) for _ in range(_B)])
+    kk = args.k or _K
+    sup = np.stack([rng.choice(m, kk, replace=False) for _ in range(_B)])
     X = np.zeros((_B, m))
     for i in range(_B):
         X[i, sup[i]] = 1.0
@@ -106,11 +107,11 @@ def worker(args) -> int:
         for i in range(reps):
             Bsi = scale(Bs_sh, base + i * 1e-7)
             acc += float(np.asarray(fetch(omp_sharded(A_sh, Bsi,
-                                                      _K, mesh).val)))
+                                                      kk, mesh).val)))
         return time.perf_counter() - t0
 
     # recovery gate: a fast wrong answer is not a datum
-    sol = omp_sharded(A_sh, Bs_sh, _K, mesh)
+    sol = omp_sharded(A_sh, Bs_sh, kk, mesh)
     idx = np.asarray(
         jax.jit(lambda v: v, out_shardings=NamedSharding(mesh, P()))(
             sol.idx))
@@ -149,17 +150,30 @@ def worker(args) -> int:
         return jax.shard_map(f, mesh=mesh, in_specs=P(), out_specs=P(),
                              check_vma=False)(x)
 
-    xx = jnp.ones((_B,))
-    float(np.asarray(fetch(psum_chain(xx, 4))))
-    float(np.asarray(fetch(psum_chain(xx, 64))))
-    tL1 = min_time(lambda: float(np.asarray(fetch(psum_chain(xx, 4)))))
-    tL2 = min_time(lambda: float(np.asarray(fetch(psum_chain(xx, 64)))))
-    L = max((tL2 - tL1) / 60, 0.0)
+    def round_latency(payload_elems: int) -> float:
+        """Dependent-round latency at a given f64 payload size — the
+        model's L(p). Chained psums (sequential dependence defeats
+        batching); two trip counts cancel dispatch overhead."""
+        xx = jnp.ones((payload_elems,))
+        float(np.asarray(fetch(psum_chain(xx, 4))))
+        float(np.asarray(fetch(psum_chain(xx, 64))))
+        tL1 = min_time(lambda: float(np.asarray(fetch(psum_chain(xx, 4)))))
+        tL2 = min_time(lambda: float(np.asarray(fetch(psum_chain(xx, 64)))))
+        return max((tL2 - tL1) / 60, 0.0)
+
+    # the solve's per-step rounds ship two payload classes: the (B,)
+    # selection pmax/pmin pair and the (B, n) residual-update psum —
+    # measure L at BOTH byte sizes so the budget model can be evaluated
+    # per class instead of assuming one fabric constant
+    L_small = round_latency(_B)            # selection rounds (B f64)
+    L_big = round_latency(_B * _N)         # residual psum (B*n f64)
 
     _emit(args, {"t_per_solve_s": per_solve, "recovery": rec,
                  "devices": ndev, "m": m, "processes": args.num_processes,
-                 "collective_round_s": L,
-                 "solve_collective_rounds": 3 * _K})
+                 "k": kk,
+                 "collective_round_s": L_small,
+                 "collective_round_big_s": L_big,
+                 "solve_collective_rounds": 3 * kk})
     return 0
 
 
@@ -182,7 +196,7 @@ def _emit(args, payload: dict) -> None:
 # driver
 # ---------------------------------------------------------------------------
 
-def _launch(nproc: int, outdir: str) -> dict:
+def _launch(nproc: int, outdir: str, k: int = _K) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     port = _free_port()
     env = dict(os.environ)
@@ -191,11 +205,11 @@ def _launch(nproc: int, outdir: str) -> dict:
     env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
                         f"{_DEVICES_PER_PROC}")
     env["JAX_CPU_COLLECTIVES_IMPLEMENTATION"] = "gloo"
-    out = os.path.join(outdir, f"ws_{nproc}proc.json")
+    out = os.path.join(outdir, f"ws_{nproc}proc_k{k}.json")
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
          "--process-id", str(pid), "--num-processes", str(nproc),
-         "--port", str(port), "--out", out],
+         "--port", str(port), "--out", out, "--k", str(k)],
         env=env, cwd=repo) for pid in range(nproc)]
     for p in procs:
         if p.wait(timeout=900):
@@ -206,17 +220,91 @@ def _launch(nproc: int, outdir: str) -> dict:
         return json.load(f)
 
 
+def _sweep() -> int:
+    """Multi-point validation of the per-step collective budget model
+
+        t_solve(nproc, k) ~ c0 + k * (t_sweep + 2 L_small(nproc)
+                                      + L_big(nproc))
+
+    (VERDICT r3 item 6 / BASELINE.md:31 obligation). L_small/L_big are
+    measured INDEPENDENTLY per process count (chained-psum probes at the
+    solve's two payload classes); only the two collective-free unknowns
+    (c0 fixed dispatch, t_sweep per-step shard work) are fitted, by
+    least squares over all measured (nproc, k) points. The fit residuals
+    are the model error: small residuals mean rounds x L(p) explains the
+    cross-process slowdown, which is the claim the DCN weak-scaling
+    prediction rests on."""
+    import tempfile
+
+    import numpy as np
+
+    configs = [(1, 4), (1, 8), (1, 16), (2, 4), (2, 8), (2, 16)]
+    rows = []
+    with tempfile.TemporaryDirectory() as td:
+        for nproc, k in configs:
+            r = _launch(nproc, td, k=k)
+            if "error" in r:
+                print(json.dumps(r))
+                return 1
+            print(json.dumps(r))
+            rows.append(r)
+
+    # per-process-count collective cost per step: 2 small + 1 big round
+    Lstep = {r["processes"]: 2 * r["collective_round_s"]
+             + r["collective_round_big_s"] for r in rows}
+    # calibrate the collective-free terms [c0, t_sweep] on the
+    # SINGLE-process points only (where the probed L is microseconds and
+    # cannot hide error), then predict every cross-process point with NO
+    # fitted cross-process parameter: pred = c0 + k*(t_sweep + L_probe).
+    # The 2-proc residual is then a genuine test of "rounds x L(p)
+    # explains the process-boundary slowdown" — any shortfall is the
+    # solve's arrival skew (probe rounds are back-to-back/synchronized;
+    # solve rounds sit behind per-process compute jitter) plus op-mix
+    # differences (pmax/pmin vs the probe's psum).
+    ones = [r for r in rows if r["processes"] == 1]
+    Amat = np.array([[1.0, float(r["k"])] for r in ones])
+    rhs = np.array([r["t_per_solve_s"] - r["k"] * Lstep[1] for r in ones])
+    (c0, t_sweep), *_ = np.linalg.lstsq(Amat, rhs, rcond=None)
+    table = []
+    for r in rows:
+        pred = c0 + r["k"] * (t_sweep + Lstep[r["processes"]])
+        table.append({
+            "processes": r["processes"], "k": r["k"],
+            "measured_ms": round(r["t_per_solve_s"] * 1e3, 2),
+            "predicted_ms": round(pred * 1e3, 2),
+            "error_pct": round(100 * (pred - r["t_per_solve_s"])
+                               / r["t_per_solve_s"], 1),
+        })
+    cross = [x for x in table if x["processes"] > 1]
+    fit_err = max(abs(x["error_pct"]) for x in cross)
+    print(json.dumps({
+        "metric": "collective_budget_model_fit",
+        "c0_ms": round(c0 * 1e3, 3),
+        "t_sweep_ms_per_step": round(t_sweep * 1e3, 4),
+        "L_step_by_procs_ms": {str(p): round(v * 1e3, 3)
+                               for p, v in Lstep.items()},
+        "points": table,
+        "cross_process_max_abs_error_pct": fit_err,
+    }))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--process-id", type=int)
     ap.add_argument("--num-processes", type=int)
     ap.add_argument("--port", type=int)
     ap.add_argument("--out")
+    ap.add_argument("--k", type=int, default=None)
+    ap.add_argument("--sweep", action="store_true")
     args = ap.parse_args()
     if args.process_id is not None:
         return worker(args)
 
     import tempfile
+
+    if args.sweep:
+        return _sweep()
 
     with tempfile.TemporaryDirectory() as td:
         r1 = _launch(1, td)

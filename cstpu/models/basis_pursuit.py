@@ -60,9 +60,23 @@ def _bp_admm(A, b, w, rho, maxiter: int, tol, z0=None, u0=None):
     # f32 on a cond ~5e3 dictionary — and the fast projection below
     # assumes orthonormal rows. Re-whitening the nearly-orthonormal
     # result contracts the defect quadratically (5e3 -> 1.07 -> ~1+eps).
+    # Shifted passes: once cond(A)^2 * eps ~ 1 the f32 Gram is
+    # numerically indefinite and Cholesky returns NaN on TPU (observed at
+    # cond(A) ~ 3e4). An 8n-ulp diagonal shift keeps the factor real and
+    # still whitens (rows come out orthonormal to ~shift level); two
+    # shifted passes contract the conditioning enough that the FINAL
+    # UNSHIFTED pass orthonormalizes to rounding (any shift on the last
+    # pass perturbs the projection's feasible set and measurably degrades
+    # the l1 optimum vs the exact LP). Measured f32 row-Gram deviation
+    # from I: 5e-7 at cond 3e4, 3.5e-5 at cond 2e6; beyond ~1e7 f32 is
+    # out of digits entirely — pass f64 inputs or method="simplex" there.
+    eps = jnp.finfo(A.dtype).eps
     Aw, bw = A, b
-    for _ in range(2):
-        L = jnp.linalg.cholesky(Aw @ Aw.T)
+    for shift in (8.0 * n * eps, 8.0 * n * eps, 0.0):
+        G = Aw @ Aw.T
+        G = G + (shift * jnp.max(jnp.diagonal(G))) * jnp.eye(n,
+                                                            dtype=A.dtype)
+        L = jnp.linalg.cholesky(G)
         Aw = solve_triangular(L, Aw, lower=True)
         bw = solve_triangular(L, bw, lower=True)
 

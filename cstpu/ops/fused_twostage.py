@@ -266,37 +266,39 @@ def _outer_while(eng, maxiter: int, body_inner):
 
 def _sp_kernel(k: int, maxiter: int, delta2: float,
                A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
-               iters_ref, cols, Ginv, Atbs, coefs, idxs, r, i_scr,
-               acol_scr):
+               iters_ref, cols, GU, W, S, Sinv, Ginv11, Atbs, coefs,
+               idxs, r, i_scr, acol_scr):
     """SP: expand by the top-k residual correlations, LS-refit on <= 2k
     atoms, prune to the k largest |coefficients|, iterate while the
     residual improves (the final pruned iterate is kept either way,
     src/twostage.jl:92-99).
 
-    Static-slot rebuild design (v2). The round-1 kernel drove SP through
-    the generic slot engine: every append/delete swept the (B, 2k, n)
-    cached-column buffer with a masked one-hot RMW (g = cols.a read +
-    cols += a (x) onehot write, ~2x16 MB per atom at config-2 sizes) —
-    ~64 sweeps per outer iteration, the whole cost of the kernel. This
-    version exploits SP's phase structure (the reference itself refits
-    from a FRESH factorization every iteration, src/twostage.jl:104-107):
+    Block-partitioned design (v3). The v2 kernel ran ~3k sequential
+    rank-one rounds per outer iteration on (B, 2k, 2k)/(B, 2k, n)
+    buffers (bordered appends, Schur-downdate deletions, permutation of
+    the inverse) — the whole cost of the kernel at config-2 sizes. v3
+    exploits the 2x2 block structure the compacted layout induces
+    (kept block 0..k-1, acquired block k..2k-1):
 
-      * the loop-top invariant is a COMPACTED support: active atoms in
-        slots 0..k-1, so the k acquired atoms go to slots k..2k-1 with
-        static slot indices — plain stores, no masked RMW;
-      * the union Gram is ONE batched MXU GEMM over the column cache
-        (read once per iteration instead of once per atom), and the
-        bordered inverse updates then touch only (B, 2k, 2k) buffers
-        with Gram rows they read for free;
-      * deletions downdate only the inverse (column-cache cleanup is
-        folded into the end-of-iteration compaction);
-      * compaction is a batched permutation GEMM (rank = cumsum(keep)),
-        which also zeroes dead columns — again one pass over the cache.
+      * selection keeps a lexicographic (value, index) cursor instead of
+        masking the score buffer: top-k with NO (B, m) writes and one
+        fewer sweep per pick, same picks bit-for-bit;
+      * the union inverse is never materialized: with W = Ginv11 G12 and
+        the Schur complement S = G22 - G12' W (each ONE batched MXU GEMM
+        off a single pass over the column cache), the k bordered rounds
+        invert S on (B, k, k) buffers — 4x smaller than v2's — with the
+        same per-atom degeneracy gates, and the union refit is three
+        (B, k, k) mat-vecs: x2 = Sinv (a2 - W'a1), x1 = Ginv11 a1 - W x2;
+      * pruning never downdates: after the compaction permutation (cols/
+        idxs/Atbs only — the inverse is NOT permuted), the kept-block
+        inverse is rebuilt FRESH from its (B, k, k) Gram, exactly as the
+        reference refactorizes each iteration (src/twostage.jl:104-107);
+      * the column cache stays f32: a (B, 1, n) bf16 slice store does
+        not legalize in Mosaic (sublane packing), so the bf16-cache
+        variant is off the table for now.
 
-    Selection rules, degeneracy gates and the convergence latch are the
-    round-1 kernel's exactly; the slot ORDER of the output differs
-    (compacted, not first-free-with-holes), which SparseSolution's
-    mask/idx representation absorbs.
+    Selection rules, degeneracy gates and the convergence latch are v2's
+    exactly; only the arithmetic route to the same quantities changed.
     """
     B, n = Bs_ref.shape
     m = A_ref.shape[1]
@@ -304,186 +306,201 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     cdt = A_ref.dtype
     deg = _degeneracy_rtol(n)
     col_iota = lax.broadcasted_iota(jnp.int32, (B, m), 1)
-    slot_iota = lax.broadcasted_iota(jnp.int32, (1, K2), 1)
+    slot2 = lax.broadcasted_iota(jnp.int32, (1, K2), 1)
     s2_iota = lax.broadcasted_iota(jnp.int32, (B, K2), 1)
+    slotk = lax.broadcasted_iota(jnp.int32, (1, k), 1)
     BIG = jnp.int32(K2 + 1)
-    eyeK = (lax.broadcasted_iota(jnp.int32, (1, K2, K2), 1)
-            == lax.broadcasted_iota(jnp.int32, (1, K2, K2), 2)).astype(F32)
+    NEG = jnp.float32(-jnp.inf)
+    eyek = (lax.broadcasted_iota(jnp.int32, (1, k, k), 1)
+            == lax.broadcasted_iota(jnp.int32, (1, k, k), 2)).astype(F32)
 
     def corr(x):
         return lax.dot_general(x.astype(cdt), A_ref[:, :],
                                (((1,), (0,)), ((), ())),
                                preferred_element_type=F32)
 
-    def bmm(P, X):
-        """Batched (B, K2, K2) @ (B, K2, c) contraction."""
-        return lax.dot_general(P, X, (((2,), (1,)), ((0,), (0,))),
-                               preferred_element_type=F32)
-
-    def argmax_masked(sc):
-        smax = jnp.max(sc, axis=1, keepdims=True)
-        i = jnp.min(jnp.where(sc == smax, col_iota, INT_MAX),
-                    axis=1, keepdims=True)
-        return i, smax
-
     def rnorm2():
         return jnp.sum(r[:, :] * r[:, :], axis=1, keepdims=True)
 
-    def acquire_refit(sc, gate):
-        """Select k atoms into slots k..2k-1 (static stores), extend the
-        inverse by bordered updates against the batched union Gram, and
-        LS-refit. Mutates cols/Ginv/idxs/coefs/r; stores A'b in Atbs."""
-        # --- selection: k rounds of masked argmax, static slot stores ---
-        def select_one(j, sc):
-            i, smax = argmax_masked(sc)
-            sc = jnp.where(col_iota == i, -jnp.inf, sc)
+    def acquire(sc, gate):
+        """Top-k of sc into slots k..2k-1 (static stores) with the
+        lexicographic cursor: candidate set = {(v, i) strictly below the
+        previous pick in (value desc, index asc) order} — identical picks
+        to v2's mask-and-re-argmax, without rewriting the score buffer.
+        Also records beta = a_i'b into Atbs per accepted pick."""
+        def sel(j, carry):
+            vprev, iprev = carry
+            cand = jnp.where((sc < vprev)
+                             | ((sc == vprev) & (col_iota > iprev)),
+                             sc, NEG)
+            smax = jnp.max(cand, axis=1, keepdims=True)
+            i = jnp.min(jnp.where(cand == smax, col_iota, INT_MAX),
+                        axis=1, keepdims=True)
+            have = smax > NEG
             dup = jnp.sum((idxs[:, :] == i).astype(F32), axis=1,
                           keepdims=True) > 0
-            ok = gate & (smax > -jnp.inf) & ~dup           # (B, 1)
+            ok = gate & have & ~dup
             okf = ok.astype(F32)
-            i_scr[:, :] = i  # stage the index for the slice extraction
+            i_scr[:, :] = i
             _extract_cols(AT_ref, i_scr, acol_scr, B)
-            s = k + j
-            cols[:, pl.ds(s, 1), :] = (acol_scr[:, :]
-                                       * okf)[:, None, :]
-            islot = jnp.where(ok, i, m).astype(jnp.int32)  # (B, 1)
-            idxs[:, :] = jnp.where(s2_iota == s, islot, idxs[:, :])
-            return sc
-
-        lax.fori_loop(0, k, select_one, sc)
-
-        # --- union Gram + A'b: ONE pass over the column cache ----------
-        G = lax.dot_general(cols[:, :, :], cols[:, :, :],
-                            (((2,), (2,)), ((0,), (0,))),
-                            preferred_element_type=F32)    # (B, K2, K2)
-        Atbs[:, :] = jnp.sum(cols[:, :, :] * Bs_ref[:, :][:, None, :],
-                             axis=2)
-
-        # --- bordered inverse: Gram rows are free, (B,K2,K2) ops only --
-        def border_one(j, inmask):
-            s = k + j
-            es = (slot_iota == s).astype(F32)              # (1, K2)
-            grow = jnp.sum(G * es[:, None, :], axis=2)     # (B, K2) row s
-            ata = jnp.sum(grow * es, axis=1, keepdims=True)
-            g = grow * inmask
-            u = jnp.sum(Ginv[:, :, :] * g[:, None, :], axis=2)
-            d = ata - jnp.sum(g * u, axis=1, keepdims=True)
-            stored = jnp.sum((s2_iota == s).astype(F32)
-                             * (idxs[:, :] < m).astype(F32), axis=1,
-                             keepdims=True)
-            ok = (stored > 0) & (d > deg * ata)
-            okf = ok.astype(F32)
-            et = es * okf                                  # (B, K2)
-            dinv = okf / jnp.where(d > 0, d, 1.0)
-            w = u - et
-            Ginv[:, :, :] = Ginv[:, :, :] \
-                + dinv[:, :, None] * w[:, :, None] * w[:, None, :] \
-                - et[:, :, None] * et[:, None, :]
-            # a span-degenerate atom is rejected outright (idx -> m)
-            rej = ((stored > 0) & ~ok).astype(F32)         # (B, 1)
-            idxs[:, :] = jnp.where((s2_iota == s) & (rej > 0), m,
+            s_ = k + j
+            cols[:, pl.ds(s_, 1), :] = (acol_scr[:, :] * okf)[:, None, :]
+            beta = jnp.sum(acol_scr[:, :] * Bs_ref[:, :], axis=1,
+                           keepdims=True)
+            Atbs[:, pl.ds(s_, 1)] = beta * okf
+            idxs[:, :] = jnp.where(s2_iota == s_,
+                                   jnp.where(ok, i, m).astype(jnp.int32),
                                    idxs[:, :])
+            # the cursor advances even on duplicate picks (the pick is
+            # consumed, exactly as the masked-argmax formulation)
+            return (jnp.where(have, smax, NEG),
+                    jnp.where(have, i, INT_MAX))
+
+        lax.fori_loop(0, k, sel,
+                      (jnp.full((B, 1), jnp.inf, F32),
+                       jnp.full((B, 1), -1, jnp.int32)))
+
+    def invert_spd(ata, occ, Minv, reject_base: int):
+        """Bordered inversion of the SPD matrix in S into Minv ((B,k,k)),
+        k gated rank-one rounds: per slot j the Schur pivot d must beat
+        deg * ata_j (same accept test as v2's border_one; ata is the
+        union-Gram diagonal). Rejected slots keep the identity pad and
+        their support entry at reject_base + j is cleared."""
+        Minv[:, :, :] = jnp.broadcast_to(eyek, (B, k, k))
+
+        def bstep(j, inmask):
+            es = (slotk == j).astype(F32)                   # (1, k)
+            srow = jnp.sum(S[:, :, :] * es[:, None, :], axis=2)
+            sjj = jnp.sum(srow * es, axis=1, keepdims=True)
+            g = srow * inmask
+            u = jnp.sum(Minv[:, :, :] * g[:, None, :], axis=2)
+            d = sjj - jnp.sum(g * u, axis=1, keepdims=True)
+            ataj = jnp.sum(ata * es, axis=1, keepdims=True)
+            occj = jnp.sum(occ * es, axis=1, keepdims=True)
+            ok = (occj > 0) & (d > deg * ataj)
+            okf = ok.astype(F32)
+            et = es * okf
+            dinv = okf / jnp.where(d > 0, d, 1.0)
+            w_ = u - et
+            Minv[:, :, :] = Minv[:, :, :] \
+                + dinv[:, :, None] * w_[:, :, None] * w_[:, None, :] \
+                - et[:, :, None] * et[:, None, :]
+            rej = (occj > 0) & ~ok                          # (B, 1)
+            idxs[:, :] = jnp.where((s2_iota == reject_base + j) & rej,
+                                   m, idxs[:, :])
             return inmask + et
 
-        inmask0 = ((idxs[:, :] < m)
-                   & (slot_iota < k)).astype(F32)          # kept atoms
-        lax.fori_loop(0, k, border_one, inmask0)
-        refit()
+        lax.fori_loop(0, k, bstep, jnp.zeros((B, k), F32))
 
-    def refit():
+    def build_blocks():
+        """GU = cols_union @ cols_new' (ONE cache pass), W = Ginv11 G12,
+        S = G22 - G12' W — three batched MXU GEMMs on (B,k,*) tiles."""
+        GU[:, :, :] = lax.dot_general(cols[:, :, :], cols[:, k:K2, :],
+                                      (((2,), (2,)), ((0,), (0,))),
+                                      preferred_element_type=F32)
+        W[:, :, :] = lax.dot_general(Ginv11[:, :, :], GU[:, 0:k, :],
+                                     (((2,), (1,)), ((0,), (0,))),
+                                     preferred_element_type=F32)
+        S[:, :, :] = GU[:, k:K2, :] - lax.dot_general(
+            GU[:, 0:k, :], W[:, :, :],
+            (((1,), (1,)), ((0,), (0,))), preferred_element_type=F32)
+
+    def union_coefs():
+        """Union LS coefficients straight from the blocks:
+        x2 = Sinv (a2 - W'a1), x1 = Ginv11 a1 - W x2."""
         alive = (idxs[:, :] < m).astype(F32)
-        coefs[:, :] = jnp.sum(
-            Ginv[:, :, :] * (Atbs[:, :] * alive)[:, None, :], axis=2)
-        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
-        r[:, :] = Bs_ref[:, :] - fitted
+        a1 = Atbs[:, 0:k] * alive[:, 0:k]
+        a2 = Atbs[:, k:K2] * alive[:, k:K2]
+        wta1 = jnp.sum(W[:, :, :] * a1[:, :, None], axis=1)
+        v = a2 - wta1
+        x2 = alive[:, k:K2] * jnp.sum(Sinv[:, :, :] * v[:, None, :],
+                                      axis=2)
+        wx2 = jnp.sum(W[:, :, :] * x2[:, None, :], axis=2)
+        x1 = jnp.sum(Ginv11[:, :, :] * a1[:, None, :], axis=2) - wx2
+        coefs[:, 0:k] = x1
+        coefs[:, k:K2] = x2
 
-    def del_slot(ep, hasf):
-        """Schur downdate of the inverse only (column-cache cleanup is
-        the compaction GEMM's job)."""
-        qv = jnp.sum(Ginv[:, :, :] * ep[:, None, :], axis=2)
-        qpp = jnp.sum(qv * ep, axis=1, keepdims=True)
-        inv = hasf / jnp.where(qpp > 0, qpp, 1.0)
-        Ginv[:, :, :] = Ginv[:, :, :] \
-            - inv[:, :, None] * qv[:, :, None] * qv[:, None, :] \
-            + ep[:, :, None] * ep[:, None, :] * hasf[:, :, None]
-        idxs[:, :] = jnp.where(ep > 0, m, idxs[:, :])
+    def prune_keep():
+        """Mask of the k largest |coef| active slots (lowest slot on
+        ties) — v2's pick loop on the tiny (B, K2) score."""
+        cscore = jnp.where(idxs[:, :] < m, jnp.abs(coefs[:, :]), NEG)
 
-    def compact():
-        """Pack surviving atoms into slots 0..k-1 with one batched
-        permutation GEMM per state tensor; dead columns zero out in the
-        same pass. Idempotent: on already-compacted state (incl. done
-        rows) the permutation is the identity, exactly — no gating
-        needed."""
-        keep = (idxs[:, :] < m).astype(F32)                # (B, K2)
-        # rank_s = #kept slots before s (cumsum is not lowerable in
-        # Mosaic; a strictly-lower-triangular reduction is)
+        def pick(_, carry):
+            cs, keep = carry
+            cmax = jnp.max(cs, axis=1, keepdims=True)
+            p = jnp.min(jnp.where(cs == cmax, slot2, BIG), axis=1,
+                        keepdims=True)
+            sel = (slot2 == p) & (cmax > NEG)
+            return jnp.where(sel, NEG, cs), keep + sel.astype(F32)
+
+        _, keep = lax.fori_loop(0, k, pick,
+                                (cscore, jnp.zeros((B, K2), F32)))
+        return keep
+
+    def compact(keep):
+        """Pack the kept atoms into slots 0..k-1 with one batched
+        permutation GEMM over the column cache (+ small sweeps for idxs/
+        Atbs); the inverse is NOT permuted — it is rebuilt fresh.
+        Idempotent on already-compacted (incl. done) rows."""
         lt = (lax.broadcasted_iota(jnp.int32, (1, K2, K2), 2)
               < lax.broadcasted_iota(jnp.int32, (1, K2, K2), 1)
-              ).astype(F32)                                # lt[0, s, t<s]
-        rank = jnp.sum(keep[:, None, :] * lt, axis=2) \
-            + keep - 1.0                                   # (B, K2)
-        sp_f = slot_iota.astype(F32)                       # (1, K2)
+              ).astype(F32)
+        rank = jnp.sum(keep[:, None, :] * lt, axis=2) + keep - 1.0
+        sp_f = slot2.astype(F32)
         P = ((rank[:, None, :] == sp_f[0][None, :, None])
-             & (keep[:, None, :] > 0)).astype(F32)         # (B, s', s)
-        cols[:, :, :] = bmm(P, cols[:, :, :])
-        Ginv[:, :, :] = bmm(bmm(P, Ginv[:, :, :]),
-                            jnp.swapaxes(P, 1, 2))
-        pad = 1.0 - jnp.sum(P, axis=2)                     # (B, K2)
-        Ginv[:, :, :] = Ginv[:, :, :] + eyeK * pad[:, :, None]
+             & (keep[:, None, :] > 0)).astype(F32)          # (B, s', s)
+        cols[:, :, :] = lax.dot_general(
+            P, cols[:, :, :], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=F32)
+        pad = 1.0 - jnp.sum(P, axis=2)                      # (B, K2)
         new_idx = jnp.sum(P * idxs[:, :][:, None, :].astype(F32), axis=2)
         idxs[:, :] = (new_idx + jnp.float32(m) * pad).astype(jnp.int32)
         Atbs[:, :] = jnp.sum(P * Atbs[:, :][:, None, :], axis=2)
-        coefs[:, :] = jnp.sum(P * coefs[:, :][:, None, :], axis=2)
 
-    # --- init: oblivious top-k acquisition + refit + compact -------------
+    def rebuild_kept():
+        """Fresh (B,k,k) Gram + bordered inversion of the compacted kept
+        block (the reference refactorizes every iteration too,
+        src/twostage.jl:104-107), then the final refit + residual."""
+        S[:, :, :] = lax.dot_general(cols[:, 0:k, :], cols[:, 0:k, :],
+                                     (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=F32)
+        ata1 = jnp.sum(S[:, :, :] * eyek, axis=2)
+        occ1 = (idxs[:, 0:k] < m).astype(F32)
+        invert_spd(ata1, occ1, Ginv11, 0)
+        a1 = Atbs[:, 0:k] * (idxs[:, 0:k] < m).astype(F32)
+        coefs[:, 0:k] = jnp.sum(Ginv11[:, :, :] * a1[:, None, :], axis=2)
+        coefs[:, k:K2] = jnp.zeros((B, k), F32)
+        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
+        r[:, :] = Bs_ref[:, :] - fitted
+
+    def sp_round(sc, gate):
+        acquire(sc, gate)
+        build_blocks()
+        ata2 = jnp.sum(GU[:, k:K2, :] * eyek, axis=2)       # diag(G22)
+        occ2 = (idxs[:, k:K2] < m).astype(F32)
+        invert_spd(ata2, occ2, Sinv, k)
+        union_coefs()
+        compact(prune_keep())
+        rebuild_kept()
+
+    # --- init: oblivious top-k acquisition (kept block empty) ------------
     r[:, :] = Bs_ref[:, :]
     cols[:, :, :] = jnp.zeros_like(cols)
-    Ginv[:, :, :] = jnp.broadcast_to(eyeK, (B, K2, K2))
+    Ginv11[:, :, :] = jnp.broadcast_to(eyek, (B, k, k))
     Atbs[:, :] = jnp.zeros_like(Atbs)
     coefs[:, :] = jnp.zeros_like(coefs)
     idxs[:, :] = jnp.full_like(idxs, m)
-    acquire_refit(jnp.abs(corr(Bs_ref[:, :])), jnp.ones((B, 1), bool))
-    compact()
+    sp_round(jnp.abs(corr(Bs_ref[:, :])), jnp.ones((B, 1), bool))
 
     # --- outer loop -------------------------------------------------------
-    def body_inner(gate, prev, done):
-        acquire_refit(jnp.abs(corr(r[:, :])), gate)
-
-        # prune to the k largest |coef| among active slots
-        def pick(_, carry):
-            cscore, keep = carry
-            cmax = jnp.max(cscore, axis=1, keepdims=True)
-            p = jnp.min(jnp.where(cscore == cmax, slot_iota, BIG),
-                        axis=1, keepdims=True)
-            sel = (slot_iota == p) & (cmax > -jnp.inf)
-            return jnp.where(sel, -jnp.inf, cscore), keep + sel.astype(F32)
-
-        cscore = jnp.where(idxs[:, :] < m, jnp.abs(coefs[:, :]), -jnp.inf)
-        _, keep = lax.fori_loop(0, k, pick,
-                                (cscore, jnp.zeros((B, K2), F32)))
-        drop0 = ((idxs[:, :] < m) & (keep < 0.5) & gate).astype(F32)
-
-        def drop_one(_, drop):  # at most k slots get dropped
-            ds = jnp.min(jnp.where(drop > 0.5, slot_iota, BIG), axis=1,
-                         keepdims=True)
-            hasf = (ds < BIG).astype(F32)
-            ep = (slot_iota == ds).astype(F32) * hasf
-            del_slot(ep, hasf)
-            return drop * (1.0 - ep)
-
-        lax.fori_loop(0, k, drop_one, drop0)
-        refit()
-
-        res = jnp.where(gate, rnorm2(), prev)
-        done2 = jnp.where((res <= delta2) | (prev <= res), 1.0, done)
-        compact()
-        return res, done2
-
     prev0 = rnorm2()
 
     def wbody(carry):
         t, prev, done = carry
-        res, done2 = body_inner(done < 0.5, prev, done)
+        gate = done < 0.5
+        sp_round(jnp.abs(corr(r[:, :])), gate)
+        res = jnp.where(gate, rnorm2(), prev)
+        done2 = jnp.where((res <= delta2) | (prev <= res), 1.0, done)
         return t + 1, res, done2
 
     def wcond(carry):
@@ -521,7 +538,11 @@ def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,
         ],
         scratch_shapes=[
             pltpu.VMEM((B, K2, n), F32),       # cols
-            pltpu.VMEM((B, K2, K2), F32),      # Ginv
+            pltpu.VMEM((B, K2, k), F32),       # GU = [G12; G22]
+            pltpu.VMEM((B, k, k), F32),        # W = Ginv11 G12
+            pltpu.VMEM((B, k, k), F32),        # S (Schur / kept Gram)
+            pltpu.VMEM((B, k, k), F32),        # Sinv
+            pltpu.VMEM((B, k, k), F32),        # Ginv11 (kept block)
             pltpu.VMEM((B, K2), F32),          # Atb
             pltpu.VMEM((B, K2), F32),          # coef
             pltpu.VMEM((B, K2), jnp.int32),    # idx
@@ -885,6 +906,12 @@ def _rmp_kernel(K: int, maxiter: int, delta2: float, kfinal: int,
 
     eng.init()
     capped_ref[:, :] = jnp.zeros_like(capped_ref)
+    # exhaustion floor (8 sqrt(n) ulps of ||b||, squared): the XLA
+    # forward stages gate on normr > exhaustion_floor(A, b) in
+    # exhaustion mode (models/forward.py) — once the fit is exact to
+    # rounding, the OLS score is a 0/0 that favors degenerate atoms
+    bn2 = jnp.sum(Bs_ref[:, :] * Bs_ref[:, :], axis=1, keepdims=True)
+    floor2 = jnp.float32(64.0 * eng.n * (1.1920929e-07 ** 2)) * bn2
 
     def forward_step(gate):
         """One gated forward step; returns (still-advancing, capped)."""
@@ -893,7 +920,7 @@ def _rmp_kernel(K: int, maxiter: int, delta2: float, kfinal: int,
         # the XLA accept rule also stops at min(n, m) atoms
         # (src/forward.jl:60: nnz < n and capacity); only a rejection
         # caused purely by the K-slot cap counts as capped
-        wanted = gate & (eng.rnorm2() > 0) & (dmax > delta2) \
+        wanted = gate & (eng.rnorm2() > floor2) & (dmax > delta2) \
             & (nat < float(min(eng.n, m)))
         full = nat >= float(K)
         ok = eng.append(i, wanted & ~full)
@@ -1001,23 +1028,24 @@ def rmp_fused_solve(A, Bs, k: int | None = None, delta: float | None = None,
                     corr_dtype=jnp.bfloat16, interpret: bool = False):
     """Batched RMP via the whole-solve fused kernel (K = kmax slot cap).
 
-    Parity: src/stepwise.jl:5-25 (the delta variant — the paper's
-    algorithm). Returns (SparseSolution, residuals, capped (B,) bool) —
+    Parity: src/stepwise.jl:5-25 (delta variant) and :31-42 (k variant:
+    forward to exhaustion — bounded by the f32 exhaustion floor, the
+    slot cap and the degeneracy gates — then backward down to k, single
+    pass). Returns (SparseSolution, residuals, capped (B,) bool) —
     capped instances hit the slot cap mid-forward and must be re-solved
-    on the uncapped path (see cstpu.models.batched). The k variant
-    (src/stepwise.jl:31-42) runs its forward stage to exhaustion
-    (~min(n, m) atoms before pruning back), a chain of near-degenerate
-    f32 appends + downdates the slot engine cannot survive — it stays on
-    the XLA path by design.
+    on the uncapped path (see cstpu.models.batched), which keeps the cap
+    a pure performance knob for BOTH variants.
     """
     n, m = A.shape
     if (k is None) == (delta is None):
         raise ValueError("specify exactly one of k or delta")
     if k is not None:
-        raise NotImplementedError(
-            "fused RMP covers the delta variant only; use cstpu.rmp "
-            "(XLA path) for the k variant")
-    kfinal, delta2 = -1, float(delta) ** 2
+        if int(k) > int(kmax):
+            raise ValueError(f"k = {k} exceeds the kmax = {kmax} slot cap")
+        # single forward-to-exhaustion + backward-to-k pass
+        kfinal, delta2, maxiter = int(k), 0.0, 1
+    else:
+        kfinal, delta2 = -1, float(delta) ** 2
     idx, coef, r, capped = _rmp_fused_call(
         jnp.asarray(A), jnp.asarray(Bs), int(kmax), int(maxiter), delta2,
         kfinal, corr_dtype, interpret)
@@ -1042,13 +1070,15 @@ def _foba_kernel(K: int, maxiter: int, delta2: float,
 
     eng.init()
     capped_ref[:, :] = jnp.zeros_like(capped_ref)
+    bn2 = jnp.sum(Bs_ref[:, :] * Bs_ref[:, :], axis=1, keepdims=True)
+    floor2 = jnp.float32(64.0 * eng.n * (1.1920929e-07 ** 2)) * bn2
 
     def body(carry):
         t, alive = carry
         gate = alive > 0.5
         i, dmax = eng.forward_score()
         nat = eng.nactive()
-        wanted = gate & (eng.rnorm2() > 0) & (dmax > delta2) \
+        wanted = gate & (eng.rnorm2() > floor2) & (dmax > delta2) \
             & (nat < float(min(eng.n, m)))
         full = nat >= float(K)
         capped_ref[:, :] = jnp.maximum(capped_ref[:, :],

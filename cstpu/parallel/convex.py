@@ -58,7 +58,7 @@ def _with_matmul_precision(prec: str, fn):
 _WHITEN_BYTES_MAX = 1 << 28     # 256 MB
 
 
-def _whiten_pass_chunked(A_loc, b, axis: str, c: int):
+def _whiten_pass_chunked(A_loc, b, axis: str, c: int, shift: float):
     """One row-whitening pass (Aw = L^-1 A, bw = L^-1 b, L = chol(psum
     Gram)) materialized in column chunks of width c: the Gram accumulates
     chunk outer products and the triangular solve streams chunk-by-chunk
@@ -66,7 +66,9 @@ def _whiten_pass_chunked(A_loc, b, axis: str, c: int):
     full-width solve_triangular whose blocked temps overflow HBM at
     config-5 scale (16.01 G of 15.75 G measured, r3). Triangular solves
     are column-independent, so the result is bit-identical to the
-    full-width pass up to Gram summation order."""
+    full-width pass up to Gram summation order. `shift` (in ulps of the
+    Gram diagonal max) keeps the f32 Cholesky real when cond(A)^2*eps ~ 1
+    — see models/basis_pursuit._bp_admm."""
     n, m_local = A_loc.shape
     nfull, tail = divmod(m_local, c)
 
@@ -78,7 +80,10 @@ def _whiten_pass_chunked(A_loc, b, axis: str, c: int):
     if tail:
         At = A_loc[:, nfull * c:]
         G = G + At @ At.T
-    L = jnp.linalg.cholesky(lax.psum(G, axis))
+    G = lax.psum(G, axis)
+    G = G + (shift * jnp.finfo(A_loc.dtype).eps
+             * jnp.max(jnp.diagonal(G))) * jnp.eye(n, dtype=A_loc.dtype)
+    L = jnp.linalg.cholesky(G)
 
     def wchunk(j, Aw):
         Ac = lax.dynamic_slice(Aw, (0, j * c), (n, c))
@@ -109,9 +114,16 @@ def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
         # assumes orthonormality; the second pass contracts the defect
         # quadratically. One extra psum'd n x n Gram + triangular solve,
         # one-time.
+        # two 8n-ulp-shifted passes + one unshifted finisher: keeps the
+        # f32 Cholesky real once cond(A)^2*eps ~ 1 (NaN on TPU at cond
+        # ~3e4 unshifted) without perturbing the final projection — see
+        # models/basis_pursuit._bp_admm
         Aw_local, bw = A_local, b
-        for _ in range(2):
+        for shift in (8.0 * n, 8.0 * n, 0.0):
             AAt = lax.psum(Aw_local @ Aw_local.T, axis)
+            AAt = AAt + (shift * jnp.finfo(A_local.dtype).eps
+                         * jnp.max(jnp.diagonal(AAt))) \
+                * jnp.eye(n, dtype=A_local.dtype)
             L = jnp.linalg.cholesky(AAt)
             Aw_local = solve_triangular(L, Aw_local, lower=True)
             bw = solve_triangular(L, bw, lower=True)
@@ -137,8 +149,9 @@ def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
         # numerics cliff across the _WHITEN_BYTES_MAX auto-switch.
         c = _ard_chunk(m_local)
         Aw_local, bw = A_local, b
-        for _ in range(2):
-            Aw_local, bw = _whiten_pass_chunked(Aw_local, bw, axis, c)
+        for shift in (8.0 * n, 8.0 * n, 0.0):
+            Aw_local, bw = _whiten_pass_chunked(Aw_local, bw, axis, c,
+                                                shift)
 
         def project(v_local):  # exact projection onto {x : Ax = b}
             Av = lax.psum(Aw_local @ v_local, axis)

@@ -146,6 +146,28 @@ def test_sp_fused_matches_xla_path():
                                atol=1e-4)
 
 
+def test_sp_fused_matches_xla_unstructured_fuzz():
+    # non-planted Gaussian measurements at larger k: stresses the block-
+    # partitioned union inverse + fresh kept-block rebuild (v3) against
+    # the XLA reference on data with no recoverable support
+    from cstpu import sp
+    from cstpu.ops.fused_twostage import sp_fused_solve
+
+    key = jax.random.PRNGKey(502)
+    ka, kb = jax.random.split(key)
+    A = jax.random.normal(ka, (64, 256))
+    A = A / jnp.linalg.norm(A, axis=0, keepdims=True)
+    Bs = jax.random.normal(kb, (6, 64))
+    k_ = 8
+    sol, _ = sp_fused_solve(A, Bs, k_, maxiter=8,
+                            corr_dtype=jnp.float32, interpret=True)
+    ref = jax.vmap(lambda bb: sp(A, bb, k_, maxiter=8))(Bs)
+    for i in range(Bs.shape[0]):
+        g = np.sort(np.asarray(sol.idx[i])[np.asarray(sol.mask[i])])
+        w = np.sort(np.asarray(ref.idx[i])[np.asarray(ref.mask[i])])
+        np.testing.assert_array_equal(g, w, err_msg=f"instance {i}")
+
+
 def test_sp_fused_exact_recovery_noisy():
     from cstpu import support
     from cstpu.ops.fused_twostage import sp_fused_solve
@@ -314,10 +336,29 @@ def test_rmp_fused_matches_xla_path():
     np.testing.assert_allclose(np.asarray(dense_f), np.asarray(dense_r),
                                atol=1e-4)
 
-    # k variant is XLA-only by design (forward-to-exhaustion conditioning)
+    # k variant: forward to exhaustion (f32 floor), backward to k —
+    # must land the XLA path's support. kmax = n: exhaustion on the
+    # noisy instance legitimately wants up to min(n, m) atoms, and the
+    # slot cap must be able to hold them (smaller caps report `capped`
+    # and the batch wrapper falls back — by contract, not tested here)
+    solk, _, cappedk = rmp_fused_solve(A, Bs, k=3, kmax=A.shape[0],
+                                       corr_dtype=jnp.float32,
+                                       interpret=True)
+    assert not np.any(np.asarray(cappedk))
+    refk = jax.vmap(lambda bb: rmp(A, bb, k=3))(Bs)
+    for i in range(Bs.shape[0]):
+        g = np.sort(np.asarray(solk.idx[i])[np.asarray(solk.mask[i])])
+        w = np.sort(np.asarray(refk.idx[i])[np.asarray(refk.mask[i])])
+        np.testing.assert_array_equal(g, w, err_msg=f"instance {i}")
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(lambda s: s.todense())(solk)),
+        np.asarray(jax.vmap(lambda s: s.todense())(refk)), atol=1e-4)
+
+    # k > kmax cannot be represented in the slot engine
     import pytest
-    with pytest.raises(NotImplementedError):
-        rmp_fused_solve(A, Bs, k=3, corr_dtype=jnp.float32, interpret=True)
+    with pytest.raises(ValueError):
+        rmp_fused_solve(A, Bs, k=9, kmax=8, corr_dtype=jnp.float32,
+                        interpret=True)
 
 
 def test_rmp_fused_capped_flag():
