@@ -347,7 +347,9 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
             cols[:, pl.ds(s_, 1), :] = (acol_scr[:, :] * okf)[:, None, :]
             beta = jnp.sum(acol_scr[:, :] * Bs_ref[:, :], axis=1,
                            keepdims=True)
-            Atbs[:, pl.ds(s_, 1)] = beta * okf
+            # masked RMW on the tiny (B, K2) buffer: a width-1 LANE-dim
+            # store needs a provably-128-aligned offset in Mosaic
+            Atbs[:, :] = jnp.where(s2_iota == s_, beta * okf, Atbs[:, :])
             idxs[:, :] = jnp.where(s2_iota == s_,
                                    jnp.where(ok, i, m).astype(jnp.int32),
                                    idxs[:, :])

@@ -156,6 +156,33 @@ def test_bp_sharded_lean_matches_whitened_f32_ill_conditioned(
     assert feas_lean <= 4.0 * feas_whit + 1e-6 * bnorm
 
 
+def test_bp_ard_sharded_screened_matches_unscreened(mesh):
+    # dual-slack screening + KKT verification must reproduce the
+    # unscreened fixed point (same support, same coefficients): the
+    # sub-problem reweighting is an exact restriction when the kept set
+    # contains the support, and the certificate pass re-admits anything
+    # wrongly dropped
+    from cstpu.parallel.convex import bp_ard_sharded
+    A, x, b, _ = _problem(82, n=16, m=96)
+    ref = np.asarray(bp_ard_sharded(A, b, mesh, screen=False))
+    scr = np.asarray(bp_ard_sharded(A, b, mesh, screen=True))
+    assert (list(np.flatnonzero(np.abs(scr) > 1e-5))
+            == list(np.flatnonzero(np.abs(ref) > 1e-5))
+            == list(support(x)))
+    np.testing.assert_allclose(scr, ref, atol=1e-6)
+
+
+def test_bp_ard_sharded_screen_margin_zero_still_correct(mesh):
+    # margin 0 keeps only dual-ACTIVE atoms after solve 1 — the most
+    # aggressive screening; the verification/repair loop must still land
+    # the right support
+    from cstpu.parallel.convex import bp_ard_sharded
+    A, x, b, _ = _problem(83, n=16, m=96)
+    scr = np.asarray(bp_ard_sharded(A, b, mesh, screen=True,
+                                    screen_margin=0.0))
+    assert list(np.flatnonzero(np.abs(scr) > 1e-5)) == list(support(x))
+
+
 def test_bpd_sharded_matches_single_device(mesh):
     from cstpu import bpd, perturb, support
     from cstpu.parallel.convex import bpd_sharded
