@@ -152,6 +152,17 @@ def main():
     ideal_atoms = B * measured_bw / (n * m * 4)
     vs = atoms_per_sec / ideal_atoms
 
+    # MXU utilization: the solve's model flops are the k selection GEMMs
+    # (2*B*n*m each — the column-extraction GEMM was replaced by aligned
+    # slices, and state updates are VPU work, so this is the MXU-side
+    # floor). v5e public peak: 197 TFLOP/s bf16. Reported on the MEDIAN
+    # epoch — with the dictionary VMEM-pinned, this fraction (not the
+    # HBM stream roofline) is the honest headroom gauge.
+    PEAK_BF16 = 197e12
+    model_flops = 2.0 * B * n * m * k
+    mxu_tflops = model_flops / t_solve_median / 1e12
+    mxu_frac = mxu_tflops * 1e12 / PEAK_BF16
+
     # corr_effective_GBps is NOT a memory bandwidth: XLA hoists the
     # loop-invariant dictionary into VMEM, so the "traffic" numerator is
     # algorithmic bytes, not HBM bytes — it can (and does) exceed the
@@ -162,6 +173,7 @@ def main():
           f"corr={t_corr*1e3:.3f}ms "
           f"corr_effective_GBps={corr_bytes/t_corr/1e9:.1f} "
           f"stream_GBps={measured_bw/1e9:.1f} roofline_frac={vs:.3f} "
+          f"mxu_TFLOPs={mxu_tflops:.1f} mxu_frac={mxu_frac:.3f} "
           f"recovery={recovery:.3f}",
           file=sys.stderr)
 
@@ -176,6 +188,8 @@ def main():
         "unit": "atoms/s",
         "vs_baseline": round(atoms_per_sec_median / ideal_atoms, 4),
         "vs_baseline_best": round(vs, 4),
+        "mxu_frac_of_bf16_peak": round(mxu_frac, 4),
+        "batch": B,
     }))
 
 

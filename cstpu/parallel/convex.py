@@ -108,16 +108,10 @@ def _bp_admm_shard_body(A_local, b, w_local, rho, maxiter: int, tol,
         # (models/basis_pursuit._bp_admm): L = chol(psum(A_s A_s')) is
         # replicated, each shard whitens ITS columns, and the projection
         # becomes a psum'd GEMV pair with no per-iteration triangular
-        # solve; two passes, same reason as the single-chip path: the
-        # first whitening's forward error (O(cond * eps)) leaves the rows
-        # measurably non-orthonormal at f32, and the fast projection
-        # assumes orthonormality; the second pass contracts the defect
-        # quadratically. One extra psum'd n x n Gram + triangular solve,
-        # one-time.
-        # two 8n-ulp-shifted passes + one unshifted finisher: keeps the
-        # f32 Cholesky real once cond(A)^2*eps ~ 1 (NaN on TPU at cond
-        # ~3e4 unshifted) without perturbing the final projection — see
-        # models/basis_pursuit._bp_admm
+        # solve. Two 8n-ulp-shifted passes + one unshifted finisher:
+        # keeps the f32 Cholesky real once cond(A)^2*eps ~ 1 (NaN on TPU
+        # at cond ~3e4 unshifted) without perturbing the final
+        # projection — rationale and measurements in _bp_admm.
         Aw_local, bw = A_local, b
         for shift in (8.0 * n, 8.0 * n, 0.0):
             AAt = lax.psum(Aw_local @ Aw_local.T, axis)
