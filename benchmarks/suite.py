@@ -23,6 +23,13 @@ import sys as _sys
 
 _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
+
+# persistent compile cache (reruns skip the remote-compile tunnel where
+# the backend supports executable serialization)
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from functools import partial
 
 
@@ -489,6 +496,56 @@ def config5():
                       "recovery": rec5, "devices": ndev}))
 
 
+def config5bpd():
+    """BPD family at beyond-test scale: m = 131,072 single-chip.
+
+    Proves the delta-ball path (parity src/basispursuit.jl:80-124) where
+    it was previously only test-sized (m <= 48 conformance, 1024 smoke):
+    `bpd` exercises the m > n Woodbury x-update (with the A x = c
+    identity - one GEMV pair over the 0.5 GB dictionary per iteration),
+    `bpd_ard` the reweighting on top, and `bpd_sharded` the
+    one-psum-per-iteration distributed body on the available devices.
+    Reports recovery, ball feasibility ||Ax-b|| vs delta, and s/solve."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cstpu import bpd, bpd_ard, perturb
+    from cstpu.parallel.convex import bpd_sharded
+    from cstpu.parallel.mesh import make_mesh
+
+    ndev = jax.device_count()
+    mesh = make_mesh((1, ndev))
+    n, m, k = 1024, 131_072, 32
+    delta = 1e-2
+    A, X, Bs, sup = _planted(jax.random.PRNGKey(66), 1, n, m, k)
+    b = Bs[0]
+    y = perturb(jax.random.PRNGKey(67), b, delta / 2)
+    planted = set(np.asarray(sup)[0].tolist())
+    out = {}
+    for name, fn in (
+            ("bpd", lambda yy: bpd(A, yy, delta, maxiter=4000)),
+            ("bpd_ard", lambda yy: bpd_ard(A, yy, delta, maxiter=4)),
+            ("bpd_sharded", lambda yy: bpd_sharded(
+                A, yy, delta, mesh=mesh, maxiter=4000)[0])):
+        x = fn(y)                          # compile + warm
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        yt = y * (1.0 + 1e-7)
+        x = fn(yt)
+        jax.block_until_ready(x)
+        dt = time.perf_counter() - t0
+        xd = np.asarray(x)
+        feas = float(jnp.linalg.norm(A @ x - yt))
+        got = set(np.flatnonzero(np.abs(xd) > delta).tolist())
+        rec = float(planted <= got)
+        _require_recovery(rec, f"5bpd:{name}")
+        out[name] = {"recovery": rec, "s_per_solve": round(dt, 2),
+                     "feas_over_delta": round(feas / delta, 4),
+                     "nnz_gt_delta": len(got)}
+    print(json.dumps({"config": f"5bpd:bpd_family_1024x{m}", **out}))
+
+
 def config5ard():
     """BASELINE config 5's ACTUAL workload at its stated scale: ARD-
     reweighted Basis Pursuit on a 1,048,576-atom dictionary, column-
@@ -562,7 +619,7 @@ if __name__ == "__main__":
     which = [int(a) for a in _sys.argv[1:]] or [1, 2, 3, 4, 5]
     for c in which:
         {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-         6: config5ard, 7: config4e}[c]()
+         6: config5ard, 7: config4e, 8: config5bpd}[c]()
         if c == 3:
             config3d()
             config3e()

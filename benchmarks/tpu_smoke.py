@@ -136,6 +136,10 @@ def main() -> int:
          sup2),
         ("rmp_batch_m128", lambda: cstpu.rmp_batch(A2, Bs2, delta=DELTA,
                                                    kmax=8), sup2),
+        # the k variant rides the same fused kernel with kfinal >= 0
+        # (kmax = n holds the exhaustion support, no capped fallback)
+        ("rmp_batch_k_m128", lambda: cstpu.rmp_batch(
+            A2, Bs2, k=3, kmax=A2.shape[0]), sup2),
         ("foba_batch_m128", lambda: cstpu.foba_batch(A2, Bs2, DELTA,
                                                      kmax=8), sup2),
     ]

@@ -313,6 +313,25 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     NEG = jnp.float32(-jnp.inf)
     eyek = (lax.broadcasted_iota(jnp.int32, (1, k, k), 1)
             == lax.broadcasted_iota(jnp.int32, (1, k, k), 2)).astype(F32)
+    # half-selection one-hots: (B, K2) <-> (B, k) block moves ride tiny
+    # GEMMs because Mosaic cannot lane-slice at a non-128 offset (the
+    # k:2k half); sublane (middle-dim) slices of the 3D buffers are fine
+    ik = lax.broadcasted_iota(jnp.int32, (k, K2), 0)
+    iK = lax.broadcasted_iota(jnp.int32, (k, K2), 1)
+    E1 = (ik == iK).astype(F32)            # (k, K2): picks slots 0..k-1
+    E2 = (ik + k == iK).astype(F32)        # (k, K2): picks slots k..2k-1
+
+    def half(v, E):
+        """(B, K2) -> (B, k): v @ E' via dot_general."""
+        return lax.dot_general(v, E, (((1,), (1,)), ((), ())),
+                               preferred_element_type=F32)
+
+    def unhalve(x1, x2):
+        """(B, k) halves -> (B, K2): x1 @ E1 + x2 @ E2."""
+        return (lax.dot_general(x1, E1, (((1,), (0,)), ((), ())),
+                                preferred_element_type=F32)
+                + lax.dot_general(x2, E2, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=F32))
 
     def corr(x):
         return lax.dot_general(x.astype(cdt), A_ref[:, :],
@@ -410,17 +429,16 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     def union_coefs():
         """Union LS coefficients straight from the blocks:
         x2 = Sinv (a2 - W'a1), x1 = Ginv11 a1 - W x2."""
-        alive = (idxs[:, :] < m).astype(F32)
-        a1 = Atbs[:, 0:k] * alive[:, 0:k]
-        a2 = Atbs[:, k:K2] * alive[:, k:K2]
+        av = (idxs[:, :] < m).astype(F32) * Atbs[:, :]
+        a1 = half(av, E1)
+        a2 = half(av, E2)
+        alive2 = half((idxs[:, :] < m).astype(F32), E2)
         wta1 = jnp.sum(W[:, :, :] * a1[:, :, None], axis=1)
         v = a2 - wta1
-        x2 = alive[:, k:K2] * jnp.sum(Sinv[:, :, :] * v[:, None, :],
-                                      axis=2)
+        x2 = alive2 * jnp.sum(Sinv[:, :, :] * v[:, None, :], axis=2)
         wx2 = jnp.sum(W[:, :, :] * x2[:, None, :], axis=2)
         x1 = jnp.sum(Ginv11[:, :, :] * a1[:, None, :], axis=2) - wx2
-        coefs[:, 0:k] = x1
-        coefs[:, k:K2] = x2
+        coefs[:, :] = unhalve(x1, x2)
 
     def prune_keep():
         """Mask of the k largest |coef| active slots (lowest slot on
@@ -467,11 +485,11 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
                                      (((2,), (2,)), ((0,), (0,))),
                                      preferred_element_type=F32)
         ata1 = jnp.sum(S[:, :, :] * eyek, axis=2)
-        occ1 = (idxs[:, 0:k] < m).astype(F32)
+        occ1 = half((idxs[:, :] < m).astype(F32), E1)
         invert_spd(ata1, occ1, Ginv11, 0)
-        a1 = Atbs[:, 0:k] * (idxs[:, 0:k] < m).astype(F32)
-        coefs[:, 0:k] = jnp.sum(Ginv11[:, :, :] * a1[:, None, :], axis=2)
-        coefs[:, k:K2] = jnp.zeros((B, k), F32)
+        a1 = half((idxs[:, :] < m).astype(F32) * Atbs[:, :], E1)
+        x1 = jnp.sum(Ginv11[:, :, :] * a1[:, None, :], axis=2)
+        coefs[:, :] = unhalve(x1, jnp.zeros((B, k), F32))
         fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
         r[:, :] = Bs_ref[:, :] - fitted
 
