@@ -609,7 +609,8 @@ def sp_fused_solve(A, Bs, k: int, delta: float = 1e-12,
 
 
 def supported_sp(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
-    """VMEM gate for the fused SP kernel (2k-slot state)."""
+    """VMEM gate for the fused SP kernel (2k-slot column cache + the v3
+    block buffers: GU (B,2k,k) and four (B,k,k) tiles)."""
     n, m = A.shape
     B = Bs.shape[0]
     K2 = 2 * int(k)
@@ -617,7 +618,8 @@ def supported_sp(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:
         return False
     itemsize = jnp.dtype(corr_dtype).itemsize
     vmem = (2 * n * m * itemsize + B * K2 * n * 4
-            + 2 * B * n * 4 + B * m * 4 * 2 + B * K2 * K2 * 4)
+            + 2 * B * n * 4 + B * m * 4 * 2
+            + 6 * B * K2 * int(k) * 4)
     return vmem < 100 * 1024 * 1024
 
 
