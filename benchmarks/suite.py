@@ -579,8 +579,13 @@ def config5ard():
     # sub-dictionary at ~zero m-axis cost, with every discarded atom's
     # KKT margin verified at full m (r4; was 4 x 6000 full-m iterations
     # = 294 s/solve with feasibility rescued only by the polish).
-    kw = dict(eps=1e-2, maxiter=4, maxiter_admm=3000, tol=3e-6,
-              admm_chunk=1000)
+    # measured r4 with (3000, chunk 1000): 85.5 s/solve, recovery 1.0,
+    # raw feasibility 2.8e-5, nnz exactly 32 (was 294 s with feasibility
+    # 1.8e-1 rescued only by polish, r3). 2000 iterations in ONE chunk
+    # drops two redundant whitening setups and ~12 s of ADMM tail the
+    # screen no longer needs.
+    kw = dict(eps=1e-2, maxiter=4, maxiter_admm=2000, tol=3e-6,
+              admm_chunk=2000)
 
     print("[5ard] data ready, first solve (compile)...", file=_sys.stderr,
           flush=True)
