@@ -202,30 +202,42 @@ def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
         tiny = jnp.finfo(A.dtype).tiny  # 1e-300 underflows to 0 in f32
         return b + d * jnp.minimum(1.0, delta / jnp.maximum(nd, tiny))
 
-    thresh = w / rho
+    mu = jnp.asarray(10.0, A.dtype)   # residual balancing (Boyd 3.4.1) —
+    tau = jnp.asarray(2.0, A.dtype)   # without it BPD crawls at large m
+    #                                   (feas 2.4x delta at 131k/4000 it)
 
     def cond(c):
-        x, z, y, uz, uy, t, done = c
+        x, z, y, uz, uy, rho_, t, done = c
         return (t < maxiter) & ~done
 
     def body(c):
-        x, z, y, uz, uy, t, _ = c
+        x, z, y, uz, uy, rho_, t, _ = c
         x, Ax = xstep((z - uz) + (y - uy) @ A)
-        z_new = _shrink(x + uz, thresh)
+        z_new = _shrink(x + uz, w / rho_)
         y_new = project_ball(Ax + uy)
         uz = uz + x - z_new
         uy = uy + Ax - y_new
         pri = jnp.linalg.norm(x - z_new) + jnp.linalg.norm(Ax - y_new)
-        dua = rho * (jnp.linalg.norm(z_new - z) + jnp.linalg.norm(y_new - y))
+        dua = rho_ * (jnp.linalg.norm(z_new - z)
+                      + jnp.linalg.norm(y_new - y))
         scale = 1.0 + jnp.linalg.norm(z_new)
         done = (pri < tol * scale) & (dua < tol * scale)
-        return x, z_new, y_new, uz, uy, t + 1, done
+        # adaptive rho every 64 iterations; the scaled duals rescale
+        # with it (u = y/rho), fixed point unchanged
+        adapt = (t % 64) == 63
+        up = adapt & (pri > mu * dua)
+        dn = adapt & (dua > mu * pri)
+        fac = jnp.where(up, tau, jnp.where(dn, 1.0 / tau, 1.0))
+        rho_new = jnp.clip(rho_ * fac, 1e-4, 1e6)
+        fac = rho_new / rho_
+        return (x, z_new, y_new, uz / fac, uy / fac, rho_new, t + 1,
+                done)
 
     z0 = jnp.zeros((m,), A.dtype)
-    _, z, _, _, _, _, _ = lax.while_loop(
+    _, z, _, _, _, _, _, _ = lax.while_loop(
         cond, body,
         (z0, z0, jnp.asarray(b, A.dtype), z0, jnp.zeros((n,), A.dtype),
-         jnp.int32(0), jnp.bool_(False)))
+         rho, jnp.int32(0), jnp.bool_(False)))
     return z
 
 

@@ -618,8 +618,9 @@ def _bpd_admm_shard_body(A_local, b, delta, w_local, rho, maxiter: int, tol,
     AAt = lax.psum(A_local @ A_local.T, axis)
     L = jnp.linalg.cholesky(jnp.eye(n, dtype=A_local.dtype) + AAt)
     del AAt
-    thresh = w_local / rho
     tiny = jnp.finfo(A_local.dtype).tiny
+    mu = jnp.asarray(10.0, A_local.dtype)    # residual balancing, as the
+    tau = jnp.asarray(2.0, A_local.dtype)    # single-chip _bpd_admm
 
     def project_ball(v):
         d = v - b
@@ -627,17 +628,17 @@ def _bpd_admm_shard_body(A_local, b, delta, w_local, rho, maxiter: int, tol,
         return b + d * jnp.minimum(1.0, delta / jnp.maximum(nd, tiny))
 
     def cond(c):
-        x, z, y, uz, uy, t, done = c
+        x, z, y, uz, uy, rho_, t, done = c
         return (t < maxiter) & ~done
 
     def body(c):
-        x, z, y, uz, uy, t, _ = c
+        x, z, y, uz, uy, rho_, t, _ = c
         rhs = (z - uz) + (y - uy) @ A_local          # local (m_local,)
         Arhs = lax.psum(A_local @ rhs, axis)         # THE collective
         cvec = cho_solve((L, True), Arhs)
         x = rhs - cvec @ A_local
         Ax = cvec                                    # = A x exactly
-        z_new = _shrink(x + uz, thresh)
+        z_new = _shrink(x + uz, w_local / rho_)
         y_new = project_ball(Ax + uy)
         uz = uz + x - z_new
         uy = uy + Ax - y_new
@@ -646,21 +647,28 @@ def _bpd_admm_shard_body(A_local, b, delta, w_local, rho, maxiter: int, tol,
             jnp.sum((z_new - z) * (z_new - z)),
             jnp.sum(z_new * z_new)]), axis)
         pri = jnp.sqrt(sq[0]) + jnp.linalg.norm(Ax - y_new)
-        dua = rho * (jnp.sqrt(sq[1]) + jnp.linalg.norm(y_new - y))
+        dua = rho_ * (jnp.sqrt(sq[1]) + jnp.linalg.norm(y_new - y))
         scale = 1.0 + jnp.sqrt(sq[2])
         done = (pri < tol * scale) & (dua < tol * scale)
-        return x, z_new, y_new, uz, uy, t + 1, done
+        adapt = (t % 64) == 63
+        up = adapt & (pri > mu * dua)
+        dn = adapt & (dua > mu * pri)
+        fac = jnp.where(up, tau, jnp.where(dn, 1.0 / tau, 1.0))
+        rho_new = jnp.clip(rho_ * fac, 1e-4, 1e6)
+        fac = rho_new / rho_
+        return (x, z_new, y_new, uz / fac, uy / fac, rho_new, t + 1,
+                done)
 
     z0 = jnp.zeros((m_local,), A_local.dtype)
     if warm is None:
         state = (z0, z0, jnp.asarray(b, A_local.dtype), z0,
-                 jnp.zeros((n,), A_local.dtype))
+                 jnp.zeros((n,), A_local.dtype), rho)
     else:
-        zw, uzw, yw, uyw = warm
-        state = (zw, zw, yw, uzw, uyw)  # carried x is dead until body
-    x, z, y, uz, uy, _, _ = lax.while_loop(
+        zw, uzw, yw, uyw, rhow = warm
+        state = (zw, zw, yw, uzw, uyw, rhow)  # carried x dead until body
+    x, z, y, uz, uy, rho_f, _, _ = lax.while_loop(
         cond, body, (*state, jnp.int32(0), jnp.bool_(False)))
-    return z, uz, y, uy
+    return z, uz, y, uy, rho_f
 
 
 @lru_cache(maxsize=64)
@@ -674,16 +682,16 @@ def _bpd_jit(mesh: Mesh, atoms_axis: str, maxiter: int, tol: float,
             lambda A_l, b_l, d, w_l, rho: body(A_l, b_l, d, w_l, rho),
             mesh=mesh,
             in_specs=(P(None, atoms_axis), P(None), P(), P(atoms_axis), P()),
-            out_specs=(P(atoms_axis), P(atoms_axis), P(None), P(None)),
+            out_specs=(P(atoms_axis), P(atoms_axis), P(None), P(None), P()),
             check_vma=False,
         ))
     return jax.jit(jax.shard_map(
-        lambda A_l, b_l, d, w_l, rho, z_l, uz_l, y, uy: body(
-            A_l, b_l, d, w_l, rho, warm=(z_l, uz_l, y, uy)),
+        lambda A_l, b_l, d, w_l, rho, z_l, uz_l, y, uy, rho_w: body(
+            A_l, b_l, d, w_l, rho, warm=(z_l, uz_l, y, uy, rho_w)),
         mesh=mesh,
         in_specs=(P(None, atoms_axis), P(None), P(), P(atoms_axis), P(),
-                  P(atoms_axis), P(atoms_axis), P(None), P(None)),
-        out_specs=(P(atoms_axis), P(atoms_axis), P(None), P(None)),
+                  P(atoms_axis), P(atoms_axis), P(None), P(None), P()),
+        out_specs=(P(atoms_axis), P(atoms_axis), P(None), P(None), P()),
         check_vma=False,
     ))
 
@@ -694,10 +702,11 @@ def bpd_sharded(A, b, delta, w=None, mesh: Mesh = None, rho: float = 1.0,
                 matmul_precision: str = "float32"):
     """(Weighted) basis pursuit denoising, column-sharded.
 
-    Semantics match cstpu.bpd (ADMM, l2-ball projection); returns
-    (z, uz, y, uy) — pass the 4-tuple back as `warm=` to continue a solve
-    (chunked device programs at large m). Callers wanting just the
-    solution take element 0. Parity: src/basispursuit.jl:80-100.
+    Semantics match cstpu.bpd (ADMM, l2-ball projection, adaptive-rho
+    rebalancing); returns (z, uz, y, uy, rho_final) — pass the 5-tuple
+    back as `warm=` to continue a solve (chunked device programs at
+    large m; the scaled duals travel with their rho). Callers wanting
+    just the solution take element 0. Parity: src/basispursuit.jl:80-100.
     """
     n, m = A.shape
     if tol is None:
