@@ -462,20 +462,38 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         permutation GEMM over the column cache (+ small sweeps for idxs/
         Atbs); the inverse is NOT permuted — it is rebuilt fresh.
         Idempotent on already-compacted (incl. done) rows."""
-        lt = (lax.broadcasted_iota(jnp.int32, (1, K2, K2), 2)
-              < lax.broadcasted_iota(jnp.int32, (1, K2, K2), 1)
-              ).astype(F32)
-        rank = jnp.sum(keep[:, None, :] * lt, axis=2) + keep - 1.0
+        # EVERY permutation application rides a batched MXU GEMM: the
+        # rank (stable destination slot) from a constant strictly-lower-
+        # triangular GEMM, idxs/Atbs/row-sums through one (B,K2,128)
+        # payload GEMM against the same P as the column cache. The
+        # obvious elementwise forms — rank via a (B,K2,K2) masked
+        # triangular reduce, new_idx via sum(P * idxs[:,None,:]) — send
+        # the Mosaic register allocator into a 292 MB spill blowup
+        # (bisected via local chipless AOT compiles, r4); the
+        # identically-shaped dot_generals compile in seconds.
+        li = lax.broadcasted_iota(jnp.int32, (K2, K2), 0)
+        lj = lax.broadcasted_iota(jnp.int32, (K2, K2), 1)
+        LT = (li < lj).astype(F32)                  # LT[t, s] = t < s
+        rank = lax.dot_general(keep, LT, (((1,), (0,)), ((), ())),
+                               preferred_element_type=F32) + keep - 1.0
         sp_f = slot2.astype(F32)
         P = ((rank[:, None, :] == sp_f[0][None, :, None])
              & (keep[:, None, :] > 0)).astype(F32)          # (B, s', s)
         cols[:, :, :] = lax.dot_general(
             P, cols[:, :, :], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=F32)
-        pad = 1.0 - jnp.sum(P, axis=2)                      # (B, K2)
-        new_idx = jnp.sum(P * idxs[:, :][:, None, :].astype(F32), axis=2)
-        idxs[:, :] = (new_idx + jnp.float32(m) * pad).astype(jnp.int32)
-        Atbs[:, :] = jnp.sum(P * Atbs[:, :][:, None, :], axis=2)
+        lane = lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+        X = jnp.where(lane == 0, idxs[:, :].astype(F32)[:, :, None],
+                      jnp.where(lane == 1, Atbs[:, :][:, :, None],
+                                jnp.where(lane == 2, 1.0, 0.0)))
+        Y = lax.dot_general(P, X, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=F32)
+        new_idx = jnp.sum(Y * (lane == 0), axis=2)
+        newAtb = jnp.sum(Y * (lane == 1), axis=2)
+        rowsum = jnp.sum(Y * (lane == 2), axis=2)   # = 1 - pad
+        idxs[:, :] = (new_idx
+                      + jnp.float32(m) * (1.0 - rowsum)).astype(jnp.int32)
+        Atbs[:, :] = newAtb
 
     def rebuild_kept():
         """Fresh (B,k,k) Gram + bordered inversion of the compacted kept
