@@ -321,17 +321,24 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     E1 = (ik == iK).astype(F32)            # (k, K2): picks slots 0..k-1
     E2 = (ik + k == iK).astype(F32)        # (k, K2): picks slots k..2k-1
 
+    def dotf32(a, b, dims):
+        """f32-operand dot_general at HIGHEST precision: Mosaic's default
+        matmul runs ONE bf16 pass, which silently rounds every f32 Gram/
+        Schur entry and every GEMM-permuted value to bf16 — on hardware
+        this took planted-support recovery from 1.0 to 0.0 while
+        interpret mode (exact f32) stayed green. The correlation GEMM
+        stays bf16 by DESIGN (corr_dtype); everything else must not."""
+        return lax.dot_general(a, b, dims, preferred_element_type=F32,
+                               precision=lax.Precision.HIGHEST)
+
     def half(v, E):
         """(B, K2) -> (B, k): v @ E' via dot_general."""
-        return lax.dot_general(v, E, (((1,), (1,)), ((), ())),
-                               preferred_element_type=F32)
+        return dotf32(v, E, (((1,), (1,)), ((), ())))
 
     def unhalve(x1, x2):
         """(B, k) halves -> (B, K2): x1 @ E1 + x2 @ E2."""
-        return (lax.dot_general(x1, E1, (((1,), (0,)), ((), ())),
-                                preferred_element_type=F32)
-                + lax.dot_general(x2, E2, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=F32))
+        return (dotf32(x1, E1, (((1,), (0,)), ((), ())))
+                + dotf32(x2, E2, (((1,), (0,)), ((), ()))))
 
     def corr(x):
         return lax.dot_general(x.astype(cdt), A_ref[:, :],
@@ -416,15 +423,12 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     def build_blocks():
         """GU = cols_union @ cols_new' (ONE cache pass), W = Ginv11 G12,
         S = G22 - G12' W — three batched MXU GEMMs on (B,k,*) tiles."""
-        GU[:, :, :] = lax.dot_general(cols[:, :, :], cols[:, k:K2, :],
-                                      (((2,), (2,)), ((0,), (0,))),
-                                      preferred_element_type=F32)
-        W[:, :, :] = lax.dot_general(Ginv11[:, :, :], GU[:, 0:k, :],
-                                     (((2,), (1,)), ((0,), (0,))),
-                                     preferred_element_type=F32)
-        S[:, :, :] = GU[:, k:K2, :] - lax.dot_general(
-            GU[:, 0:k, :], W[:, :, :],
-            (((1,), (1,)), ((0,), (0,))), preferred_element_type=F32)
+        GU[:, :, :] = dotf32(cols[:, :, :], cols[:, k:K2, :],
+                             (((2,), (2,)), ((0,), (0,))))
+        W[:, :, :] = dotf32(Ginv11[:, :, :], GU[:, 0:k, :],
+                            (((2,), (1,)), ((0,), (0,))))
+        S[:, :, :] = GU[:, k:K2, :] - dotf32(
+            GU[:, 0:k, :], W[:, :, :], (((1,), (1,)), ((0,), (0,))))
 
     def union_coefs():
         """Union LS coefficients straight from the blocks:
@@ -474,23 +478,28 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         li = lax.broadcasted_iota(jnp.int32, (K2, K2), 0)
         lj = lax.broadcasted_iota(jnp.int32, (K2, K2), 1)
         LT = (li < lj).astype(F32)                  # LT[t, s] = t < s
-        rank = lax.dot_general(keep, LT, (((1,), (0,)), ((), ())),
-                               preferred_element_type=F32) + keep - 1.0
+        rank = dotf32(keep, LT, (((1,), (0,)), ((), ()))) + keep - 1.0
         sp_f = slot2.astype(F32)
         P = ((rank[:, None, :] == sp_f[0][None, :, None])
              & (keep[:, None, :] > 0)).astype(F32)          # (B, s', s)
-        cols[:, :, :] = lax.dot_general(
-            P, cols[:, :, :], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=F32)
+        cols[:, :, :] = dotf32(P, cols[:, :, :],
+                               (((2,), (1,)), ((0,), (0,))))
+        # idx rides as TWO byte lanes (hi*256 + lo): each byte is exact
+        # in bf16, so the permutation GEMM is bitwise exact at ANY matmul
+        # precision; Atbs rides an f32 lane at HIGHEST
+        idf = idxs[:, :]
+        hi = (idf // 256).astype(F32)
+        lo = (idf % 256).astype(F32)
         lane = lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
-        X = jnp.where(lane == 0, idxs[:, :].astype(F32)[:, :, None],
-                      jnp.where(lane == 1, Atbs[:, :][:, :, None],
-                                jnp.where(lane == 2, 1.0, 0.0)))
-        Y = lax.dot_general(P, X, (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=F32)
-        new_idx = jnp.sum(Y * (lane == 0), axis=2)
-        newAtb = jnp.sum(Y * (lane == 1), axis=2)
-        rowsum = jnp.sum(Y * (lane == 2), axis=2)   # = 1 - pad
+        X = jnp.where(lane == 0, hi[:, :, None],
+                      jnp.where(lane == 1, lo[:, :, None],
+                                jnp.where(lane == 2, Atbs[:, :][:, :, None],
+                                          jnp.where(lane == 3, 1.0, 0.0))))
+        Y = dotf32(P, X, (((2,), (1,)), ((0,), (0,))))
+        new_idx = (jnp.sum(Y * (lane == 0), axis=2) * 256.0
+                   + jnp.sum(Y * (lane == 1), axis=2))
+        newAtb = jnp.sum(Y * (lane == 2), axis=2)
+        rowsum = jnp.sum(Y * (lane == 3), axis=2)   # = 1 - pad
         idxs[:, :] = (new_idx
                       + jnp.float32(m) * (1.0 - rowsum)).astype(jnp.int32)
         Atbs[:, :] = newAtb
@@ -499,9 +508,8 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         """Fresh (B,k,k) Gram + bordered inversion of the compacted kept
         block (the reference refactorizes every iteration too,
         src/twostage.jl:104-107), then the final refit + residual."""
-        S[:, :, :] = lax.dot_general(cols[:, 0:k, :], cols[:, 0:k, :],
-                                     (((2,), (2,)), ((0,), (0,))),
-                                     preferred_element_type=F32)
+        S[:, :, :] = dotf32(cols[:, 0:k, :], cols[:, 0:k, :],
+                            (((2,), (2,)), ((0,), (0,))))
         ata1 = jnp.sum(S[:, :, :] * eyek, axis=2)
         occ1 = half((idxs[:, :] < m).astype(F32), E1)
         invert_spd(ata1, occ1, Ginv11, 0)
