@@ -322,14 +322,20 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     E2 = (ik + k == iK).astype(F32)        # (k, K2): picks slots k..2k-1
 
     def dotf32(a, b, dims):
-        """f32-operand dot_general at HIGHEST precision: Mosaic's default
-        matmul runs ONE bf16 pass, which silently rounds every f32 Gram/
-        Schur entry and every GEMM-permuted value to bf16 — on hardware
-        this took planted-support recovery from 1.0 to 0.0 while
-        interpret mode (exact f32) stayed green. The correlation GEMM
-        stays bf16 by DESIGN (corr_dtype); everything else must not."""
+        """f32-operand dot_general at HIGH (3-pass) precision: Mosaic's
+        default matmul runs ONE bf16 pass, which silently rounds every
+        f32 Gram/Schur entry and every GEMM-permuted value to bf16 — on
+        hardware this took planted-support recovery from 1.0 to 0.0
+        while interpret mode (exact f32) stayed green. HIGH is the right
+        tier: for the one-hot-operand GEMMs (permutations, half moves,
+        rank) one factor splits EXACTLY into its bf16 hi/lo parts, so
+        3-pass products are bitwise exact; the Gram/Schur GEMMs get
+        ~f32-grade mantissas against accept gates whose margins are
+        ~1e-3 relative. HIGHEST (6-pass) measured ~0.4 ms/solve slower
+        at config 2b for no recovery difference. The correlation GEMM
+        stays bf16 by DESIGN (corr_dtype)."""
         return lax.dot_general(a, b, dims, preferred_element_type=F32,
-                               precision=lax.Precision.HIGHEST)
+                               precision=lax.Precision.HIGH)
 
     def half(v, E):
         """(B, K2) -> (B, k): v @ E' via dot_general."""
