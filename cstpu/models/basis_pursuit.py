@@ -174,6 +174,18 @@ basispursuit = bp
 @_f32_matmuls
 def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
     n, m = A.shape
+    # Normalize the operator: ||A||_2 = sqrt(m/n) for a unit-column
+    # Gaussian dictionary, so at large m the ball-constraint block is
+    # ~(m/n)x stiffer than the l1 block and ONE rho cannot balance them
+    # — measured at m=131,072: feasibility PLATEAUED at 2.3x delta from
+    # 4k to 24k iterations. Scaling (A, b, delta) by 1/sigma_max leaves
+    # the solution set and the objective untouched (||Ax-b|| <= delta
+    # <=> ||As x - bs|| <= delta/s) and makes the splitting blocks
+    # commensurate at every m.
+    s = jnp.sqrt(_sigma_max_sq(A))
+    A = A / s
+    b = b / s
+    delta = delta / s
     # x-update solves (I + A'A) x = rhs; factor once on the smaller side.
     # xstep returns (x, A x) so each branch streams the dictionary the
     # minimum number of times — at large m the GEMV pair over A IS the
@@ -414,6 +426,26 @@ def _ista(A, b, w, x0, stepsize, maxiter: int):
     return lax.fori_loop(0, maxiter, body, x0)
 
 
+def _sigma_max_sq(A):
+    """sigma_max(A)^2 by 64 power iterations on the smaller Gram operator
+    (two GEMVs per step) — shared by the spectral ISTA step and the BPD
+    operator normalization."""
+    n, m = A.shape
+    if n <= m:
+        G = lambda v: A @ (v @ A)          # top eig of A A'  (n, n)
+    else:
+        G = lambda v: (A @ v) @ A          # top eig of A'A   (m, m)
+    kk = min(n, m)
+    v0 = 1.0 + 1e-3 * jnp.arange(kk, dtype=A.dtype)
+
+    def body(_, v):
+        w = G(v)
+        return w / jnp.linalg.norm(w)
+
+    v = lax.fori_loop(0, 64, body, v0 / jnp.linalg.norm(v0))
+    return v @ G(v)
+
+
 @jax.jit
 def _auto_stepsize(A):
     """Largest provably-convergent gradient step for min ||Ax-b||^2 + l1:
@@ -425,21 +457,7 @@ def _auto_stepsize(A):
     (lambda_1 - lambda_2) factor, so it is tiny both when the spectrum
     has a gap (fast convergence) and when it does not (quotient already
     near lambda_1)."""
-    n, m = A.shape
-    if n <= m:
-        G = lambda v: A @ (v @ A)          # top eig of A A'  (n, n)
-    else:
-        G = lambda v: (A @ v) @ A          # top eig of A'A   (m, m)
-    k = min(n, m)
-    v0 = 1.0 + 1e-3 * jnp.arange(k, dtype=A.dtype)  # never eigen-orthogonal
-
-    def body(_, v):
-        w = G(v)
-        return w / jnp.linalg.norm(w)
-
-    v = lax.fori_loop(0, 64, body, v0 / jnp.linalg.norm(v0))
-    lam1 = v @ G(v)                        # = sigma_max(A)^2
-    return 0.95 / (2.0 * lam1)
+    return 0.95 / (2.0 * _sigma_max_sq(A))
 
 
 def ista(A, b, lam, x0=None, maxiter: int = 1024,

@@ -322,20 +322,17 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     E2 = (ik + k == iK).astype(F32)        # (k, K2): picks slots k..2k-1
 
     def dotf32(a, b, dims):
-        """f32-operand dot_general at HIGH (3-pass) precision: Mosaic's
-        default matmul runs ONE bf16 pass, which silently rounds every
-        f32 Gram/Schur entry and every GEMM-permuted value to bf16 — on
-        hardware this took planted-support recovery from 1.0 to 0.0
-        while interpret mode (exact f32) stayed green. HIGH is the right
-        tier: for the one-hot-operand GEMMs (permutations, half moves,
-        rank) one factor splits EXACTLY into its bf16 hi/lo parts, so
-        3-pass products are bitwise exact; the Gram/Schur GEMMs get
-        ~f32-grade mantissas against accept gates whose margins are
-        ~1e-3 relative. HIGHEST (6-pass) measured ~0.4 ms/solve slower
-        at config 2b for no recovery difference. The correlation GEMM
-        stays bf16 by DESIGN (corr_dtype)."""
+        """f32-operand dot_general at HIGHEST precision: Mosaic's default
+        matmul runs ONE bf16 pass, which silently rounds every f32 Gram/
+        Schur entry and every GEMM-permuted value to bf16 — on hardware
+        this took planted-support recovery from 1.0 to 0.0 while
+        interpret mode (exact f32) stayed green. HIGH (3-pass) is not
+        implemented in the Pallas Mosaic lowering ("Unsupported dot
+        precision"), so HIGHEST it is; one-hot-operand GEMMs whose data
+        factor is bf16-exact (the rank GEMM) ride DEFAULT instead. The
+        correlation GEMM stays bf16 by DESIGN (corr_dtype)."""
         return lax.dot_general(a, b, dims, preferred_element_type=F32,
-                               precision=lax.Precision.HIGH)
+                               precision=lax.Precision.HIGHEST)
 
     def half(v, E):
         """(B, K2) -> (B, k): v @ E' via dot_general."""
@@ -484,12 +481,19 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         li = lax.broadcasted_iota(jnp.int32, (K2, K2), 0)
         lj = lax.broadcasted_iota(jnp.int32, (K2, K2), 1)
         LT = (li < lj).astype(F32)                  # LT[t, s] = t < s
-        rank = dotf32(keep, LT, (((1,), (0,)), ((), ()))) + keep - 1.0
+        rank = lax.dot_general(keep, LT, (((1,), (0,)), ((), ())),
+                               preferred_element_type=F32) + keep - 1.0
         sp_f = slot2.astype(F32)
         P = ((rank[:, None, :] == sp_f[0][None, :, None])
              & (keep[:, None, :] > 0)).astype(F32)          # (B, s', s)
-        cols[:, :, :] = dotf32(P, cols[:, :, :],
-                               (((2,), (1,)), ((0,), (0,))))
+        # kept count <= k, so P's rows k..2k-1 are identically zero:
+        # compute only the top-k half of both permutation GEMMs (saves
+        # half of the kernel's single biggest HIGHEST-precision GEMM)
+        # and zero-fill the second half with static sublane stores.
+        P1 = P[:, 0:k, :]                           # (B, k, K2)
+        cols[:, 0:k, :] = dotf32(P1, cols[:, :, :],
+                                 (((2,), (1,)), ((0,), (0,))))
+        cols[:, k:K2, :] = jnp.zeros((B, k, n), F32)
         # idx rides as TWO byte lanes (hi*256 + lo): each byte is exact
         # in bf16, so the permutation GEMM is bitwise exact at ANY matmul
         # precision; Atbs rides an f32 lane at HIGHEST
@@ -501,14 +505,15 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
                       jnp.where(lane == 1, lo[:, :, None],
                                 jnp.where(lane == 2, Atbs[:, :][:, :, None],
                                           jnp.where(lane == 3, 1.0, 0.0))))
-        Y = dotf32(P, X, (((2,), (1,)), ((0,), (0,))))
-        new_idx = (jnp.sum(Y * (lane == 0), axis=2) * 256.0
-                   + jnp.sum(Y * (lane == 1), axis=2))
-        newAtb = jnp.sum(Y * (lane == 2), axis=2)
-        rowsum = jnp.sum(Y * (lane == 3), axis=2)   # = 1 - pad
-        idxs[:, :] = (new_idx
-                      + jnp.float32(m) * (1.0 - rowsum)).astype(jnp.int32)
-        Atbs[:, :] = newAtb
+        Y = dotf32(P1, X, (((2,), (1,)), ((0,), (0,))))   # (B, k, 128)
+        nidx_k = (jnp.sum(Y * (lane == 0), axis=2) * 256.0
+                  + jnp.sum(Y * (lane == 1), axis=2))     # (B, k)
+        natb_k = jnp.sum(Y * (lane == 2), axis=2)
+        rsum_k = jnp.sum(Y * (lane == 3), axis=2)         # = 1 - pad
+        idxs[:, :] = (unhalve(nidx_k + jnp.float32(m) * (1.0 - rsum_k),
+                              jnp.full((B, k), jnp.float32(m)))
+                      ).astype(jnp.int32)
+        Atbs[:, :] = unhalve(natb_k, jnp.zeros((B, k), F32))
 
     def rebuild_kept():
         """Fresh (B,k,k) Gram + bordered inversion of the compacted kept

@@ -616,7 +616,21 @@ def _bpd_admm_shard_body(A_local, b, delta, w_local, rho, maxiter: int, tol,
     tol = jnp.asarray(tol, A_local.dtype)
     n, m_local = A_local.shape
     AAt = lax.psum(A_local @ A_local.T, axis)
-    L = jnp.linalg.cholesky(jnp.eye(n, dtype=A_local.dtype) + AAt)
+    # operator normalization (see _bpd_admm): sigma_max^2 = top eig of
+    # the replicated AA' by power iteration; scale (A, b, delta) by
+    # 1/sigma_max so the two splitting blocks stay commensurate at any m
+    v0 = 1.0 + 1e-3 * jnp.arange(n, dtype=A_local.dtype)
+
+    def _pw(_, v):
+        w_ = AAt @ v
+        return w_ / jnp.linalg.norm(w_)
+
+    v = lax.fori_loop(0, 64, _pw, v0 / jnp.linalg.norm(v0))
+    s = jnp.sqrt(v @ (AAt @ v))
+    A_local = A_local / s
+    b = b / s
+    delta = delta / s
+    L = jnp.linalg.cholesky(jnp.eye(n, dtype=A_local.dtype) + AAt / (s * s))
     del AAt
     tiny = jnp.finfo(A_local.dtype).tiny
     mu = jnp.asarray(10.0, A_local.dtype)    # residual balancing, as the
