@@ -524,10 +524,10 @@ def config5bpd():
     planted = set(np.asarray(sup)[0].tolist())
     out = {}
     for name, fn in (
-            ("bpd", lambda yy: bpd(A, yy, delta, maxiter=4000)),
+            ("bpd", lambda yy: bpd(A, yy, delta, maxiter=12000)),
             ("bpd_ard", lambda yy: bpd_ard(A, yy, delta, maxiter=4)),
             ("bpd_sharded", lambda yy: bpd_sharded(
-                A, yy, delta, mesh=mesh, maxiter=4000)[0])):
+                A, yy, delta, mesh=mesh, maxiter=12000)[0])):
         x = fn(y)                          # compile + warm
         jax.block_until_ready(x)
         t0 = time.perf_counter()
