@@ -334,6 +334,20 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         return lax.dot_general(a, b, dims, preferred_element_type=F32,
                                precision=lax.Precision.HIGHEST)
 
+    def dotbf(a, b, dims):
+        """DEFAULT-precision (one bf16 pass) dot_general for operands
+        whose CONTENT is bf16-exact — and in this kernel the column
+        cache is: every cached entry is extracted from the bf16
+        dictionary (exact through the f32 staging), the gating
+        multiplies by 1.0/0.0, and the compaction GEMM itself is a
+        one-hot selection of those values (single nonzero per output,
+        exact at any precision). For such operands the bf16 operand
+        rounding is the identity and the f32 accumulation matches
+        HIGHEST bit for bit, at 1/6 the MXU passes. Used for: GU, the
+        rebuild Gram, and the compaction column GEMM. NOT valid for
+        Ginv11/W/S/coefs/Atbs operands (true f32 content)."""
+        return lax.dot_general(a, b, dims, preferred_element_type=F32)
+
     def half(v, E):
         """(B, K2) -> (B, k): v @ E' via dot_general."""
         return dotf32(v, E, (((1,), (1,)), ((), ())))
@@ -426,8 +440,8 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     def build_blocks():
         """GU = cols_union @ cols_new' (ONE cache pass), W = Ginv11 G12,
         S = G22 - G12' W — three batched MXU GEMMs on (B,k,*) tiles."""
-        GU[:, :, :] = dotf32(cols[:, :, :], cols[:, k:K2, :],
-                             (((2,), (2,)), ((0,), (0,))))
+        GU[:, :, :] = dotbf(cols[:, :, :], cols[:, k:K2, :],
+                            (((2,), (2,)), ((0,), (0,))))
         W[:, :, :] = dotf32(Ginv11[:, :, :], GU[:, 0:k, :],
                             (((2,), (1,)), ((0,), (0,))))
         S[:, :, :] = GU[:, k:K2, :] - dotf32(
@@ -491,8 +505,8 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         # half of the kernel's single biggest HIGHEST-precision GEMM)
         # and zero-fill the second half with static sublane stores.
         P1 = P[:, 0:k, :]                           # (B, k, K2)
-        cols[:, 0:k, :] = dotf32(P1, cols[:, :, :],
-                                 (((2,), (1,)), ((0,), (0,))))
+        cols[:, 0:k, :] = dotbf(P1, cols[:, :, :],
+                                (((2,), (1,)), ((0,), (0,))))
         cols[:, k:K2, :] = jnp.zeros((B, k, n), F32)
         # idx rides as TWO byte lanes (hi*256 + lo): each byte is exact
         # in bf16, so the permutation GEMM is bitwise exact at ANY matmul
@@ -519,8 +533,8 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         """Fresh (B,k,k) Gram + bordered inversion of the compacted kept
         block (the reference refactorizes every iteration too,
         src/twostage.jl:104-107), then the final refit + residual."""
-        S[:, :, :] = dotf32(cols[:, 0:k, :], cols[:, 0:k, :],
-                            (((2,), (2,)), ((0,), (0,))))
+        S[:, :, :] = dotbf(cols[:, 0:k, :], cols[:, 0:k, :],
+                           (((2,), (2,)), ((0,), (0,))))
         ata1 = jnp.sum(S[:, :, :] * eyek, axis=2)
         occ1 = half((idxs[:, :] < m).astype(F32), E1)
         invert_spd(ata1, occ1, Ginv11, 0)
