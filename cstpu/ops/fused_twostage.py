@@ -267,7 +267,7 @@ def _outer_while(eng, maxiter: int, body_inner):
 def _sp_kernel(k: int, maxiter: int, delta2: float,
                A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
                iters_ref, cols, GU, W, S, Sinv, Ginv11, Atbs, coefs,
-               idxs, r, i_scr, acol_scr):
+               ucoef, idxs, r, i_scr, acol_scr):
     """SP: expand by the top-k residual correlations, LS-refit on <= 2k
     atoms, prune to the k largest |coefficients|, iterate while the
     residual improves (the final pruned iterate is kept either way,
@@ -459,12 +459,15 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         x2 = alive2 * jnp.sum(Sinv[:, :, :] * v[:, None, :], axis=2)
         wx2 = jnp.sum(W[:, :, :] * x2[:, None, :], axis=2)
         x1 = jnp.sum(Ginv11[:, :, :] * a1[:, None, :], axis=2) - wx2
-        coefs[:, :] = unhalve(x1, x2)
+        # UNION coefficients go to their own buffer: `coefs` holds only
+        # REBUILT (kept-refit) values, so a stability-skipped round can
+        # never leak union coefficients into the kernel outputs
+        ucoef[:, :] = unhalve(x1, x2)
 
     def prune_keep():
         """Mask of the k largest |coef| active slots (lowest slot on
         ties) — v2's pick loop on the tiny (B, K2) score."""
-        cscore = jnp.where(idxs[:, :] < m, jnp.abs(coefs[:, :]), NEG)
+        cscore = jnp.where(idxs[:, :] < m, jnp.abs(ucoef[:, :]), NEG)
 
         def pick(_, carry):
             cs, keep = carry
@@ -545,14 +548,45 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         r[:, :] = Bs_ref[:, :] - fitted
 
     def sp_round(sc, gate):
+        """One expand-refit-prune round. Returns the per-instance
+        STABILITY flag (B, 1) f32: the pruned support equals the
+        instance's pre-acquisition support, so every later iteration
+        would be identical — the algorithmic convergence signal (the
+        reference detects the same fixed point one iteration later via
+        residual non-improvement). When the WHOLE batch is stable, the
+        compaction + rebuild (87% of the round per the r4 on-chip
+        ablation: the two bordered-inversion loops) are skipped
+        outright: `coefs`/`r`/`idxs` still hold the previous round's
+        rebuild of the SAME support — bitwise what this round would
+        recompute."""
+        active_pre = (idxs[:, :] < m).astype(F32)
         acquire(sc, gate)
         build_blocks()
         ata2 = jnp.sum(GU[:, k:K2, :] * eyek, axis=2)       # diag(G22)
         occ2 = (idxs[:, k:K2] < m).astype(F32)
         invert_spd(ata2, occ2, Sinv, k)
         union_coefs()
-        compact(prune_keep())
-        rebuild_kept()
+        keep = prune_keep()
+        firsthalf = (s2_iota < k).astype(F32)
+        stable = 1.0 - jnp.max(jnp.abs(keep - active_pre * firsthalf),
+                               axis=1, keepdims=True)       # (B, 1)
+        all_stable = jnp.min(stable) > 0.5
+
+        @pl.when(jnp.logical_not(all_stable))
+        def _():
+            compact(keep)
+            rebuild_kept()
+
+        @pl.when(all_stable)
+        def _():
+            # the acquisition already wrote this round's picks into slots
+            # k..2k-1; stability means the prune discards ALL of them, so
+            # the skipped compaction still owes their support-entry reset
+            # (coefs/r/first-half idxs are the previous rebuild's values
+            # for the identical support and stay untouched)
+            idxs[:, :] = jnp.where(s2_iota < k, idxs[:, :], m)
+
+        return stable
 
     # --- init: oblivious top-k acquisition (kept block empty) ------------
     r[:, :] = Bs_ref[:, :]
@@ -561,6 +595,7 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     Atbs[:, :] = jnp.zeros_like(Atbs)
     coefs[:, :] = jnp.zeros_like(coefs)
     idxs[:, :] = jnp.full_like(idxs, m)
+    ucoef[:, :] = jnp.zeros_like(ucoef)
     sp_round(jnp.abs(corr(Bs_ref[:, :])), jnp.ones((B, 1), bool))
 
     # --- outer loop -------------------------------------------------------
@@ -569,9 +604,13 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     def wbody(carry):
         t, prev, done = carry
         gate = done < 0.5
-        sp_round(jnp.abs(corr(r[:, :])), gate)
+        stable = sp_round(jnp.abs(corr(r[:, :])), gate)
         res = jnp.where(gate, rnorm2(), prev)
-        done2 = jnp.where((res <= delta2) | (prev <= res), 1.0, done)
+        # an instance latches on residual non-improvement (reference
+        # rule, src/twostage.jl:92-99) OR on support stability — the
+        # same fixed point detected one iteration earlier
+        done2 = jnp.where((res <= delta2) | (prev <= res)
+                          | (stable > 0.5), 1.0, done)
         return t + 1, res, done2
 
     def wcond(carry):
@@ -615,7 +654,8 @@ def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,
             pltpu.VMEM((B, k, k), F32),        # Sinv
             pltpu.VMEM((B, k, k), F32),        # Ginv11 (kept block)
             pltpu.VMEM((B, K2), F32),          # Atb
-            pltpu.VMEM((B, K2), F32),          # coef
+            pltpu.VMEM((B, K2), F32),          # coef (kept refit)
+            pltpu.VMEM((B, K2), F32),          # ucoef (union scratch)
             pltpu.VMEM((B, K2), jnp.int32),    # idx
             pltpu.VMEM((B, n), F32),           # r
             pltpu.VMEM((B, 1), jnp.int32),     # selected index staging
