@@ -266,7 +266,7 @@ def _outer_while(eng, maxiter: int, body_inner):
 
 def _sp_kernel(k: int, maxiter: int, delta2: float,
                A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
-               iters_ref, cols, GU, W, S, Sinv, Ginv11, Atbs, coefs,
+               iters_ref, cols, GU, W, S, Ginv11, Atbs, coefs,
                ucoef, idxs, r, i_scr, acol_scr):
     """SP: expand by the top-k residual correlations, LS-refit on <= 2k
     atoms, prune to the k largest |coefficients|, iterate while the
@@ -447,16 +447,35 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         S[:, :, :] = GU[:, k:K2, :] - dotf32(
             GU[:, 0:k, :], W[:, :, :], (((1,), (1,)), ((0,), (0,))))
 
-    def union_coefs():
+    def union_coefs_cg(alive2):
         """Union LS coefficients straight from the blocks:
-        x2 = Sinv (a2 - W'a1), x1 = Ginv11 a1 - W x2."""
+        x2 solves S x2 = a2 - W'a1 by masked CG (k rounds), then
+        x1 = Ginv11 a1 - W x2."""
         av = (idxs[:, :] < m).astype(F32) * Atbs[:, :]
         a1 = half(av, E1)
         a2 = half(av, E2)
-        alive2 = half((idxs[:, :] < m).astype(F32), E2)
         wta1 = jnp.sum(W[:, :, :] * a1[:, :, None], axis=1)
-        v = a2 - wta1
-        x2 = alive2 * jnp.sum(Sinv[:, :, :] * v[:, None, :], axis=2)
+        v = alive2 * (a2 - wta1)
+        lift = deg * jnp.max(jnp.sum(S[:, :, :] * eyek, axis=2),
+                             axis=1, keepdims=True)         # (B, 1)
+
+        def cgstep(_, c):
+            x2_, r_, p_, rs_ = c
+            Sp = alive2 * (jnp.sum(S[:, :, :] * p_[:, None, :], axis=2)
+                           + lift * p_)
+            al = rs_ / jnp.maximum(
+                jnp.sum(p_ * Sp, axis=1, keepdims=True), 1e-30)
+            x2n = x2_ + al * p_
+            rn = r_ - al * Sp
+            rsn = jnp.sum(rn * rn, axis=1, keepdims=True)
+            beta = rsn / jnp.maximum(rs_, 1e-30)
+            return x2n, rn, rn + beta * p_, rsn
+
+        x2, _, _, _ = lax.fori_loop(
+            0, k, cgstep,
+            (jnp.zeros((B, k), F32), v, v,
+             jnp.sum(v * v, axis=1, keepdims=True)))
+        x2 = alive2 * x2
         wx2 = jnp.sum(W[:, :, :] * x2[:, None, :], axis=2)
         x1 = jnp.sum(Ginv11[:, :, :] * a1[:, None, :], axis=2) - wx2
         # UNION coefficients go to their own buffer: `coefs` holds only
@@ -564,8 +583,23 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         build_blocks()
         ata2 = jnp.sum(GU[:, k:K2, :] * eyek, axis=2)       # diag(G22)
         occ2 = (idxs[:, k:K2] < m).astype(F32)
-        invert_spd(ata2, occ2, Sinv, k)
-        union_coefs()
+        # Sinv's ONLY consumer is the single mat-vec x2 = Sinv v, so the
+        # 32-round bordered inversion (~28 ops/round — the r4 ablation's
+        # top cost) is replaced by: (a) an exact S_jj pre-gate for new
+        # atoms degenerate against the KEPT block (same deg * ||a||^2
+        # rule; S_jj IS the exact Schur pivot against the kept set), and
+        # (b) a masked CG solve of S x2 = v (~8 ops/round, k rounds =
+        # exact in exact arithmetic; tiny diagonal lift keeps f32 CG
+        # NaN-free if the NEW set itself is near-dependent — any such
+        # atom that survives the prune is then re-tested EXACTLY by the
+        # rebuild inversion's per-atom pivots, so the degeneracy
+        # contract holds end to end).
+        sdiag = jnp.sum(S[:, :, :] * eyek, axis=2)          # (B, k)
+        okj = (occ2 > 0) & (sdiag > deg * ata2)
+        rejfull = unhalve(jnp.zeros((B, k), F32),
+                          ((occ2 > 0) & ~okj).astype(F32))  # (B, K2)
+        idxs[:, :] = jnp.where(rejfull > 0.5, m, idxs[:, :])
+        union_coefs_cg(okj.astype(F32))
         keep = prune_keep()
         firsthalf = (s2_iota < k).astype(F32)
         stable = 1.0 - jnp.max(jnp.abs(keep - active_pre * firsthalf),
@@ -651,7 +685,6 @@ def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,
             pltpu.VMEM((B, K2, k), F32),       # GU = [G12; G22]
             pltpu.VMEM((B, k, k), F32),        # W = Ginv11 G12
             pltpu.VMEM((B, k, k), F32),        # S (Schur / kept Gram)
-            pltpu.VMEM((B, k, k), F32),        # Sinv
             pltpu.VMEM((B, k, k), F32),        # Ginv11 (kept block)
             pltpu.VMEM((B, K2), F32),          # Atb
             pltpu.VMEM((B, K2), F32),          # coef (kept refit)
