@@ -409,20 +409,28 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         """Bordered inversion of the SPD matrix in S into Minv ((B,k,k)),
         k gated rank-one rounds: per slot j the Schur pivot d must beat
         deg * ata_j (same accept test as v2's border_one; ata is the
-        union-Gram diagonal). Rejected slots keep the identity pad and
-        their support entry at reject_base + j is cleared."""
+        union-Gram diagonal). Rejected slots keep the identity pad; the
+        accumulated rejections clear their support entries at
+        reject_base + offset AFTER the loop (one masked write instead of
+        k — every op inside this loop costs ~0.3 us of fixed Mosaic
+        issue overhead, the kernel's dominant term per the r4 ablation).
+        `floor` folds occupancy and the deg*ata threshold into one
+        per-slot pivot floor: unoccupied slots get +inf (never accepted,
+        never 'rejected')."""
         Minv[:, :, :] = jnp.broadcast_to(eyek, (B, k, k))
+        floor = jnp.where(occ > 0, deg * ata, jnp.inf)      # (B, k)
 
-        def bstep(j, inmask):
+        def bstep(j, carry):
+            inmask, rejacc = carry
             es = (slotk == j).astype(F32)                   # (1, k)
             srow = jnp.sum(S[:, :, :] * es[:, None, :], axis=2)
             sjj = jnp.sum(srow * es, axis=1, keepdims=True)
             g = srow * inmask
             u = jnp.sum(Minv[:, :, :] * g[:, None, :], axis=2)
             d = sjj - jnp.sum(g * u, axis=1, keepdims=True)
-            ataj = jnp.sum(ata * es, axis=1, keepdims=True)
-            occj = jnp.sum(occ * es, axis=1, keepdims=True)
-            ok = (occj > 0) & (d > deg * ataj)
+            fj = jnp.sum(jnp.where(es > 0, floor, 0.0), axis=1,
+                         keepdims=True)
+            ok = d > fj
             okf = ok.astype(F32)
             et = es * okf
             dinv = okf / jnp.where(d > 0, d, 1.0)
@@ -430,12 +438,19 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
             Minv[:, :, :] = Minv[:, :, :] \
                 + dinv[:, :, None] * w_[:, :, None] * w_[:, None, :] \
                 - et[:, :, None] * et[:, None, :]
-            rej = (occj > 0) & ~ok                          # (B, 1)
-            idxs[:, :] = jnp.where((s2_iota == reject_base + j) & rej,
-                                   m, idxs[:, :])
-            return inmask + et
+            return inmask + et, rejacc + es * (1.0 - okf)
 
-        lax.fori_loop(0, k, bstep, jnp.zeros((B, k), F32))
+        _, rejacc = lax.fori_loop(0, k, bstep,
+                                  (jnp.zeros((B, k), F32),
+                                   jnp.zeros((B, k), F32)))
+        # rejected = occupied but pivot-failed (unoccupied slots carry
+        # floor=inf and land in rejacc too — mask them back out)
+        rejected = rejacc * (occ > 0).astype(F32)           # (B, k)
+        if reject_base == 0:
+            rejfull = unhalve(rejected, jnp.zeros((B, k), F32))
+        else:
+            rejfull = unhalve(jnp.zeros((B, k), F32), rejected)
+        idxs[:, :] = jnp.where(rejfull > 0.5, m, idxs[:, :])
 
     def build_blocks():
         """GU = cols_union @ cols_new' (ONE cache pass), W = Ginv11 G12,
