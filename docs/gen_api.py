@@ -16,7 +16,8 @@ import cstpu
 GROUPS = {
     "Greedy pursuit": ["mp", "omp", "gomp", "oblivious"],
     "Stepwise regression (forward / backward)": [
-        "fr", "ols", "oomp", "ormp", "br", "fbr", "lace"],
+        "fr", "ols", "oomp", "ormp", "stepwise_regression", "br", "fbr",
+        "lace"],
     "Two-stage / replacement": ["sp", "ompr", "srr"],
     "Stepwise compositions": ["rmp", "foba"],
     "Sparse Bayesian learning": ["sbl", "fsbl", "rmps",
@@ -38,7 +39,7 @@ GROUPS = {
         "sparse_vector", "sparse_data", "gaussian_data",
         "correlated_data", "coherent_data", "perturb",
         "normalize_columns", "colnorms", "coherence", "babel",
-        "cumbabel", "samesupport", "support", "droptol",
+        "cumbabel", "samesupport", "support", "droptol", "polish",
         "mean_preconditioner", "svd_preconditioner", "precondition"],
     "Solution containers & batching": ["SparseSolution", "batch"],
 }
