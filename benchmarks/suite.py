@@ -525,7 +525,8 @@ def config5bpd():
     out = {}
     for name, fn in (
             ("bpd", lambda yy: bpd(A, yy, delta, maxiter=12000)),
-            ("bpd_ard", lambda yy: bpd_ard(A, yy, delta, maxiter=4)),
+            ("bpd_ard", lambda yy: bpd_ard(A, yy, delta, maxiter=4,
+                                           maxiter_admm=12000)),
             ("bpd_sharded", lambda yy: bpd_sharded(
                 A, yy, delta, mesh=mesh, maxiter=12000)[0])):
         x = fn(y)                          # compile + warm

@@ -246,11 +246,14 @@ def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
                 done)
 
     z0 = jnp.zeros((m,), A.dtype)
-    _, z, _, _, _, _, _, _ = lax.while_loop(
+    _, z, _, uz, uy, rho_f, _, _ = lax.while_loop(
         cond, body,
         (z0, z0, jnp.asarray(b, A.dtype), z0, jnp.zeros((n,), A.dtype),
          rho, jnp.int32(0), jnp.bool_(False)))
-    return z
+    # duals travel out for warm starts and dual-slack screening; uy is in
+    # the SCALED space (A/s), so the original-space dual certificate is
+    # nu = rho_f * uy / s with A' nu in w d|x| at the optimum
+    return z, uz, uy, rho_f, s
 
 
 def bpd(A, b, delta: float, w=None, rho: float = 1.0, maxiter: int = 20000,
@@ -282,7 +285,7 @@ def bpd(A, b, delta: float, w=None, rho: float = 1.0, maxiter: int = 20000,
         tol = 1e-8 if A.dtype == jnp.float64 else 1e-5
     return _bpd_admm(A, b, jnp.asarray(delta, A.dtype), w,
                      jnp.asarray(rho, A.dtype), int(maxiter),
-                     jnp.asarray(tol, A.dtype))
+                     jnp.asarray(tol, A.dtype))[0]
 
 
 basis_pursuit_denoising = bpd
@@ -317,21 +320,102 @@ def basispursuit_reweighting(A, b, reweight, maxiter: int = 8,
 
 
 def bpd_reweighting(A, b, delta, reweight, maxiter: int = 8,
-                    min_decrease: float = 1e-4, method: str = "admm"):
+                    min_decrease: float = 1e-4, method: str = "admm",
+                    reweight_builder=None, screen: bool | None = None,
+                    screen_margin: float = 0.5,
+                    maxiter_admm: int = 20000):
     """Iteratively reweighted BPD. Parity: src/basispursuit.jl:102-115.
     `method` selects the inner solver — "admm" (TPU) or "homotopy"
     (native exact; each re-solve is exact, mirroring the reference's
-    solver-exact reweighting through ECOS)."""
-    x = bpd(A, b, delta, method=method)
+    solver-exact reweighting through ECOS).
+
+    `screen` (ADMM only; auto-on at m >= 65536 when `reweight_builder`
+    is given): the same dual-slack screening + full-m KKT verification
+    as the sharded BP-ARD path (parallel/convex._screened_ard_continue),
+    but BPD's certificate is FREE — the ADMM's ball dual satisfies
+    A'(rho uy / s) in w d|x| at the optimum, so one full-m GEMV checks
+    every discarded atom. `reweight_builder(A_sub)` must return the
+    reweight function for a column subset (the ARD kernel restricted to
+    the kept columns is exact because x is zero elsewhere)."""
     m = A.shape[1]
-    w = jnp.ones((m,), A.dtype)
-    for _ in range(1, int(maxiter)):
-        w = reweight(w, x)
-        xs = bpd(A, b, delta, w, method=method)
-        if float(jnp.linalg.norm(xs - x)) < min_decrease:
-            return xs
-        x = xs
-    return x
+    n = A.shape[0]
+    if screen is None:
+        screen = (method == "admm" and reweight_builder is not None
+                  and m >= (1 << 16))
+    tol = jnp.asarray(1e-8 if A.dtype == jnp.float64 else 1e-5, A.dtype)
+    if not screen:
+        x = bpd(A, b, delta, method=method, maxiter=maxiter_admm)
+        w = jnp.ones((m,), A.dtype)
+        for _ in range(1, int(maxiter)):
+            w = reweight(w, x)
+            xs = bpd(A, b, delta, w, method=method, maxiter=maxiter_admm)
+            if float(jnp.linalg.norm(xs - x)) < min_decrease:
+                return xs
+            x = xs
+        return x
+
+    import numpy as np
+
+    dlt = jnp.asarray(delta, A.dtype)
+    ones = jnp.ones((m,), A.dtype)
+    x, uz, uy, rho, sc = _bpd_admm(A, b, dlt, ones,
+                                   jnp.asarray(1.0, A.dtype),
+                                   int(maxiter_admm), tol)
+    slack = float(rho) * np.abs(np.asarray(uz))
+    keep = (slack >= (1.0 - float(screen_margin))) \
+        | (np.abs(np.asarray(x)) > 0)
+    kidx = np.flatnonzero(keep)
+    if kidx.size > max(m // 8, 4 * n):
+        # dual not settled enough — continue unscreened from x
+        w = jnp.ones((m,), A.dtype)
+        for _ in range(1, int(maxiter)):
+            w = reweight(w, x)
+            xs = bpd(A, b, delta, w, method=method, maxiter=maxiter_admm)
+            if float(jnp.linalg.norm(xs - x)) < min_decrease:
+                return xs
+            x = xs
+        return x
+
+    ktol = 1e-3
+    solved_idx = kidx
+    x_sub = jnp.take(x, jnp.asarray(kidx))
+    for _ in range(3):
+        # regather the warm start from the PREVIOUS round's (indices,
+        # values) onto the current (possibly repair-extended) kept set
+        x_sub = jnp.take(
+            jnp.zeros((m,), A.dtype).at[jnp.asarray(solved_idx)].set(
+                x_sub), jnp.asarray(kidx))
+        solved_idx = kidx
+        A_sub = jnp.take(A, jnp.asarray(kidx), axis=1)
+        sub_reweight = reweight_builder(A_sub)
+        w_sub = jnp.ones((kidx.size,), A.dtype)
+        uy_s = None
+        for _o in range(1, int(maxiter)):
+            w_sub = sub_reweight(w_sub, x_sub)
+            xs, _, uy_s, rho_s, s_s = _bpd_admm(
+                A_sub, b, dlt, w_sub, jnp.asarray(1.0, A.dtype),
+                int(maxiter_admm), tol)
+            moved = float(jnp.linalg.norm(xs - x_sub))
+            x_sub = xs
+            if moved < min_decrease:
+                break
+        if uy_s is None:  # maxiter == 1: no reweighting happened
+            break
+        # --- full-m KKT verification via the ball dual ----------------
+        x_full = np.zeros((m,), np.asarray(x_sub).dtype)
+        x_full[kidx] = np.asarray(x_sub)
+        w_full = np.asarray(reweight(ones, jnp.asarray(x_full, A.dtype)))
+        nu = (float(rho_s) / float(s_s)) * np.asarray(uy_s)
+        margins = np.abs(nu @ np.asarray(A))
+        viol = margins > w_full * (1.0 + ktol)
+        viol[kidx] = False
+        bad = np.flatnonzero(viol)
+        if bad.size == 0:
+            return jnp.asarray(x_full, A.dtype)
+        kidx = np.sort(np.concatenate([kidx, bad]))
+    out = np.zeros((m,), np.asarray(x_sub).dtype)
+    out[solved_idx] = np.asarray(x_sub)
+    return jnp.asarray(out, A.dtype)
 
 
 def candes_weights(w, x, eps: float):
@@ -395,21 +479,25 @@ def bp_ard(A, b, eps: float = 1e-2, maxiter: int = 8):
 
 
 def bpd_candes(A, b, delta: float, eps: float = None, maxiter: int = 8,
-               method: str = "admm"):
+               method: str = "admm", **kw):
     """Candes-reweighted BPD (eps defaults to delta).
     Parity: src/basispursuit.jl:119-121."""
     eps = delta if eps is None else eps
     return bpd_reweighting(A, b, delta, candes_function(eps),
-                           maxiter=maxiter, method=method)
+                           maxiter=maxiter, method=method,
+                           reweight_builder=lambda As: candes_function(eps),
+                           **kw)
 
 
 def bpd_ard(A, b, delta: float, eps: float = None, maxiter: int = 8,
-            method: str = "admm"):
+            method: str = "admm", **kw):
     """ARD-reweighted BPD (eps defaults to delta^2).
     Parity: src/basispursuit.jl:122-124."""
     eps = delta ** 2 if eps is None else eps
     return bpd_reweighting(A, b, delta, ard_function(A, eps),
-                           maxiter=maxiter, method=method)
+                           maxiter=maxiter, method=method,
+                           reweight_builder=lambda As: ard_function(As, eps),
+                           **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -171,3 +171,28 @@ def test_bp_admm_correlated_matches_exact_lp():
                      np.float64)
     xs0 = bp_simplex(A64, np.asarray(b0, np.float64))
     assert abs(np.abs(x64).sum() - np.abs(xs0).sum()) < 1e-4
+
+
+def test_bpd_reweighted_screened_matches_unscreened():
+    # dual-slack screening + the FREE ball-dual KKT certificate
+    # (A'(rho uy / s) in w d|x|) must reproduce the unscreened
+    # reweighted fixed point; margin 0 stresses the repair loop
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conftest import planted_problem
+    from cstpu import bpd_ard, bpd_candes, support
+
+    A, x, b, y = planted_problem(95, n=16, m=96, k=3, noise=5e-3)
+    delta = 1e-2
+    for fn in (bpd_ard, bpd_candes):
+        ref = np.asarray(fn(A, y, delta))
+        for margin in (0.5, 0.0):
+            scr = np.asarray(fn(A, y, delta, screen=True,
+                                screen_margin=margin))
+            assert (list(np.flatnonzero(np.abs(scr) > delta))
+                    == list(np.flatnonzero(np.abs(ref) > delta))
+                    == list(support(x))), (fn.__name__, margin)
+            np.testing.assert_allclose(scr, ref, atol=5e-5,
+                                       err_msg=f"{fn.__name__} {margin}")
