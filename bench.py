@@ -164,6 +164,11 @@ def main():
 
     t_corr = per_rep(corr_chain, Bs, 8, 208)
     corr_bytes = (n * m + B * n + B * m) * 4
+    if t_corr < 1e-6:
+        # the two-point delta collapsed (compiler hoisted the loop or
+        # timer noise won) — an absurd effective-GB/s diagnostic is
+        # worse than none
+        t_corr = float("nan")
 
     ideal_atoms = B * measured_bw / (n * m * 4)
     vs = atoms_per_sec / ideal_atoms
