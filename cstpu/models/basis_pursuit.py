@@ -365,6 +365,16 @@ def bpd_reweighting(A, b, delta, reweight, maxiter: int = 8,
     keep = (slack >= (1.0 - float(screen_margin))) \
         | (np.abs(np.asarray(x)) > 0)
     kidx = np.flatnonzero(keep)
+    if kidx.size == 0:
+        # degenerate first solve (x = 0 with near-zero duals: e.g.
+        # delta >= ||b||, or an unconverged dual) — never run the
+        # sub-solver on an (n, 0) dictionary; the zero solution is the
+        # fixed point of every reweighting when it is feasible, and
+        # when it isn't the unscreened loop below handles it (advisor
+        # r4, mirroring _screened_ard_continue's size guards)
+        if float(jnp.linalg.norm(b)) <= float(delta) * (1.0 + 1e-9):
+            return jnp.zeros((m,), A.dtype)
+        kidx = np.arange(m)
     if kidx.size > max(m // 8, 4 * n):
         # dual not settled enough — continue unscreened from x
         w = jnp.ones((m,), A.dtype)

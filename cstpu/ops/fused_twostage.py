@@ -336,8 +336,8 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
 
     def dotbf(a, b, dims):
         """DEFAULT-precision (one bf16 pass) dot_general for operands
-        whose CONTENT is bf16-exact — and in this kernel the column
-        cache is: every cached entry is extracted from the bf16
+        whose CONTENT is bf16-exact — and with corr_dtype=bf16 the
+        column cache is: every cached entry is extracted from the bf16
         dictionary (exact through the f32 staging), the gating
         multiplies by 1.0/0.0, and the compaction GEMM itself is a
         one-hot selection of those values (single nonzero per output,
@@ -345,8 +345,14 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         rounding is the identity and the f32 accumulation matches
         HIGHEST bit for bit, at 1/6 the MXU passes. Used for: GU, the
         rebuild Gram, and the compaction column GEMM. NOT valid for
-        Ginv11/W/S/coefs/Atbs operands (true f32 content)."""
-        return lax.dot_general(a, b, dims, preferred_element_type=F32)
+        Ginv11/W/S/coefs/Atbs operands (true f32 content). When the
+        dictionary is staged at f32 (sp_batch(precision="f32")) the
+        cache holds TRUE f32 values, so the one-pass bf16 product would
+        silently round the explicitly-requested precision away — fall
+        back to HIGHEST there (advisor r4)."""
+        if cdt == jnp.bfloat16:
+            return lax.dot_general(a, b, dims, preferred_element_type=F32)
+        return dotf32(a, b, dims)
 
     def half(v, E):
         """(B, K2) -> (B, k): v @ E' via dot_general."""
@@ -471,8 +477,16 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         a2 = half(av, E2)
         wta1 = jnp.sum(W[:, :, :] * a1[:, :, None], axis=1)
         v = alive2 * (a2 - wta1)
-        lift = deg * jnp.max(jnp.sum(S[:, :, :] * eyek, axis=2),
-                             axis=1, keepdims=True)         # (B, 1)
+        # NaN-guard lift at a few ulps of diag(S) — NOT deg (= 8n ulps,
+        # ~1e-3 relative at n=1024), which perturbed EVERY instance's
+        # union coefficients by ~0.1% and could flip prune picks near
+        # |coef| ties vs the v2/XLA path (advisor r4). 8 eps keeps f32
+        # CG finite on near-dependent new sets while staying below the
+        # coefficient-comparison noise floor; any such atom surviving
+        # the prune is re-tested exactly by the rebuild pivots.
+        lift = (8.0 * 1.1920929e-07) * jnp.max(
+            jnp.sum(S[:, :, :] * eyek, axis=2),
+            axis=1, keepdims=True)                          # (B, 1)
 
         def cgstep(_, c):
             x2_, r_, p_, rs_ = c
@@ -575,6 +589,15 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         ata1 = jnp.sum(S[:, :, :] * eyek, axis=2)
         occ1 = half((idxs[:, :] < m).astype(F32), E1)
         invert_spd(ata1, occ1, Ginv11, 0)
+        # a kept atom the inversion REJECTED has its idx cleared to m,
+        # but its cached column must be zeroed too: next round's GEMM-
+        # built blocks (GU/W/S) cannot mask slots the way v2's bordered
+        # math did, so a stale column would multiply the identity-padded
+        # Ginv11 row and subtract a spurious rank-one term from S,
+        # corrupting the degeneracy pre-gate and union coefficients
+        # (advisor r4). Surviving occupancy re-read AFTER invert_spd.
+        occ_live = half((idxs[:, :] < m).astype(F32), E1)   # (B, k)
+        cols[:, 0:k, :] = cols[:, 0:k, :] * occ_live[:, :, None]
         a1 = half((idxs[:, :] < m).astype(F32) * Atbs[:, :], E1)
         x1 = jnp.sum(Ginv11[:, :, :] * a1[:, None, :], axis=2)
         coefs[:, :] = unhalve(x1, jnp.zeros((B, k), F32))

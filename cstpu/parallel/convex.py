@@ -413,8 +413,12 @@ def bp_ard_sharded(A, b, mesh: Mesh, eps: float = 1e-2, maxiter: int = 8,
                 # restarted chunk only jitters z by round-off — stop
                 # dispatching the remaining device programs
                 dz = float(jnp.linalg.norm(out[0] - prev[0]))
-                tol_eff = bp_kwargs.get("tol") or (
-                    1e-9 if A.dtype == jnp.float64 else 1e-6)
+                # `tol` may be an EXPLICIT 0.0 (caller requesting no
+                # convergence stop, e.g. the warm-restart tests) — only
+                # None falls back to the dtype default (advisor r4)
+                tol_eff = bp_kwargs.get("tol")
+                if tol_eff is None:
+                    tol_eff = 1e-9 if A.dtype == jnp.float64 else 1e-6
                 if dz <= float(tol_eff) * (
                         1.0 + float(jnp.linalg.norm(prev[0]))):
                     break
@@ -517,8 +521,10 @@ def _screened_ard_continue(A, b, x, u, rho, mesh, eps: float, maxiter: int,
     from cstpu.models.basis_pursuit import _ard_weights, _bp_admm
 
     n, m = A.shape
-    tol = bp_kwargs.get("tol") or (
-        1e-9 if A.dtype == jnp.float64 else 1e-6)
+    # explicit tol=0.0 must survive (see the chunked early-exit above)
+    tol = bp_kwargs.get("tol")
+    if tol is None:
+        tol = 1e-9 if A.dtype == jnp.float64 else 1e-6
     # the sub-problems are tiny: give them the full default budget even
     # when the caller capped the FULL-m first solve via maxiter_admm
     sub_maxiter = max(20000, int(bp_kwargs.get("maxiter", 20000)))
