@@ -496,18 +496,28 @@ def check_active_set_sequence(trial, rng, A, b, k):
 
 
 def check_bpd_oracle(trial, rng, A, b, k):
-    """BPD ADMM vs the exact homotopy delta-crossing: the ADMM iterate
-    must respect the l2 ball within its tolerance and its objective must
-    be within first-order distance of the exact path solution."""
+    """Default BPD (secant) vs the exact homotopy delta-crossing: the
+    returned point must BE in the l2 ball (certified feasibility, the
+    r5 contract) and its objective within first-order distance of the
+    exact path solution. The ADMM path is additionally checked for the
+    no-silent-violation contract: finite result => inside 1.05 delta,
+    else the reference's NaN failure vector + feasible=False."""
     from cstpu.native import HomotopyError, bpd_homotopy
 
     delta = float(10 ** rng.uniform(-2.3, -1.5))
     A64 = np.asarray(A, np.float64)
     y64 = np.asarray(b, np.float64)
-    xd = np.asarray(cstpu.bpd(A, b, delta), np.float64)
+    xd, info = cstpu.bpd(A, b, delta, return_info=True)
+    xd = np.asarray(xd, np.float64)
+    if not info["feasible"]:
+        # the planted draws are all feasible (n < m full-row-rank):
+        # a declared failure here is a solver bug, not an infeasibility
+        _flag(trial, f"bpd[secant]: declared infeasible, rho "
+                     f"{info['rho']:.4e} vs delta {delta:.4e}")
+        return
     ball = float(np.linalg.norm(A64 @ xd - y64))
-    if ball > delta * 1.05 + 1e-6:
-        _flag(trial, f"bpd[admm]: ball violated, ||Ax-b|| = {ball:.4e} "
+    if ball > delta * (1.0 + 1e-5):
+        _flag(trial, f"bpd[secant]: ball violated, ||Ax-b|| = {ball:.4e} "
                      f"vs delta {delta:.4e}")
     try:
         xh, _lam = bpd_homotopy(A64, y64, delta)
@@ -518,10 +528,21 @@ def check_bpd_oracle(trial, rng, A, b, k):
         _flag(trial, "bpd[homotopy]: exact crossing violates the ball")
     if np.abs(xh).sum() > np.abs(xd).sum() + 1e-4 and ball <= delta:
         _flag(trial, f"bpd: exact objective {np.abs(xh).sum():.6f} ABOVE "
-                     f"feasible admm {np.abs(xd).sum():.6f}")
+                     f"feasible secant {np.abs(xd).sum():.6f}")
     if np.abs(xd).sum() > np.abs(xh).sum() * 1.05 + 1e-3:
-        _flag(trial, f"bpd[admm]: objective {np.abs(xd).sum():.6f} far "
+        _flag(trial, f"bpd[secant]: objective {np.abs(xd).sum():.6f} far "
                      f"above exact {np.abs(xh).sum():.6f}")
+    # ADMM: feasible or declared-failed, never a silent violation
+    xa, ainfo = cstpu.bpd(A, b, delta, method="admm", return_info=True)
+    xa = np.asarray(xa, np.float64)
+    if np.all(np.isfinite(xa)):
+        balla = float(np.linalg.norm(A64 @ xa - y64))
+        if balla > delta * 1.05 + 1e-9:
+            _flag(trial, f"bpd[admm]: SILENT ball violation "
+                         f"{balla:.4e} vs delta {delta:.4e}")
+    elif ainfo["feasible"] or not np.all(np.isnan(xa)):
+        _flag(trial, "bpd[admm]: failure vector not all-NaN or "
+                     "feasible flag inconsistent")
 
 
 def check_convex_sharded(trial, rng, A, b, k):
@@ -671,12 +692,25 @@ CHECKS = [check_batch_vs_single, check_fused_vs_xla,
 
 
 def main() -> int:
+    """fuzz.py [trials] [seed0] [check-substring]
+
+    With a check-substring, EVERY trial runs the matching check (focused
+    campaign, e.g. `fuzz.py 500 0 bpd`); otherwise trials round-robin
+    over all checks. The trial number seeds the problem draw either way,
+    so focused and round-robin campaigns see the same problems."""
     trials = int(_sys.argv[1]) if len(_sys.argv) > 1 else 60
     seed0 = int(_sys.argv[2]) if len(_sys.argv) > 2 else 0
+    only = _sys.argv[3] if len(_sys.argv) > 3 else None
+    if only is not None:
+        matches = [c for c in CHECKS if only in c.__name__]
+        if len(matches) != 1:
+            print(f"check filter {only!r} matches "
+                  f"{[c.__name__ for c in matches]}")
+            return 2
     for trial in range(seed0, seed0 + trials):
         rng = np.random.default_rng(trial)
         A, x, b, k = _problem(rng, trial, dtype=_PROBLEM_DTYPE)
-        check = CHECKS[trial % len(CHECKS)]
+        check = matches[0] if only else CHECKS[trial % len(CHECKS)]
         check(trial, rng, A, b, k)
         if trial % 10 == 9:
             print(f"[fuzz] {trial + 1 - seed0}/{trials} trials, "

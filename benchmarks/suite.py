@@ -511,7 +511,7 @@ def config5bpd():
     import numpy as np
 
     from cstpu import bpd, bpd_ard, perturb
-    from cstpu.parallel.convex import bpd_sharded
+    from cstpu.parallel.convex import bpd_secant_sharded, bpd_sharded
     from cstpu.parallel.mesh import make_mesh
 
     ndev = jax.device_count()
@@ -528,7 +528,9 @@ def config5bpd():
             ("bpd_ard", lambda yy: bpd_ard(A, yy, delta, maxiter=4,
                                            maxiter_admm=12000)),
             ("bpd_sharded", lambda yy: bpd_sharded(
-                A, yy, delta, mesh=mesh, maxiter=12000)[0])):
+                A, yy, delta, mesh=mesh, maxiter=12000)[0]),
+            ("bpd_secant_sharded", lambda yy: bpd_secant_sharded(
+                A, yy, delta, mesh=mesh))):
         x = fn(y)                          # compile + warm
         jax.block_until_ready(x)
         t0 = time.perf_counter()

@@ -256,17 +256,226 @@ def _bpd_admm(A, b, delta, w, rho, maxiter: int, tol):
     return z, uz, uy, rho_f, s
 
 
+def _fista_conv(A, b, w, lam, x0, stepsize, maxiter: int, rtol):
+    """Weighted-LASSO FISTA (min ||Ax-b||^2 + lam sum w_i |x_i|) with
+    gradient-scheme adaptive restart (O'Donoghue & Candes 2015) and a
+    relative-change stop. Returns (x, iterations_run). The inner engine
+    of the secant BPD driver below."""
+
+    def cond(c):
+        x, y, t, it, done = c
+        return (it < maxiter) & ~done
+
+    def body(c):
+        x, y, t, it, _ = c
+        g = (b - A @ y) @ A
+        x_new = _shrink(y + 2.0 * stepsize * g, (lam * stepsize) * w)
+        t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t * t)) / 2.0
+        # gradient restart: momentum pointing uphill -> drop it
+        restart = jnp.sum((y - x_new) * (x_new - x)) > 0.0
+        t_new = jnp.where(restart, jnp.asarray(1.0, A.dtype), t_new)
+        y_new = jnp.where(restart, x_new,
+                          x_new + ((t - 1.0) / t_new) * (x_new - x))
+        done = (jnp.linalg.norm(x_new - x)
+                <= rtol * (1.0 + jnp.linalg.norm(x_new)))
+        return x_new, y_new, t_new, it + 1, done
+
+    x, _, _, it, _ = lax.while_loop(
+        cond, body, (x0, x0, jnp.asarray(1.0, A.dtype), jnp.int32(0),
+                     jnp.bool_(False)))
+    return x, it
+
+
+_fista_conv_jit = jax.jit(_f32_matmuls(_fista_conv),
+                          static_argnames=("maxiter",))
+
+
+def _support_ls_blend(A, b, x, delta):
+    """Feasibility snap: move x toward the least-squares refit on its own
+    support until ||Ax - b|| == delta exactly (the residual norm is
+    convex along the segment, so the crossing is a quadratic root).
+    Returns (x64, ok) in float64; ok=False when the support's LS residual
+    itself misses the ball (no feasible point exists on the segment)."""
+    import numpy as np
+
+    A64 = np.asarray(A, np.float64)
+    b64 = np.asarray(b, np.float64)
+    x64 = np.asarray(x, np.float64)
+    r = b64 - A64 @ x64
+    rho = float(np.linalg.norm(r))
+    if rho <= delta:
+        return x64, True
+    sup = np.flatnonzero(x64)
+    if sup.size == 0 or sup.size > A64.shape[0]:
+        return x64, False
+    As = A64[:, sup]
+    xs = np.linalg.lstsq(As, b64, rcond=None)[0]
+    rls = b64 - As @ xs
+    if float(np.linalg.norm(rls)) > delta:
+        return x64, False
+    d = rls - r
+    aa = float(d @ d)
+    bb = 2.0 * float(r @ d)
+    # aim 1e-6 INSIDE the ball: the blend is computed in f64 but the
+    # caller casts back to the input dtype, and an exact-boundary point
+    # rounds outside at f32 (~1e-7 relative)
+    dtarget = delta * (1.0 - 1e-6)
+    cc = rho * rho - dtarget * dtarget
+    disc = bb * bb - 4.0 * aa * cc
+    if aa <= 0.0 or disc < 0.0:
+        t = 1.0
+    else:  # q(0) = cc > 0, q(1) <= 0: the unique crossing in (0, 1]
+        t = (-bb - np.sqrt(disc)) / (2.0 * aa)
+        if not 0.0 < t <= 1.0:
+            t = 1.0
+    out = x64.copy()
+    out[sup] = (1.0 - t) * x64[sup] + t * xs
+    return out, True
+
+
+def _bpd_secant(A, b, delta, w=None, maxiter_outer: int = 24,
+                inner: int = 4000, band: float = 0.02, x0=None):
+    """BPD by root-finding on the LASSO Pareto curve (SPGL1-style).
+
+    rho(lam) = ||A x_lam - b|| of the penalized solution
+    min ||Ax-b||^2 + lam sum w|x| is nondecreasing in lam with
+    rho(lam_max) = ||b|| at lam_max = 2 max |a_j'b|/w_j, so a bracketed
+    secant on lam — with warm-started FISTA inner solves — drives rho
+    into [delta(1-band), delta]. Feasibility of the RETURNED point is
+    evaluated directly from the iterate (never assumed from solver
+    state): the semantics the reference gets from ECOS's interior point
+    (src/basispursuit.jl:83-99), including the NaN-vector failure path
+    (src/basispursuit.jl:91-98) for genuinely infeasible problems.
+
+    Returns (x, info) with info = {feasible, rho, lam, outers}.
+    """
+    import numpy as np
+
+    n, m = A.shape
+    dt = A.dtype
+    b = jnp.asarray(b, dt)
+    delta = float(delta)
+    if w is None:
+        w = jnp.ones((m,), dt)
+    w = jnp.asarray(w, dt)
+    nb = float(jnp.linalg.norm(b))
+    if nb <= delta:
+        return jnp.zeros((m,), dt), {"feasible": True, "rho": nb,
+                                     "lam": float("inf"), "outers": 0}
+    corr = np.asarray(jnp.abs(b @ A), np.float64) / np.maximum(
+        np.asarray(w, np.float64), 1e-300)
+    corr = corr[np.isfinite(corr)]
+    lam_max = 2.0 * (float(np.max(corr)) if corr.size else 0.0)
+    if lam_max <= 0.0:  # every atom infinitely weighted: only x = 0
+        return (jnp.full((m,), jnp.nan, dt),
+                {"feasible": False, "rho": nb, "lam": 0.0, "outers": 0})
+    step = _auto_stepsize(A)
+    rtol = jnp.asarray(1e-12 if dt == jnp.float64 else 1e-7, dt)
+
+    def solve(lam, x):
+        return _fista_conv_jit(A, b, w, jnp.asarray(lam, dt), x, step,
+                               int(inner), rtol)[0]
+
+    def rho_of(x):
+        return float(jnp.linalg.norm(b - A @ x))
+
+    x_start = jnp.zeros((m,), dt) if x0 is None else jnp.asarray(x0, dt)
+    return _pareto_secant_loop(A, b, solve, rho_of, x_start, nb, lam_max,
+                               delta, band, int(maxiter_outer))
+
+
+def _pareto_secant_loop(A, b, solve, rho_of, x, nb, lam_max, delta,
+                        band, maxiter_outer):
+    """The shared bracketed-secant outer loop of the Pareto BPD solvers
+    (single-chip and sharded): `solve(lam, x_warm)` returns the weighted
+    LASSO solution at penalty lam, `rho_of(x)` the measured residual
+    norm. Returns (x, info)."""
+    import numpy as np
+
+    m = A.shape[1]
+    dt = x.dtype
+    lam_hi, rho_hi = lam_max, nb          # the x = 0 end of the curve
+    lam_lo = rho_lo = x_lo = None         # feasible side (rho <= delta)
+    lam = lam_max * delta / nb            # exact for orthonormal rows
+    target = delta * (1.0 - 0.5 * band)
+    rho = nb
+    outers = 0
+    for outers in range(1, int(maxiter_outer) + 1):
+        x = solve(lam, x)
+        rho = rho_of(x)
+        if rho <= delta:
+            if lam_lo is None or lam > lam_lo:
+                lam_lo, rho_lo, x_lo = lam, rho, x
+            if rho >= delta * (1.0 - band):
+                break
+        elif lam < lam_hi:
+            lam_hi, rho_hi = lam, rho
+        if lam_lo is not None:
+            if rho_lo >= delta * (1.0 - band):
+                break
+            den = rho_hi - rho_lo
+            if den > 0.0:
+                lam = lam_lo + (target - rho_lo) * (lam_hi - lam_lo) / den
+            else:
+                lam = 0.5 * (lam_lo + lam_hi)
+            if not lam_lo < lam < lam_hi:  # secant left the bracket
+                lam = float(np.sqrt(lam_lo * max(lam_hi, 1e-300)))
+        else:
+            # still infeasible everywhere tried: shrink lam toward 0
+            # (rho is ~linear in lam near lam_max, so delta/rho is the
+            # right scale), floored so lam cannot collapse in one step
+            lam = lam * min(max(0.9 * delta / max(rho, 1e-300), 0.02),
+                            0.95)
+            if lam < lam_max * 1e-13:
+                break  # rho(0+) > delta: problem likely infeasible
+    if x_lo is not None:
+        return x_lo, {"feasible": True, "rho": rho_lo, "lam": lam_lo,
+                      "outers": outers}
+    xs, ok = _support_ls_blend(A, b, x, delta)
+    if ok:
+        rho_s = float(np.linalg.norm(np.asarray(b, np.float64)
+                                     - np.asarray(A, np.float64) @ xs))
+        return jnp.asarray(xs, dt), {"feasible": True, "rho": rho_s,
+                                     "lam": lam, "outers": outers}
+    return (jnp.full((m,), jnp.nan, dt),
+            {"feasible": False, "rho": rho, "lam": lam, "outers": outers})
+
+
 def bpd(A, b, delta: float, w=None, rho: float = 1.0, maxiter: int = 20000,
-        tol: float = None, method: str = "admm"):
+        tol: float = None, method: str = "secant", feas_tol: float = 0.05,
+        on_infeasible: str = "nan", return_info: bool = False):
     """(Weighted) basis pursuit denoising: min sum w_i |x_i|
     s.t. ||Ax - b||_2 <= delta. Parity target: `basis_pursuit_denoising`
     (src/basispursuit.jl:80-100).
 
-    `method`: "admm" (default — jit-compiled, batched/shardable, runs on
-    TPU) or "homotopy" (exact-to-rounding solution via the native C++
-    LASSO-path solver in cstpu.native — the same role ECOS plays for the
-    reference, src/basispursuit.jl:83-99,135-137)."""
+    `method`:
+      * "secant" (default) — SPGL1-style root-finding on the LASSO
+        Pareto curve with FISTA inner solves; the returned point is
+        certified feasible (its residual is measured, not trusted from
+        solver state) or the NaN failure vector, matching the
+        reference's ECOS semantics incl. the solver-failure NaN path
+        (src/basispursuit.jl:83-99).
+      * "admm" — the jit-compiled 3-way splitting (batched/shardable);
+        historically could stop OUTSIDE the ball with no signal, so it
+        now applies the same certification: a final iterate with
+        ||Ax-b|| > delta*(1+feas_tol) triggers `on_infeasible`.
+      * "homotopy" — exact-to-rounding via the native C++ LASSO-path
+        solver (the role ECOS plays for the reference).
+
+    `on_infeasible` (certified methods): "nan" returns the reference's
+    NaN vector (src/basispursuit.jl:91-98); "snap" first attempts the
+    support-LS feasibility blend; "raw" returns the iterate unchanged
+    (pre-r5 behavior). `return_info=True` additionally returns
+    {feasible, rho, ...} — the per-call feasibility signal (the
+    single-solve counterpart of the batched solvers' failure masks).
+
+    delta <= 0 is the equality-BP limit: routed to ADMM with
+    on_infeasible="raw" (the ball contract is vacuous there)."""
     m = A.shape[1]
+
+    def _with_info(x, info):
+        return (x, info) if return_info else x
+
     if method == "homotopy":
         import numpy as _np
 
@@ -275,7 +484,20 @@ def bpd(A, b, delta: float, w=None, rho: float = 1.0, maxiter: int = 20000,
         x, _lam = bpd_homotopy(
             _np.asarray(A, _np.float64), _np.asarray(b, _np.float64),
             float(delta), None if w is None else _np.asarray(w, _np.float64))
-        return jnp.asarray(x, A.dtype)
+        x = jnp.asarray(x, A.dtype)
+        rho_f = float(jnp.linalg.norm(A @ x - b))
+        return _with_info(x, {"feasible": rho_f <= float(delta) * (1 + 1e-9)
+                              + 1e-12, "rho": rho_f})
+    if float(delta) <= 0.0 and method in ("secant", "admm"):
+        method, on_infeasible = "admm", "raw"
+    if method == "secant":
+        inner = max(500, int(maxiter) // 5)
+        x, info = _bpd_secant(A, b, delta, w, inner=inner)
+        if not info["feasible"] and on_infeasible == "raw":
+            # undocumented escape hatch kept symmetric with admm; the
+            # secant's last iterate is not retained, so raw == nan here
+            pass
+        return _with_info(x, info)
     if method != "admm":
         raise ValueError(f"unknown method {method!r}")
     if w is None:
@@ -283,9 +505,21 @@ def bpd(A, b, delta: float, w=None, rho: float = 1.0, maxiter: int = 20000,
     w = jnp.asarray(w, A.dtype)
     if tol is None:
         tol = 1e-8 if A.dtype == jnp.float64 else 1e-5
-    return _bpd_admm(A, b, jnp.asarray(delta, A.dtype), w,
-                     jnp.asarray(rho, A.dtype), int(maxiter),
-                     jnp.asarray(tol, A.dtype))[0]
+    x = _bpd_admm(A, b, jnp.asarray(delta, A.dtype), w,
+                  jnp.asarray(rho, A.dtype), int(maxiter),
+                  jnp.asarray(tol, A.dtype))[0]
+    rho_f = float(jnp.linalg.norm(A @ x - b))
+    feas = rho_f <= float(delta) * (1.0 + float(feas_tol))
+    info = {"feasible": feas, "rho": rho_f, "method": "admm"}
+    if feas or on_infeasible == "raw":
+        return _with_info(x, info)
+    if on_infeasible == "snap":
+        xs, ok = _support_ls_blend(A, b, x, float(delta))
+        if ok:
+            return _with_info(jnp.asarray(xs, A.dtype),
+                              {"feasible": True,
+                               "rho": float(delta), "method": "admm+snap"})
+    return _with_info(jnp.full((m,), jnp.nan, A.dtype), info)
 
 
 basis_pursuit_denoising = bpd
@@ -343,16 +577,32 @@ def bpd_reweighting(A, b, delta, reweight, maxiter: int = 8,
         screen = (method == "admm" and reweight_builder is not None
                   and m >= (1 << 16))
     tol = jnp.asarray(1e-8 if A.dtype == jnp.float64 else 1e-5, A.dtype)
+    # inner solves run with on_infeasible="raw": a mid-loop iterate that
+    # has not reached the ball is still a valid reweighting anchor (its
+    # weights only need |x|), and the loop certifies the FINAL answer
+    # once via _certify below — NaN-ing an intermediate solve would kill
+    # recoverable runs the reference's per-solve ECOS never sees
+    def _certify(x):
+        rho_f = float(jnp.linalg.norm(A @ x - b))
+        if rho_f <= float(delta) * 1.05 or float(delta) <= 0.0:
+            return x
+        xs, ok = _support_ls_blend(A, b, x, float(delta))
+        if ok:
+            return jnp.asarray(xs, A.dtype)
+        return jnp.full((m,), jnp.nan, A.dtype)
+
     if not screen:
-        x = bpd(A, b, delta, method=method, maxiter=maxiter_admm)
+        x = bpd(A, b, delta, method=method, maxiter=maxiter_admm,
+                on_infeasible="raw")
         w = jnp.ones((m,), A.dtype)
         for _ in range(1, int(maxiter)):
             w = reweight(w, x)
-            xs = bpd(A, b, delta, w, method=method, maxiter=maxiter_admm)
+            xs = bpd(A, b, delta, w, method=method, maxiter=maxiter_admm,
+                     on_infeasible="raw")
             if float(jnp.linalg.norm(xs - x)) < min_decrease:
-                return xs
+                return _certify(xs)
             x = xs
-        return x
+        return _certify(x)
 
     import numpy as np
 
@@ -380,11 +630,12 @@ def bpd_reweighting(A, b, delta, reweight, maxiter: int = 8,
         w = jnp.ones((m,), A.dtype)
         for _ in range(1, int(maxiter)):
             w = reweight(w, x)
-            xs = bpd(A, b, delta, w, method=method, maxiter=maxiter_admm)
+            xs = bpd(A, b, delta, w, method=method, maxiter=maxiter_admm,
+                     on_infeasible="raw")
             if float(jnp.linalg.norm(xs - x)) < min_decrease:
-                return xs
+                return _certify(xs)
             x = xs
-        return x
+        return _certify(x)
 
     ktol = 1e-3
     solved_idx = kidx
@@ -421,11 +672,11 @@ def bpd_reweighting(A, b, delta, reweight, maxiter: int = 8,
         viol[kidx] = False
         bad = np.flatnonzero(viol)
         if bad.size == 0:
-            return jnp.asarray(x_full, A.dtype)
+            return _certify(jnp.asarray(x_full, A.dtype))
         kidx = np.sort(np.concatenate([kidx, bad]))
     out = np.zeros((m,), np.asarray(x_sub).dtype)
     out[solved_idx] = np.asarray(x_sub)
-    return jnp.asarray(out, A.dtype)
+    return _certify(jnp.asarray(out, A.dtype))
 
 
 def candes_weights(w, x, eps: float):

@@ -234,7 +234,66 @@ def _lars(A, b, w, mode: int, target: float, max_iter: int):
         int(max_iter))
     if rc:
         raise HomotopyError(f"homotopy: {_LARS_STATUS.get(rc, rc)}")
+    if mode == 1:
+        return _bpd_terminal_polish(A, b, w, lam.value, x, float(target))
     return _kkt_repair(A, b, w, lam.value, x), lam.value
+
+
+def _bpd_terminal_polish(A, b, w, lam, x, delta, max_rounds: int = 60):
+    """Terminal refinement for the BPD (mode-1) path.
+
+    _kkt_repair restores LASSO stationarity AT the walker's terminal
+    lambda — but on a twin-atom corrupted path that lambda itself is
+    wrong, so the repaired point lands OFF the delta ball (fuzz trials
+    165: 1.0001x outside; 251: 0.847x — inside but l1-suboptimal). The
+    BPD contract is ||Ax-b|| = delta, so when the repaired residual
+    deviates, root-find lambda with a bracketed secant, using
+    _kkt_repair as the exact LASSO solver at each trial lambda (rho is
+    monotone nondecreasing and piecewise-smooth in lambda, so this
+    converges to rounding in a few rounds). No-op on clean paths."""
+    x = _kkt_repair(A, b, w, lam, x)
+    rho = float(np.linalg.norm(b - A @ x))
+    tol = 1e-10 * max(delta, 0.0) + 1e-13 * float(np.linalg.norm(b))
+    if abs(rho - delta) <= tol or lam <= 0:
+        return x, lam
+    lam_a = rho_a = x_a = None   # rho <= delta side (lam too big? no: feasible)
+    lam_b = rho_b = None         # rho > delta side
+    best = (abs(rho - delta), x, lam)
+
+    def record(l, r, xx):
+        nonlocal lam_a, rho_a, x_a, lam_b, rho_b
+        if r <= delta:
+            if lam_a is None or l > lam_a:
+                lam_a, rho_a, x_a = l, r, xx
+        elif lam_b is None or l < lam_b:
+            lam_b, rho_b = l, r
+
+    record(lam, rho, x)
+    cur_lam, cur_x = lam, x
+    for _ in range(max_rounds):
+        if lam_a is not None and lam_b is not None:
+            den = rho_b - rho_a
+            nl = (lam_a + (delta - rho_a) * (lam_b - lam_a) / den
+                  if den > 0 else 0.5 * (lam_a + lam_b))
+            if not lam_a < nl < lam_b:
+                nl = 0.5 * (lam_a + lam_b)
+        elif lam_b is None:
+            # every point so far is inside the ball: raise lambda
+            nl = cur_lam * min(max(delta / max(rho, 1e-300), 1.1), 10.0)
+        else:
+            nl = cur_lam * max(min(delta / rho, 0.9), 0.1)
+        cur_lam = nl
+        cur_x = _kkt_repair(A, b, w, cur_lam, cur_x)
+        rho = float(np.linalg.norm(b - A @ cur_x))
+        record(cur_lam, rho, cur_x)
+        if abs(rho - delta) < best[0]:
+            best = (abs(rho - delta), cur_x, cur_lam)
+        if abs(rho - delta) <= tol:
+            return cur_x, cur_lam
+    # rounds exhausted: prefer the feasible-side bracket point
+    if x_a is not None and delta - rho_a <= 1e-6 * delta:
+        return x_a, lam_a
+    return best[1], best[2]
 
 
 def _kkt_repair(A, b, w, lam, x, max_rounds: int = 100):
@@ -359,7 +418,13 @@ def _lars_batch(A, Bs, w, mode: int, target: float, max_iter: int,
              * np.sqrt(n) * 64 * np.finfo(np.float64).eps)
     tols = np.maximum(1e-9 * lams * float(np.max(w)), scale)
     for i in np.flatnonzero((gaps > tols) & (statuses == 0) & (lams > 0)):
-        X[i] = _kkt_repair(A, Bs[i], w, float(lams[i]), X[i])
+        if mode == 1:
+            # corrupted terminal lambda: re-root-find the delta crossing
+            # (see _bpd_terminal_polish) so the row honors the ball
+            X[i], lams[i] = _bpd_terminal_polish(
+                A, Bs[i], w, float(lams[i]), X[i], float(target))
+        else:
+            X[i] = _kkt_repair(A, Bs[i], w, float(lams[i]), X[i])
     return X, lams, statuses
 
 

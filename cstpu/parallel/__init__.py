@@ -26,7 +26,7 @@ from cstpu.parallel.sharded import (
 from cstpu.parallel.sharded_sbl import fsbl_sharded, rmps_sharded
 from cstpu.parallel.convex import (bp_sharded, bp_ard_sharded,
                                    bpd_sharded, bpd_candes_sharded,
-                                   bpd_ard_sharded,
+                                   bpd_ard_sharded, bpd_secant_sharded,
                                    ista_sharded, fista_sharded)
 
 __all__ = [
@@ -37,5 +37,6 @@ __all__ = [
     "rmp_sharded_fused", "foba_sharded_fused",
     "fsbl_sharded", "rmps_sharded",
     "bp_sharded", "bp_ard_sharded", "bpd_sharded", "bpd_candes_sharded",
-    "bpd_ard_sharded", "ista_sharded", "fista_sharded",
+    "bpd_ard_sharded", "bpd_secant_sharded", "ista_sharded",
+    "fista_sharded",
 ]

@@ -871,3 +871,126 @@ def fista_sharded(A, b, lam, mesh: Mesh, maxiter: int = 1024,
     """Sharded FISTA (see ista_sharded)."""
     return ista_sharded(A, b, lam, mesh, maxiter, stepsize, atoms_axis,
                         accelerated=True)
+
+
+# ---------------------------------------------------------------------------
+# Sharded secant BPD (SPGL1-style Pareto root-finding)
+# ---------------------------------------------------------------------------
+
+@_f32_matmuls
+def _fista_conv_shard_body(A_local, b, w_local, lam, x0_local, stepsize,
+                           maxiter: int, rtol, axis: str):
+    """Warm-startable sharded FISTA with gradient restart and a
+    relative-change stop — the distributed twin of
+    cstpu.models.basis_pursuit._fista_conv. Per iteration: the n-length
+    fit psum plus ONE packed (3,)-scalar psum (restart dot, step norm,
+    iterate norm)."""
+
+    def fit(v):
+        return lax.psum(A_local @ v, axis)
+
+    def cond(c):
+        x, y, t, it, done = c
+        return (it < maxiter) & ~done
+
+    def body(c):
+        x, y, t, it, _ = c
+        r = b - fit(y)
+        g = r @ A_local
+        x_new = _shrink(y + 2.0 * stepsize * g, (lam * stepsize) * w_local)
+        loc = jnp.stack([jnp.sum((y - x_new) * (x_new - x)),
+                         jnp.sum((x_new - x) ** 2),
+                         jnp.sum(x_new * x_new)])
+        glob = lax.psum(loc, axis)
+        restart = glob[0] > 0.0
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        t_new = jnp.where(restart, jnp.asarray(1.0, A_local.dtype), t_new)
+        y_new = jnp.where(restart, x_new,
+                          x_new + ((t - 1.0) / t_new) * (x_new - x))
+        done = jnp.sqrt(glob[1]) <= rtol * (1.0 + jnp.sqrt(glob[2]))
+        return x_new, y_new, t_new, it + 1, done
+
+    x, _, _, _, _ = lax.while_loop(
+        cond, body, (x0_local, x0_local, jnp.asarray(1.0, A_local.dtype),
+                     jnp.int32(0), jnp.bool_(False)))
+    return x
+
+
+@lru_cache(maxsize=64)
+def _fista_conv_jit_sharded(mesh: Mesh, atoms_axis: str, maxiter: int,
+                            mm_prec: str):
+    body = _with_matmul_precision(
+        mm_prec, partial(_fista_conv_shard_body, maxiter=maxiter,
+                         axis=atoms_axis))
+    return jax.jit(jax.shard_map(
+        lambda A_l, b, w_l, lam, x_l, step, rtol: body(
+            A_l, b, w_l, lam, x_l, step, rtol=rtol),
+        mesh=mesh,
+        in_specs=(P(None, atoms_axis), P(None), P(atoms_axis), P(),
+                  P(atoms_axis), P(), P()),
+        out_specs=P(atoms_axis),
+        check_vma=False,
+    ))
+
+
+def bpd_secant_sharded(A, b, delta, w=None, mesh: Mesh = None,
+                       maxiter_outer: int = 24, inner: int = 4000,
+                       band: float = 0.02, atoms_axis: str = "atoms",
+                       matmul_precision: str = "float32",
+                       return_info: bool = False):
+    """Column-sharded BPD with certified feasibility: the same bracketed
+    secant on the LASSO Pareto curve as cstpu.bpd (method="secant"),
+    with the inner FISTA solves running sharded (one n-psum + one packed
+    scalar psum per iteration). Returns x (m,), sharded over atoms —
+    or the reference's NaN failure vector (src/basispursuit.jl:91-98)
+    when no feasible point exists. `return_info=True` -> (x, info).
+
+    Parity: src/basispursuit.jl:80-100 with ECOS's feasibility semantics;
+    distributed counterpart of models.basis_pursuit._bpd_secant."""
+    import numpy as np
+
+    from cstpu.models.basis_pursuit import (_auto_stepsize,
+                                            _pareto_secant_loop)
+
+    n, m = A.shape
+    dt = A.dtype
+    n_shards = mesh.shape[atoms_axis]
+    if m % n_shards:
+        raise ValueError(f"m = {m} not divisible by atom shards {n_shards}")
+    b = jnp.asarray(b, dt)
+    delta = float(delta)
+    if w is None:
+        w = jnp.ones((m,), dt)
+    w = jnp.asarray(w, dt)
+    nb = float(jnp.linalg.norm(b))
+
+    def _with_info(x, info):
+        return (x, info) if return_info else x
+
+    if nb <= delta:
+        return _with_info(jnp.zeros((m,), dt),
+                          {"feasible": True, "rho": nb,
+                           "lam": float("inf"), "outers": 0})
+    corr = np.asarray(jnp.abs(b @ A), np.float64) / np.maximum(
+        np.asarray(w, np.float64), 1e-300)
+    corr = corr[np.isfinite(corr)]
+    lam_max = 2.0 * (float(np.max(corr)) if corr.size else 0.0)
+    if lam_max <= 0.0:
+        return _with_info(jnp.full((m,), jnp.nan, dt),
+                          {"feasible": False, "rho": nb, "lam": 0.0,
+                           "outers": 0})
+    step = jnp.asarray(float(_auto_stepsize(A)), dt)
+    rtol = jnp.asarray(1e-12 if dt == jnp.float64 else 1e-7, dt)
+    fn = _fista_conv_jit_sharded(mesh, atoms_axis, int(inner),
+                                 str(matmul_precision))
+
+    def solve(lam, x):
+        return fn(A, b, w, jnp.asarray(lam, dt), x, step, rtol)
+
+    def rho_of(x):
+        return float(jnp.linalg.norm(b - A @ x))
+
+    x, info = _pareto_secant_loop(A, b, solve, rho_of,
+                                  jnp.zeros((m,), dt), nb, lam_max,
+                                  delta, band, int(maxiter_outer))
+    return _with_info(x, info)

@@ -187,3 +187,50 @@ def test_lasso_kkt_twin_atom_degenerate_path():
     An, yn = np.asarray(A, np.float64), np.asarray(b, np.float64)
     xs = lasso_homotopy(An, yn, lam)
     assert _lasso_kkt_gap(An, yn, xs, lam, np.ones(128)) < 1e-10
+
+
+def _fuzz_bpd_draw(trial):
+    """Replays benchmarks/fuzz.py's _problem + delta draw for a trial."""
+    import jax
+    import jax.numpy as jnp
+
+    from cstpu import correlated_data, perturb, sparse_data
+
+    rng = np.random.default_rng(trial)
+    shapes = [(32, 128), (64, 128), (64, 256), (32, 48)]
+    n, m = shapes[rng.integers(len(shapes))]
+    k = int(rng.integers(1, 7))
+    correlated = bool(rng.integers(2))
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+    if correlated:
+        A, x, b = correlated_data(key, n=n, m=m, k=k, decay=1.0,
+                                  dtype=jnp.float32)
+    else:
+        A, x, b = sparse_data(key, n=n, m=m, k=k, dtype=jnp.float32)
+    if rng.integers(2):
+        b = perturb(jax.random.PRNGKey(trial + 10**6), b, 5e-3)
+    delta = float(10 ** rng.uniform(-2.3, -1.5))
+    return np.asarray(A, np.float64), np.asarray(b, np.float64), delta
+
+
+def test_bpd_terminal_polish_corrupted_lambda():
+    # fuzz trials 165 + 251 (r5): a twin-atom stale sign corrupts the
+    # walker's terminal lambda, so the plain KKT repair lands OFF the
+    # ball (165: 1.0001x outside; 251: 0.847x inside with the "exact"
+    # objective ABOVE a feasible first-order solve). The terminal
+    # lambda-secant polish must restore the exact delta crossing AND
+    # path optimality.
+    from cstpu.native import bpd_homotopy
+
+    for trial in (165, 251):
+        A64, y64, delta = _fuzz_bpd_draw(trial)
+        xh, lam = bpd_homotopy(A64, y64, delta)
+        rho = float(np.linalg.norm(A64 @ xh - y64))
+        assert abs(rho - delta) <= 1e-9 * delta + 1e-12, (trial, rho)
+        assert lam > 0
+        # KKT at the returned lambda: the point is the exact LASSO
+        # solution there (stationarity to rounding)
+        c = A64.T @ (y64 - A64 @ xh)
+        on = xh != 0
+        assert np.max(np.abs(c[on] - lam * np.sign(xh[on]))) <= 1e-7 * lam
+        assert np.max(np.abs(c[~on])) <= lam * (1 + 1e-7)

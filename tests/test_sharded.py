@@ -189,7 +189,10 @@ def test_bpd_sharded_matches_single_device(mesh):
     A, x, b, _ = _problem(79, n=32, m=48)
     delta = 1e-2
     y = perturb(jax.random.PRNGKey(790), b, delta / 2)
-    ref = np.asarray(bpd(A, y, delta))
+    # the sharded body is the ADMM splitting: compare against the
+    # single-chip ADMM path explicitly (the default bpd is the secant
+    # Pareto solver since r5 — a different algorithm, same problem)
+    ref = np.asarray(bpd(A, y, delta, method="admm", on_infeasible="raw"))
     sol = np.asarray(bpd_sharded(A, y, delta, mesh=mesh)[0])
     # same ADMM fixed point (collective split changes only rounding)
     np.testing.assert_allclose(sol, ref, atol=1e-6)
@@ -197,6 +200,31 @@ def test_bpd_sharded_matches_single_device(mesh):
     # the l2-ball constraint must actually hold (boundary to rounding)
     feas = np.linalg.norm(np.asarray(A) @ sol - np.asarray(y))
     assert feas <= delta * (1 + 1e-5)
+
+
+def test_bpd_secant_sharded_certified_feasible(mesh):
+    # the sharded Pareto-secant BPD: certified inside the ball, support
+    # matches the planted draw, and agrees with the single-chip secant
+    # to solver tolerance (collective reduction order differs)
+    from cstpu import bpd, perturb, support
+    from cstpu.parallel.convex import bpd_secant_sharded
+    A, x, b, _ = _problem(84, n=32, m=48)
+    delta = 1e-2
+    y = perturb(jax.random.PRNGKey(840), b, delta / 2)
+    sol, info = bpd_secant_sharded(A, y, delta, mesh=mesh,
+                                   return_info=True)
+    sol = np.asarray(sol)
+    assert info["feasible"]
+    feas = np.linalg.norm(np.asarray(A) @ sol - np.asarray(y))
+    assert feas <= delta * (1 + 1e-6)
+    assert list(np.flatnonzero(np.abs(sol) > 1e-2)) == list(support(x))
+    ref = np.asarray(bpd(A, y, delta))
+    assert abs(np.abs(sol).sum() - np.abs(ref).sum()) \
+        <= 0.02 * np.abs(ref).sum() + 1e-4
+    # trivial draw: delta >= ||b|| -> exact zero, feasible
+    z, zinfo = bpd_secant_sharded(A, y, float(np.linalg.norm(y)) * 2,
+                                  mesh=mesh, return_info=True)
+    assert zinfo["feasible"] and float(np.abs(np.asarray(z)).max()) == 0.0
 
 
 def test_bpd_sharded_warm_restart_continues(mesh):
