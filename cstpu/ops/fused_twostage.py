@@ -264,7 +264,7 @@ def _outer_while(eng, maxiter: int, body_inner):
 # Subspace Pursuit (parity src/twostage.jl:42-107)
 # ---------------------------------------------------------------------------
 
-def _sp_kernel(k: int, maxiter: int, delta2: float,
+def _sp_kernel(k: int, maxiter: int, delta2: float, ablate: str,
                A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
                iters_ref, cols, GU, W, S, Ginv11, Atbs, coefs,
                ucoef, idxs, r, i_scr, acol_scr):
@@ -407,6 +407,8 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
             return (jnp.where(have, smax, NEG),
                     jnp.where(have, i, INT_MAX))
 
+        if "noacq" in ablate:  # phase-ablation timing variant only
+            return
         lax.fori_loop(0, k, sel,
                       (jnp.full((B, 1), jnp.inf, F32),
                        jnp.full((B, 1), -1, jnp.int32)))
@@ -424,6 +426,8 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         per-slot pivot floor: unoccupied slots get +inf (never accepted,
         never 'rejected')."""
         Minv[:, :, :] = jnp.broadcast_to(eyek, (B, k, k))
+        if "noinv" in ablate:  # phase-ablation timing variant only
+            return
         floor = jnp.where(occ > 0, deg * ata, jnp.inf)      # (B, k)
 
         def bstep(j, carry):
@@ -461,6 +465,8 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
     def build_blocks():
         """GU = cols_union @ cols_new' (ONE cache pass), W = Ginv11 G12,
         S = G22 - G12' W — three batched MXU GEMMs on (B,k,*) tiles."""
+        if "noblocks" in ablate:  # phase-ablation timing variant only
+            return
         GU[:, :, :] = dotbf(cols[:, :, :], cols[:, k:K2, :],
                             (((2,), (2,)), ((0,), (0,))))
         W[:, :, :] = dotf32(Ginv11[:, :, :], GU[:, 0:k, :],
@@ -473,6 +479,9 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         x2 solves S x2 = a2 - W'a1 by masked CG (k rounds), then
         x1 = Ginv11 a1 - W x2."""
         av = (idxs[:, :] < m).astype(F32) * Atbs[:, :]
+        if "nocg" in ablate:  # phase-ablation timing variant only
+            ucoef[:, :] = av
+            return
         a1 = half(av, E1)
         a2 = half(av, E2)
         wta1 = jnp.sum(W[:, :, :] * a1[:, :, None], axis=1)
@@ -534,6 +543,8 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         permutation GEMM over the column cache (+ small sweeps for idxs/
         Atbs); the inverse is NOT permuted — it is rebuilt fresh.
         Idempotent on already-compacted (incl. done) rows."""
+        if "nocompact" in ablate:  # phase-ablation timing variant only
+            return
         # EVERY permutation application rides a batched MXU GEMM: the
         # rank (stable destination slot) from a constant strictly-lower-
         # triangular GEMM, idxs/Atbs/row-sums through one (B,K2,128)
@@ -584,6 +595,8 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         """Fresh (B,k,k) Gram + bordered inversion of the compacted kept
         block (the reference refactorizes every iteration too,
         src/twostage.jl:104-107), then the final refit + residual."""
+        if "norebuild" in ablate:  # phase-ablation timing variant only
+            return
         S[:, :, :] = dotbf(cols[:, 0:k, :], cols[:, 0:k, :],
                            (((2,), (2,)), ((0,), (0,))))
         ata1 = jnp.sum(S[:, :, :] * eyek, axis=2)
@@ -643,6 +656,8 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
         stable = 1.0 - jnp.max(jnp.abs(keep - active_pre * firsthalf),
                                axis=1, keepdims=True)       # (B, 1)
         all_stable = jnp.min(stable) > 0.5
+        if "force" in ablate:  # ablation timing: never skip the rebuild
+            all_stable = jnp.bool_(False)
 
         @pl.when(jnp.logical_not(all_stable))
         def _():
@@ -687,6 +702,8 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
 
     def wcond(carry):
         t, prev, done = carry
+        if "force" in ablate:  # ablation timing: fixed outer count
+            return t < maxiter
         return (t < maxiter) & (jnp.min(done) < 0.5)
 
     t, _, _ = lax.while_loop(wcond, wbody,
@@ -699,9 +716,9 @@ def _sp_kernel(k: int, maxiter: int, delta2: float,
 
 
 @partial(jax.jit, static_argnames=("k", "maxiter", "delta2", "corr_dtype",
-                                   "interpret"))
+                                   "interpret", "ablate"))
 def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,
-                   interpret: bool = False):
+                   interpret: bool = False, ablate: str = ""):
     n, m = A.shape
     B = Bs.shape[0]
     Ac = A.astype(corr_dtype)
@@ -709,7 +726,7 @@ def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,
     K2 = 2 * k
 
     return pl.pallas_call(
-        partial(_sp_kernel, k, maxiter, delta2),
+        partial(_sp_kernel, k, maxiter, delta2, ablate),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_shape=[
@@ -741,7 +758,8 @@ def _sp_fused_call(A, Bs, k: int, maxiter: int, delta2: float, corr_dtype,
 
 def sp_fused_solve(A, Bs, k: int, delta: float = 1e-12,
                    maxiter: int | None = None, corr_dtype=jnp.bfloat16,
-                   interpret: bool = False, return_iters: bool = False):
+                   interpret: bool = False, return_iters: bool = False,
+                   ablate: str = ""):
     """Batched subspace pursuit via the whole-solve fused kernel.
 
     Parity: src/twostage.jl:42-107, including the 16k maxiter default —
@@ -763,7 +781,7 @@ def sp_fused_solve(A, Bs, k: int, delta: float = 1e-12,
     maxiter = int(maxiter if maxiter is not None else 16 * k)
     idx, coef, r, iters = _sp_fused_call(jnp.asarray(A), jnp.asarray(Bs),
                                          k, maxiter, float(delta) ** 2,
-                                         corr_dtype, interpret)
+                                         corr_dtype, interpret, ablate)
     sol = _to_solution(idx, coef, m)
     if return_iters:
         return sol, r, iters[0, 0]
