@@ -1,31 +1,47 @@
 """On-chip per-phase ablation of the fused SP kernel (config 2b shape).
 
 Compiles one kernel variant per disabled phase (static `ablate` string)
-and times each at a FORCED outer-iteration count so every variant does
-identical round structure — the per-phase cost is the delta vs the full
-"force" baseline. Recovery is meaningless for ablated variants (the math
-is intentionally skipped); this is a timing instrument only, built to
-answer VERDICT r4 item 2: does the rebuild inversion or the selection
-floor bind the remaining SP gap to the 4M atom-sel/s target?
+and times each with the CHAINED two-point protocol (reps ride a fori_loop
+inside one jit; per-call dispatch on the tunnel is ~40-80 ms and would
+otherwise swamp sub-ms solves — the first version of this script learned
+that the hard way). All variants run a FORCED outer-iteration count so
+every variant does identical round structure — the per-phase cost is the
+delta vs the full "force" baseline. Recovery is meaningless for ablated
+variants (the math is intentionally skipped); this is a timing instrument
+only, built to answer VERDICT r4 item 2: does the rebuild inversion or
+the selection floor bind the remaining SP gap to 4M atom-sel/s?
 
 Run: JAX_PLATFORMS=axon PYTHONPATH=/root/repo:/root/.axon_site \
        python benchmarks/sp_ablation.py [outers]
 """
 
 import sys
-import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def main():
     outers = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    from benchmarks.suite import _planted
+    from benchmarks.suite import _planted, _timers
     from cstpu.ops.fused_twostage import sp_fused_solve
 
     B, n, m, k = 64, 1024, 8192, 32
     A, X, Bs, sup = _planted(jax.random.PRNGKey(2), B, n, m, k)
+    per_rep = _timers()
+
+    def chain_for(ab):
+        @partial(jax.jit, static_argnames=("reps",))
+        def chain(Bs_, reps: int):
+            def body(i, acc):
+                sol, r = sp_fused_solve(
+                    A, Bs_ * (1.0 + i.astype(jnp.float32) * 1e-7), k,
+                    maxiter=outers, ablate=ab)
+                return acc + jnp.sum(r) + jnp.sum(sol.val)
+            return lax.fori_loop(0, reps, body, jnp.float32(0))
+        return chain
 
     variants = [
         ("force", "full pipeline (baseline)"),
@@ -40,32 +56,13 @@ def main():
     ]
     results = {}
     for ab, desc in variants:
-        t_c0 = time.perf_counter()
-        sol, r = sp_fused_solve(A, Bs, k, maxiter=outers, ablate=ab)
-        jax.block_until_ready(r)
-        compile_s = time.perf_counter() - t_c0
-        # two-point chained protocol: per-call dispatch overhead on the
-        # tunnel is ~40-80 ms, so time N chained solves via input nudge
-        reps = 8
-        t0 = time.perf_counter()
-        cur = Bs
-        for _ in range(reps):
-            cur = cur * (1.0 + 1e-7)
-            sol, r = sp_fused_solve(A, cur, k, maxiter=outers, ablate=ab)
-        jax.block_until_ready(r)
-        t1 = time.perf_counter()
-        reps2 = 24
-        cur = Bs
-        t2 = time.perf_counter()
-        for _ in range(reps2):
-            cur = cur * (1.0 + 1e-7)
-            sol, r = sp_fused_solve(A, cur, k, maxiter=outers, ablate=ab)
-        jax.block_until_ready(r)
-        t3 = time.perf_counter()
-        ms = ((t3 - t2) - (t1 - t0)) / (reps2 - reps) * 1e3
+        try:
+            ms = per_rep(chain_for(ab), Bs, 1, 5) * 1e3
+        except RuntimeError as e:
+            print(f"{ab:55s} INVALID ({e})", flush=True)
+            continue
         results[ab] = ms
-        print(f"{ab:55s} {ms:8.3f} ms/solve   (compile {compile_s:.0f}s)"
-              f"  # {desc}", flush=True)
+        print(f"{ab:55s} {ms:8.3f} ms/solve   # {desc}", flush=True)
     base = results.get("force")
     if base:
         print("\nphase cost (baseline - ablated):")

@@ -124,7 +124,8 @@ def _extract_cols(AT_ref, i_scr, acol_scr, B: int):
             keepdims=True)
 
 
-def _solve_kernel(k: int, A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
+def _solve_kernel(k: int, sort_in_kernel: bool,
+                  A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
                   cols, Ginv, coefs, idxs, r, i_scr, acol_scr):
     # NOTE on the append-engine duplication across this file's kernels:
     # fused_twostage._Engine.append implements the same bordered
@@ -201,13 +202,42 @@ def _solve_kernel(k: int, A_ref, AT_ref, Bs_ref, idx_ref, coef_ref, r_ref,
 
     lax.fori_loop(0, k, step, 0)
 
-    idx_ref[:, :] = idxs[:, :]
-    coef_ref[:, :] = coefs[:, :]
+    # --- epilogue: emit the solution SORTED by atom index ----------------
+    # The rank-permutation sort (identical picks to _to_solution's XLA
+    # form) runs in-kernel so nothing but a mask/where runs after the
+    # pallas_call: one timing boundary for bench.py and the bare-kernel
+    # sweep (VERDICT r4 weak-5). Pads carry idx == m and sort last,
+    # stable by slot. The permutation GEMMs run at HIGHEST precision:
+    # the one-hot factor is 0/1 (bf16-exact) but idx/coef are true f32
+    # payloads a DEFAULT one-pass bf16 product would round (the SP
+    # kernel's hardware lesson; a (B,k,k) HIGHEST GEMM is VPU noise).
+    if sort_in_kernel:
+        ki = idxs[:, :][:, :, None]                   # (B, k, 1)
+        kj = idxs[:, :][:, None, :]                   # (B, 1, k)
+        pi = lax.broadcasted_iota(jnp.int32, (B, k, k), 1)
+        pj = lax.broadcasted_iota(jnp.int32, (B, k, k), 2)
+        less = (kj < ki) | ((kj == ki) & (pj < pi))
+        rank = jnp.sum(less.astype(f32), axis=2)      # (B, k) exact ints
+        dest = lax.broadcasted_iota(jnp.int32, (B, k, k), 1).astype(f32)
+        P = (rank[:, None, :] == dest).astype(f32)    # (B, dest, src)
+        lane = lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+        X = jnp.where(lane == 0, idxs[:, :].astype(f32)[:, :, None],
+                      jnp.where(lane == 1, coefs[:, :][:, :, None], 0.0))
+        Y = lax.dot_general(P, X, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=f32,
+                            precision=lax.Precision.HIGHEST)
+        idx_ref[:, :] = jnp.sum(Y * (lane == 0), axis=2).astype(jnp.int32)
+        coef_ref[:, :] = jnp.sum(Y * (lane == 1), axis=2)
+    else:
+        idx_ref[:, :] = idxs[:, :]
+        coef_ref[:, :] = coefs[:, :]
     r_ref[:, :] = r[:, :]
 
 
-@partial(jax.jit, static_argnames=("k", "corr_dtype", "interpret"))
-def _omp_fused_call(A, Bs, k: int, corr_dtype, interpret: bool = False):
+@partial(jax.jit, static_argnames=("k", "corr_dtype", "interpret",
+                                   "sort_in_kernel"))
+def _omp_fused_call(A, Bs, k: int, corr_dtype, interpret: bool = False,
+                    sort_in_kernel: bool = True):
     n, m = A.shape
     B = Bs.shape[0]
     f32 = jnp.float32
@@ -216,7 +246,7 @@ def _omp_fused_call(A, Bs, k: int, corr_dtype, interpret: bool = False):
     Bs = Bs.astype(f32)
 
     idx, coef, r = pl.pallas_call(
-        partial(_solve_kernel, k),
+        partial(_solve_kernel, k, sort_in_kernel),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # A (n, m)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # A^T (m, n)
@@ -255,18 +285,29 @@ def _omp_fused_call(A, Bs, k: int, corr_dtype, interpret: bool = False):
 
 
 def omp_fused_solve(A, Bs, k: int, corr_dtype=jnp.bfloat16,
-                    interpret: bool = False):
+                    interpret: bool = False, sort_in_kernel: bool = True):
     """Batched OMP via the whole-solve fused kernel.
 
     A: (n, m) dictionary; Bs: (B, n) measurement batch; fixed k steps
     (stalled instances no-op, mirroring src/matchingpursuit.jl:66).
     Returns a batched SparseSolution plus the final residuals (B, n).
+    `sort_in_kernel=False` keeps the sort in the XLA `_to_solution`
+    stage (the pre-r5 boundary) — retained for on-chip A/Bs.
     """
     n, m = A.shape
     k = int(min(k, n, m))
     idx, coef, r = _omp_fused_call(jnp.asarray(A), jnp.asarray(Bs), k,
-                                   corr_dtype, interpret)
-    return _to_solution(idx, coef, m), r
+                                   corr_dtype, interpret, sort_in_kernel)
+    if not sort_in_kernel:
+        return _to_solution(idx, coef, m), r
+    # the kernel epilogue already emitted the index-sorted solution;
+    # only the mask/where pack remains outside (one timing boundary)
+    from cstpu.utils.sparse import SparseSolution
+
+    mask = idx < m
+    return SparseSolution(idx=jnp.where(mask, idx, m),
+                          val=jnp.where(mask, coef, 0.0),
+                          mask=mask, m=int(m)), r
 
 
 def supported(A, Bs, k: int, corr_dtype=jnp.bfloat16) -> bool:

@@ -294,10 +294,11 @@ def _apply_action(A_local, alpha, S, Q, Cinv, gsel, gamma_change,
 
 def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
                      maxiter_acq: int, maxiter_del: int, min_increase,
-                     m: int, axis: str):
+                     m: int, axis: str, refresh_actions: int = 32):
     """Batched RMPS with atom-sharded (alpha, S, Q). Parity:
-    cstpu.models.sbl._rmps_optimize (incl. the per-outer-iteration
-    exact refresh)."""
+    cstpu.models.sbl._rmps_optimize — with the exact S/Q/C^-1 refresh
+    on a drift-budget trigger (every `refresh_actions` rank-one
+    actions) instead of every outer iteration (r5; see `outer`)."""
     B, n = Bs_local.shape
     m_local = A_local.shape[1]
     shard = lax.axis_index(axis).astype(jnp.int32)
@@ -381,9 +382,14 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
             _, _, _, _, j, stop = c
             return (j < maxiter_s) & ~jnp.all(stop)
 
-        alpha, S, Q, Cinv, _, _ = lax.while_loop(
+        alpha, S, Q, Cinv, j, _ = lax.while_loop(
             cnd, body, (alpha, S, Q, Cinv, jnp.int32(0), ~enabled))
-        return alpha, S, Q, Cinv
+        # j upper-bounds the rank-one actions applied this stage (the
+        # loop exits within one iteration of the last action) — the
+        # drift-budget currency for the refresh trigger below. Uniform
+        # across the atom axis (stop is pmin/pmax-reduced), so the
+        # refresh cond stays collective-consistent.
+        return alpha, S, Q, Cinv, j
 
     def alpha_eq(a, b_):
         eq = jnp.all((a == b_) | (jnp.isinf(a) & jnp.isinf(b_)), axis=1)
@@ -397,16 +403,34 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         return lax.pmax(jnp.max(val, axis=1), axis) > 0
 
     alpha0 = jnp.full((B, m_local), jnp.inf, f)
+    S0 = jnp.zeros((B, m_local), f)
+    Cinv0 = jnp.zeros((B, n, n), f)
 
     def outer(carry):
-        alpha, old, t, done = carry
-        S, Q, Cinv = _sq_refresh(A_local, Bs_local, alpha, sigma2, axis)
-        alpha, S, Q, Cinv = run_stage(acquisition, maxiter_acq,
-                                      alpha, S, Q, Cinv, ~done)
+        alpha, old, S, Q, Cinv, acts, t, done = carry
+        # refresh S/Q/C^-1 exactly from alpha only when the unrefreshed
+        # rank-one action chain has grown past the drift budget (or at
+        # init). The per-OUTER exact refresh was this body's entire cost
+        # gap vs FSBL at 1M atoms (r4: 3.17 vs 0.85 s/8-batch) — and the
+        # refresh is a no-op in exact arithmetic (S/Q/C^-1 are pure
+        # functions of alpha; the reference NEVER refreshes,
+        # src/sbl.jl:381-406), so the trigger only bounds f32 drift: the
+        # budget matches the ~k-action unrefreshed chain the first
+        # acquisition stage has always run. `need` is uniform across the
+        # atom axis, so the conditional _sq_refresh psum is
+        # collective-consistent.
+        need = (t == 0) | (acts >= refresh_actions)
+        S, Q, Cinv = lax.cond(
+            need,
+            lambda: _sq_refresh(A_local, Bs_local, alpha, sigma2, axis),
+            lambda: (S, Q, Cinv))
+        acts = jnp.where(need, 0, acts)
+        alpha, S, Q, Cinv, j1 = run_stage(acquisition, maxiter_acq,
+                                          alpha, S, Q, Cinv, ~done)
         done1 = done | alpha_eq(alpha, old)
         old1 = alpha
-        alpha, S, Q, Cinv = run_stage(deletion_update, maxiter_del,
-                                      alpha, S, Q, Cinv, ~done1)
+        alpha, S, Q, Cinv, j2 = run_stage(deletion_update, maxiter_del,
+                                          alpha, S, Q, Cinv, ~done1)
         # a capped acquisition stage with beneficial adds still pending has
         # not converged even if deletion changed nothing (the re-estimate
         # gain right after an optimal add is exactly zero in exact
@@ -414,15 +438,14 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         # models/sbl.py _rmps_optimize)
         done2 = done1 | (alpha_eq(alpha, old1)
                          & ~has_beneficial_add(alpha, S, Q))
-        return alpha, alpha, t + 1, done2
+        return alpha, alpha, S, Q, Cinv, acts + j1 + j2, t + 1, done2
 
     def outer_cond(carry):
-        alpha, old, t, done = carry
-        return (t < maxiter) & ~jnp.all(done)
+        return (carry[6] < maxiter) & ~jnp.all(carry[7])
 
-    alpha, _, _, _ = lax.while_loop(
-        outer_cond, outer, (alpha0, alpha0, jnp.int32(0),
-                            jnp.zeros((B,), bool)))
+    alpha, _, _, _, _, _, _, _ = lax.while_loop(
+        outer_cond, outer, (alpha0, alpha0, S0, S0, Cinv0, jnp.int32(0),
+                            jnp.int32(0), jnp.zeros((B,), bool)))
 
     # exact posterior mean (refresh anchor, as in fsbl_sharded)
     return _posterior_mean_local(A_local, Bs_local, alpha, sigma2, axis)
@@ -432,13 +455,21 @@ def rmps_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
                  maxiter_acquisition: int | None = None,
                  maxiter_deletion: int | None = None,
                  min_increase: float = 1e-6, atoms_axis: str = "atoms",
-                 batch_axis: str = "batch"):
+                 batch_axis: str = "batch",
+                 refresh_actions: int = 32):
     """Batched RMPS with the dictionary and per-atom state column-sharded.
 
     Returns the dense posterior-mean weights (B, m), sharded over
     ('batch', 'atoms'). Semantics of vmap(cstpu.rmps); `sigma` is a
     scalar noise variance or a full (n, n) covariance (replicated, as
     in fsbl_sharded).
+
+    `refresh_actions`: exact-refresh drift budget — S/Q/C^-1 are rebuilt
+    from alpha once the unrefreshed rank-one chain exceeds this many
+    actions (the refresh is an exact-arithmetic no-op; the budget bounds
+    f32 drift to the same order as the first acquisition burst, while
+    cutting the 1M-atom refresh tax that made RMPS 3.7x FSBL in r4).
+    The final posterior mean is ALWAYS rebuilt exactly from alpha.
     """
     n, m = A.shape
     _check_sigma(sigma, n, "rmps_sharded")
@@ -453,7 +484,7 @@ def rmps_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
         raise ValueError(f"B = {Bs.shape[0]} not divisible by batch "
                          f"shards {b_shards}")
     fn = _rmps_sharded_jit(mesh, atoms_axis, batch_axis, maxiter, macq,
-                           mdel, m, A.dtype.name)
+                           mdel, m, A.dtype.name, int(refresh_actions))
     return fn(A, Bs, jnp.asarray(sigma, A.dtype),
               jnp.asarray(min_increase, A.dtype))
 
@@ -461,11 +492,11 @@ def rmps_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
 @lru_cache(maxsize=64)
 def _rmps_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
                       maxiter: int, macq: int, mdel: int, m: int,
-                      dtype_name: str):
+                      dtype_name: str, refresh_actions: int = 32):
     @_f32_matmuls
     def shard_fn(A_local, Bs_local, s2, mi):
         return _rmps_shard_body(A_local, Bs_local, s2, maxiter, macq, mdel,
-                                mi, m, atoms_axis)
+                                mi, m, atoms_axis, refresh_actions)
 
     return jax.jit(jax.shard_map(
         shard_fn, mesh=mesh,
