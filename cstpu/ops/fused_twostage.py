@@ -497,8 +497,22 @@ def _sp_kernel(k: int, maxiter: int, delta2: float, ablate: str,
             jnp.sum(S[:, :, :] * eyek, axis=2),
             axis=1, keepdims=True)                          # (B, 1)
 
-        def cgstep(_, c):
-            x2_, r_, p_, rs_ = c
+        rs0 = jnp.sum(v * v, axis=1, keepdims=True)
+        # early exit at the f32 noise floor: in exact arithmetic CG
+        # terminates within rank(S_alive) iterations with residual 0, so
+        # stopping once every instance's residual is below (8 eps)^2 of
+        # its start changes nothing the arithmetic can resolve — while
+        # the fixed k-trip loop was ~0.14 ms of EVERY round (r5 on-chip
+        # ablation) even when the system is well-conditioned and CG is
+        # done in a third of the trips.
+        thr = (8.0 * 1.1920929e-07) ** 2 * rs0              # (B, 1)
+
+        def cgcond(c):
+            _, _, _, rs_, j = c
+            return (j < k) & (jnp.max(rs_ - thr) > 0)
+
+        def cgstep(c):
+            x2_, r_, p_, rs_, j = c
             Sp = alive2 * (jnp.sum(S[:, :, :] * p_[:, None, :], axis=2)
                            + lift * p_)
             al = rs_ / jnp.maximum(
@@ -507,12 +521,11 @@ def _sp_kernel(k: int, maxiter: int, delta2: float, ablate: str,
             rn = r_ - al * Sp
             rsn = jnp.sum(rn * rn, axis=1, keepdims=True)
             beta = rsn / jnp.maximum(rs_, 1e-30)
-            return x2n, rn, rn + beta * p_, rsn
+            return x2n, rn, rn + beta * p_, rsn, j + 1
 
-        x2, _, _, _ = lax.fori_loop(
-            0, k, cgstep,
-            (jnp.zeros((B, k), F32), v, v,
-             jnp.sum(v * v, axis=1, keepdims=True)))
+        x2, _, _, _, _ = lax.while_loop(
+            cgcond, cgstep,
+            (jnp.zeros((B, k), F32), v, v, rs0, jnp.int32(0)))
         x2 = alive2 * x2
         wx2 = jnp.sum(W[:, :, :] * x2[:, None, :], axis=2)
         x1 = jnp.sum(Ginv11[:, :, :] * a1[:, None, :], axis=2) - wx2
@@ -538,22 +551,14 @@ def _sp_kernel(k: int, maxiter: int, delta2: float, ablate: str,
                                 (cscore, jnp.zeros((B, K2), F32)))
         return keep
 
-    def compact(keep):
-        """Pack the kept atoms into slots 0..k-1 with one batched
-        permutation GEMM over the column cache (+ small sweeps for idxs/
-        Atbs); the inverse is NOT permuted — it is rebuilt fresh.
-        Idempotent on already-compacted (incl. done) rows."""
-        if "nocompact" in ablate:  # phase-ablation timing variant only
-            return
-        # EVERY permutation application rides a batched MXU GEMM: the
-        # rank (stable destination slot) from a constant strictly-lower-
-        # triangular GEMM, idxs/Atbs/row-sums through one (B,K2,128)
-        # payload GEMM against the same P as the column cache. The
-        # obvious elementwise forms — rank via a (B,K2,K2) masked
-        # triangular reduce, new_idx via sum(P * idxs[:,None,:]) — send
-        # the Mosaic register allocator into a 292 MB spill blowup
-        # (bisected via local chipless AOT compiles, r4); the
-        # identically-shaped dot_generals compile in seconds.
+    def make_perm(keep):
+        """Stable compaction permutation: P1[b, dest, src] one-hot over
+        dest slots 0..k-1 (kept count <= k). The rank (stable
+        destination slot) rides a constant strictly-lower-triangular
+        GEMM — the elementwise (B,K2,K2) forms send the Mosaic register
+        allocator into a 292 MB spill blowup (bisected via local
+        chipless AOT compiles, r4); the identically-shaped dot_generals
+        compile in seconds."""
         li = lax.broadcasted_iota(jnp.int32, (K2, K2), 0)
         lj = lax.broadcasted_iota(jnp.int32, (K2, K2), 1)
         LT = (li < lj).astype(F32)                  # LT[t, s] = t < s
@@ -562,11 +567,16 @@ def _sp_kernel(k: int, maxiter: int, delta2: float, ablate: str,
         sp_f = slot2.astype(F32)
         P = ((rank[:, None, :] == sp_f[0][None, :, None])
              & (keep[:, None, :] > 0)).astype(F32)          # (B, s', s)
-        # kept count <= k, so P's rows k..2k-1 are identically zero:
-        # compute only the top-k half of both permutation GEMMs (saves
-        # half of the kernel's single biggest HIGHEST-precision GEMM)
-        # and zero-fill the second half with static sublane stores.
-        P1 = P[:, 0:k, :]                           # (B, k, K2)
+        return P[:, 0:k, :]                         # (B, k, K2)
+
+    def compact(P1):
+        """Pack the kept atoms into slots 0..k-1 with one batched
+        permutation GEMM over the column cache (+ small sweeps for idxs/
+        Atbs); the inverse is NOT permuted here — the caller either
+        rebuilds it fresh or maintains it incrementally (r5).
+        Idempotent on already-compacted (incl. done) rows."""
+        if "nocompact" in ablate:  # phase-ablation timing variant only
+            return
         cols[:, 0:k, :] = dotbf(P1, cols[:, :, :],
                                 (((2,), (1,)), ((0,), (0,))))
         cols[:, k:K2, :] = jnp.zeros((B, k, n), F32)
@@ -591,6 +601,15 @@ def _sp_kernel(k: int, maxiter: int, delta2: float, ablate: str,
                       ).astype(jnp.int32)
         Atbs[:, :] = unhalve(natb_k, jnp.zeros((B, k), F32))
 
+    def refit_kept():
+        """Final refit + residual off the (maintained or rebuilt)
+        kept-block inverse."""
+        a1 = half((idxs[:, :] < m).astype(F32) * Atbs[:, :], E1)
+        x1 = jnp.sum(Ginv11[:, :, :] * a1[:, None, :], axis=2)
+        coefs[:, :] = unhalve(x1, jnp.zeros((B, k), F32))
+        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
+        r[:, :] = Bs_ref[:, :] - fitted
+
     def rebuild_kept():
         """Fresh (B,k,k) Gram + bordered inversion of the compacted kept
         block (the reference refactorizes every iteration too,
@@ -611,11 +630,102 @@ def _sp_kernel(k: int, maxiter: int, delta2: float, ablate: str,
         # (advisor r4). Surviving occupancy re-read AFTER invert_spd.
         occ_live = half((idxs[:, :] < m).astype(F32), E1)   # (B, k)
         cols[:, 0:k, :] = cols[:, 0:k, :] * occ_live[:, :, None]
-        a1 = half((idxs[:, :] < m).astype(F32) * Atbs[:, :], E1)
-        x1 = jnp.sum(Ginv11[:, :, :] * a1[:, None, :], axis=2)
-        coefs[:, :] = unhalve(x1, jnp.zeros((B, k), F32))
-        fitted = jnp.sum(cols[:, :, :] * coefs[:, :][:, :, None], axis=1)
-        r[:, :] = Bs_ref[:, :] - fitted
+        refit_kept()
+
+    def incremental_update(P1, dropped1, surv, newk_, maxnew):
+        """Maintain Ginv11 across rounds instead of re-inverting
+        (VERDICT r4 item 2: the k-round rebuild inversion was 71% of
+        the forced-iteration solve per the r5 on-chip ablation, while a
+        converged round actually changes 0-3 slots). Three stages, all
+        on (B,k,*) tiles:
+
+          1. Schur DOWNDATES of the atoms the prune dropped (old slot
+             coordinates; drops <= new kept atoms per the prune's
+             top-k rule): Ginv' = Ginv - Ginv[:,j] Ginv[j,:] / Ginv[j,j]
+             with the freed row/col reset to the identity pad.
+          2. PERMUTE to the compacted coordinates: the compaction is
+             stable, so survivors keep their relative order and
+             Ginv_c = P1k Ginv P1k' (two GEMMs; identity pads restored
+             on the vacated diagonal).
+          3. Bordered APPENDS of only the new kept atoms (compacted
+             prefix slots surv..surv+new-1), with invert_spd's EXACT
+             per-atom pivot accept test (d > deg * ||a||^2) against the
+             maintained inverse — the degeneracy contract that lets the
+             full rebuild re-test everything is preserved for every
+             atom ENTERING the support; a rejected append clears its
+             idx AND zeroes its cached column (advisor r4 rule).
+
+        Survivors are not re-tested (they each passed an exact pivot
+        test when they entered, and deletions cannot create
+        degeneracy); the full rebuild_kept path still runs whenever a
+        round replaces more than k/4 slots (incl. the init round), so
+        the maintained chain is short and re-anchored."""
+        # fresh compacted Gram: appends read their S rows from it, and
+        # it doubles as the ||a||^2 diagonal for the pivot floor
+        S[:, :, :] = dotbf(cols[:, 0:k, :], cols[:, 0:k, :],
+                           (((2,), (2,)), ((0,), (0,))))
+        slotk_f = slotk.astype(F32)                   # (1, k)
+        BIGK = jnp.int32(k + 1)
+
+        # -- 1. downdates (old coordinates), one dropped slot per round
+        def ddbody(dmask):
+            p = jnp.min(jnp.where(dmask > 0, slotk, BIGK), axis=1,
+                        keepdims=True)                # (B, 1)
+            es = (slotk == p).astype(F32)             # zero if none left
+            gate = jnp.sum(es * dmask, axis=1, keepdims=True)
+            es = es * dmask                           # only real drops
+            Mj = jnp.sum(Ginv11[:, :, :] * es[:, None, :], axis=2)
+            dj = jnp.sum(Mj * es, axis=1, keepdims=True)
+            dinv = gate / jnp.where(jnp.abs(dj) > 1e-30, dj, 1.0)
+            G2 = Ginv11[:, :, :] - dinv[:, :, None] * Mj[:, :, None] \
+                * Mj[:, None, :]
+            # freed row/col back to the identity pad
+            keep_rc = (1.0 - es)
+            Ginv11[:, :, :] = G2 * keep_rc[:, :, None] * keep_rc[:, None, :] \
+                + eyek * es[:, :, None] * es[:, None, :]
+            return dmask * (1.0 - es)
+
+        lax.while_loop(lambda dm: jnp.max(dm) > 0, ddbody, dropped1)
+
+        # -- 2. permute survivors into the compacted prefix
+        P1k = P1[:, :, 0:k]                           # (B, dest, old src)
+        G1 = dotf32(P1k, Ginv11[:, :, :], (((2,), (1,)), ((0,), (0,))))
+        Gp = dotf32(G1, P1k, (((2,), (2,)), ((0,), (0,))))
+        ns = (slotk_f >= surv).astype(F32)            # vacated slots
+        Ginv11[:, :, :] = Gp + eyek * ns[:, :, None] * ns[:, None, :]
+
+        # -- 3. bordered appends of the new kept atoms, in slot order
+        inmask0 = (slotk_f < surv).astype(F32)        # (B, k) survivors
+
+        def apbody(carry):
+            a, inmask = carry
+            a_f = a.astype(F32)
+            es = ((slotk_f == surv + a_f)
+                  & (a_f < newk_)).astype(F32)        # (B, k)
+            gate = jnp.sum(es, axis=1, keepdims=True)
+            srow = jnp.sum(S[:, :, :] * es[:, None, :], axis=2)
+            sjj = jnp.sum(srow * es, axis=1, keepdims=True)
+            g = srow * inmask
+            u = jnp.sum(Ginv11[:, :, :] * g[:, None, :], axis=2)
+            d = sjj - jnp.sum(g * u, axis=1, keepdims=True)
+            ok = (d > deg * sjj) & (gate > 0)         # exact pivot test
+            okf = ok.astype(F32)
+            et = es * okf
+            dinv = okf / jnp.where(d > 0, d, 1.0)
+            w_ = u - et
+            Ginv11[:, :, :] = Ginv11[:, :, :] \
+                + dinv[:, :, None] * w_[:, :, None] * w_[:, None, :] \
+                - et[:, :, None] * et[:, None, :]
+            # rejected append: clear support entry + zero cached column
+            rej = es * (1.0 - okf) * gate
+            rejfull = unhalve(rej, jnp.zeros((B, k), F32))
+            idxs[:, :] = jnp.where(rejfull > 0.5, m, idxs[:, :])
+            cols[:, 0:k, :] = cols[:, 0:k, :] * (1.0 - rej[:, :, None])
+            return a + 1, inmask + et
+
+        lax.while_loop(lambda c: c[0] < maxnew, apbody,
+                       (jnp.int32(0), inmask0))
+        refit_kept()
 
     def sp_round(sc, gate):
         """One expand-refit-prune round. Returns the per-instance
@@ -661,8 +771,30 @@ def _sp_kernel(k: int, maxiter: int, delta2: float, ablate: str,
 
         @pl.when(jnp.logical_not(all_stable))
         def _():
-            compact(keep)
-            rebuild_kept()
+            P1 = make_perm(keep)
+            # per-instance survivor / new-atom counts BEFORE compaction
+            surv = jnp.sum(keep * active_pre * firsthalf, axis=1,
+                           keepdims=True)                    # (B, 1)
+            newk_ = jnp.sum(keep * (1.0 - firsthalf), axis=1,
+                            keepdims=True)                   # (B, 1)
+            dropped1 = half(active_pre * firsthalf * (1.0 - keep), E1)
+            compact(P1)
+            maxnew = jnp.max(newk_).astype(jnp.int32)
+            # full fresh inversion when the round replaces more than k/4
+            # slots (incl. the init round, where everything is new) —
+            # re-anchors the maintained inverse; otherwise the
+            # incremental path pays O(changes) rounds instead of k
+            use_full = maxnew > (k // 4)
+            if "noincr" in ablate:  # A/B: force the full path
+                use_full = jnp.bool_(True)
+
+            @pl.when(use_full)
+            def _():
+                rebuild_kept()
+
+            @pl.when(jnp.logical_not(use_full))
+            def _():
+                incremental_update(P1, dropped1, surv, newk_, maxnew)
 
         @pl.when(all_stable)
         def _():
