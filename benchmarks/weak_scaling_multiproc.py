@@ -319,10 +319,25 @@ def _sweep() -> int:
     rows = []
     with tempfile.TemporaryDirectory() as td:
         for nproc, k in configs:
-            r = _launch(nproc, td, k=k)
-            if "error" in r:
-                print(json.dumps(r))
-                return 1
+            r = None
+            for attempt in (0, 1):  # gloo on 1 oversubscribed core is
+                try:                # flaky at 16 ranks: one retry
+                    r = _launch(nproc, td, k=k)
+                except RuntimeError as e:
+                    print(json.dumps({"config": [nproc, k],
+                                      "launch_error": str(e),
+                                      "attempt": attempt}))
+                    r = None
+                    continue
+                if "error" not in r:
+                    break
+                print(json.dumps({"config": [nproc, k], **r,
+                                  "attempt": attempt}))
+                r = None
+            if r is None:
+                print(json.dumps({"config": [nproc, k],
+                                  "skipped": "both attempts failed"}))
+                continue
             print(json.dumps(r))
             rows.append(r)
 
