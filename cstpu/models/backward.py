@@ -197,6 +197,21 @@ def _fbr(A, b, k: int, max_eps, max_delta):
 
         st, _, _ = lax.while_loop(cond, body,
                                   (st0, jnp.int32(0), jnp.bool_(False)))
+        # exact final refit on the surviving support: the ~(m - k)
+        # Schur downdates leave ~1e-3 coefficient drift at f32 (fuzz
+        # trial 20099 caught residuals diverging between two equally-
+        # drifted paths on the SAME support), so the RETURNED
+        # coefficients come from a fresh masked normal-equation solve —
+        # the deletion decisions still ride the maintained inverse
+        # exactly as the reference's do (src/backward.jl:187-191); this
+        # is the repo's drift-anchor pattern (SP rebuild, SBL posterior
+        # mean). A failed (NaN) state keeps the drifted values: its
+        # failure flag is the contract there.
+        Gf = st.cols.T @ st.cols + jnp.diag((~st.mask).astype(A.dtype))
+        Lf = jnp.linalg.cholesky(Gf)
+        coef_exact = cho_solve((Lf, True), jnp.where(st.mask, st.Ab, 0.0))
+        coef_exact = jnp.where(st.mask, coef_exact, 0.0)
+        st = st._replace(coef=jnp.where(st.failed, st.coef, coef_exact))
     # FBRState carries exactly the fields finalize reads (idx/mask/coef)
     return aset.finalize(st, m), st.failed
 

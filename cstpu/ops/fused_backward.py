@@ -244,6 +244,30 @@ def _to_solution(coef, alive, m: int):
     )
 
 
+@jax.jit
+def _exact_refit(A, Bs, coef, alive, failed):
+    """Exact LS refit on each instance's surviving support (masked
+    normal equations, one shared Gram + per-instance Cholesky) —
+    discards the deletion chain's f32 coefficient drift from the
+    RETURNED values while the support decisions keep riding the
+    maintained inverse (the reference's own formulation,
+    src/backward.jl:187-191, drift-invisible at its f64). Failed (NaN)
+    instances keep their drifted values; the flag is the contract."""
+    from jax.scipy.linalg import cho_solve
+
+    with jax.default_matmul_precision("float32"):
+        occf = (alive > 0.5).astype(A.dtype)                  # (B, m)
+        G = A.T @ A                                           # (m, m)
+        Gm = (G[None, :, :] * occf[:, :, None] * occf[:, None, :]
+              + jnp.eye(A.shape[1], dtype=A.dtype)[None, :, :]
+              * ((1.0 - occf)[:, :, None] * (1.0 - occf)[:, None, :]))
+        rhs = occf * (Bs @ A)                                 # (B, m)
+        L = jnp.linalg.cholesky(Gm)
+        sol = jax.vmap(lambda Lb, rb: cho_solve((Lb, True), rb))(L, rhs)
+        sol = jnp.where(occf > 0, sol, 0.0)
+        return jnp.where(failed[:, None], coef, sol)
+
+
 def fbr_fused_solve(A, Bs, max_residual: float = math.inf,
                     max_increase: float = math.inf, sparsity: int = 0,
                     interpret: bool = False):
@@ -262,7 +286,9 @@ def fbr_fused_solve(A, Bs, max_residual: float = math.inf,
         jnp.asarray(A), jnp.asarray(Bs), int(sparsity),
         float(max_residual) ** 2, float(max_increase) ** 2,
         False, interpret)
-    return _to_solution(coef, alive, m), failed[:, 0] > 0.5
+    fail = failed[:, 0] > 0.5
+    coef = _exact_refit(jnp.asarray(A), jnp.asarray(Bs), coef, alive, fail)
+    return _to_solution(coef, alive, m), fail
 
 
 def lace_fused_solve(A, Bs, max_residual: float = math.inf,
@@ -286,7 +312,9 @@ def lace_fused_solve(A, Bs, max_residual: float = math.inf,
         jnp.asarray(A), jnp.asarray(Bs), int(sparsity),
         float(max_residual) ** 2, float(max_increase) ** 2,
         True, interpret)
-    return _to_solution(coef, alive, m), failed[:, 0] > 0.5
+    fail = failed[:, 0] > 0.5
+    coef = _exact_refit(jnp.asarray(A), jnp.asarray(Bs), coef, alive, fail)
+    return _to_solution(coef, alive, m), fail
 
 
 def supported_backward(A, Bs) -> bool:

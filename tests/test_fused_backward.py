@@ -119,3 +119,50 @@ def test_fbr_fused_nan_init_sets_failed():
     b = A[:, 0] + A[:, 5]
     _, failed = fbr_fused_solve(A, b[None, :], sparsity=3, interpret=True)
     assert bool(failed[0])
+
+
+def test_fbr_refit_discards_downdate_drift_fuzz20099():
+    # fuzz trial 20099 (r5 broad band): after ~125 f32 Schur downdates
+    # the fused and XLA FBR paths returned the SAME support with
+    # coefficients drifted ~1e-3 in different directions (residuals
+    # diverged up to 2.4x delta-scale). Both paths now end with an
+    # exact masked normal-equation refit, so same support => same
+    # residual to solver rounding. Replays the fuzz draw verbatim.
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import cstpu
+    from cstpu.models import batched
+    from cstpu.ops import fused_backward as fb
+
+    trial = 20099
+    rng = np.random.default_rng(trial)
+    # benchmarks/fuzz.py _problem + check_fused_vs_xla RNG sequence
+    shapes = [(32, 128), (64, 128), (64, 256), (32, 48)]
+    n0, m0 = shapes[rng.integers(len(shapes))]
+    k = int(rng.integers(1, 7))
+    correlated = bool(rng.integers(2))
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+    gen = cstpu.correlated_data if correlated else cstpu.sparse_data
+    kwargs = {"decay": 1.0} if correlated else {}
+    A0, x0, b0 = gen(key, n=n0, m=m0, k=k, dtype=jnp.float32, **kwargs)
+    if rng.integers(2):
+        b0 = cstpu.perturb(jax.random.PRNGKey(trial + 10**6), b0, 5e-3)
+    keys = jax.random.split(jax.random.PRNGKey(int(rng.integers(2**31))), 8)
+    _ = jnp.stack([b0] + [cstpu.perturb(kk, b0, 1e-2) for kk in keys[:7]])
+    key2 = jax.random.PRNGKey(int(rng.integers(2**31)))
+    A, _, b = cstpu.sparse_data(key2, n=128, m=128, k=k, dtype=jnp.float32)
+    keys2 = jax.random.split(jax.random.PRNGKey(int(rng.integers(2**31))), 8)
+    Y = jnp.stack([b] + [cstpu.perturb(kk, b, 1e-2) for kk in keys2[:7]])
+
+    sol, failed = fb.fbr_fused_solve(A, Y, sparsity=k, interpret=True)
+    ref = batched.fbr_batch(A, Y, sparsity=k)
+    assert not bool(np.any(np.asarray(failed)))
+    for i in range(8):
+        row = jax.tree.map(lambda leaf: leaf[i], sol)
+        rrow = jax.tree.map(lambda leaf: leaf[i], ref)
+        rk = float(jnp.linalg.norm(A @ row.todense() - Y[i]))
+        rx = float(jnp.linalg.norm(A @ rrow.todense() - Y[i]))
+        assert rk <= rx * (1 + 1e-3) + 1e-4, (i, rk, rx)
+        assert rx <= rk * (1 + 1e-3) + 1e-4, (i, rk, rx)
