@@ -363,8 +363,11 @@ def config4e():
             dts = []
             for rep in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(
-                    solver(Y * (1.0 + (rep + 1) * 1e-7)))
+                # VALUE-FETCH sync: block_until_ready under-synchronizes
+                # on sharded outputs behind the tunnel (r5 found a
+                # 473 s runaway solve "timed" at 3.2 s this way)
+                float(jnp.sum(jnp.abs(
+                    solver(Y * (1.0 + (rep + 1) * 1e-7)))))
                 dts.append(time.perf_counter() - t0)
             t = min(dts)
             # every action sweeps the f32 shard once (Av = v'A) and the

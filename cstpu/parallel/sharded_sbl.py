@@ -377,19 +377,41 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         stop2 = stop | (~do_del & (upd_gain < min_increase))
         return alpha, S, Q, Cinv, j + 1, stop2
 
-    def run_stage(body, maxiter_s, alpha, S, Q, Cinv, enabled):
-        def cnd(c):
-            _, _, _, _, j, stop = c
-            return (j < maxiter_s) & ~jnp.all(stop)
+    def run_stage(body, maxiter_s, alpha, S, Q, Cinv, enabled, acts):
+        """Drive one coordinate-ascent stage with the drift-budget
+        refresh INSIDE the loop: `acts` counts rank-one actions since
+        the last exact S/Q/C^-1 rebuild, and once it passes
+        refresh_actions the state is re-anchored MID-STAGE before the
+        next action. This is strictly stronger than the r4 per-outer
+        anchor, which let a single acquisition stage chain up to
+        maxiter_acq unrefreshed updates — measured runaway at 1M atoms:
+        drifted S/Q kept the exhaustion test finding phantom beneficial
+        adds and one solve burned 473 s on hundreds of O(m) junk
+        actions (r5 probe; the old bench's under-synced
+        block_until_ready timing hid it). `acts` is uniform across the
+        atom axis (stop is pmin/pmax-reduced), so the conditional
+        refresh psum stays collective-consistent."""
 
-        alpha, S, Q, Cinv, j, _ = lax.while_loop(
-            cnd, body, (alpha, S, Q, Cinv, jnp.int32(0), ~enabled))
-        # j upper-bounds the rank-one actions applied this stage (the
-        # loop exits within one iteration of the last action) — the
-        # drift-budget currency for the refresh trigger below. Uniform
-        # across the atom axis (stop is pmin/pmax-reduced), so the
-        # refresh cond stays collective-consistent.
-        return alpha, S, Q, Cinv, j
+        def cnd(c):
+            return (c[4] < maxiter_s) & ~jnp.all(c[5])
+
+        def stepped(c):
+            alpha_, S_, Q_, Cinv_, j, stop, acts_ = c
+            need = acts_ >= refresh_actions
+            S_, Q_, Cinv_ = lax.cond(
+                need,
+                lambda: _sq_refresh(A_local, Bs_local, alpha_, sigma2,
+                                    axis),
+                lambda: (S_, Q_, Cinv_))
+            acts_ = jnp.where(need, 0, acts_)
+            alpha_, S_, Q_, Cinv_, j, stop = body(
+                (alpha_, S_, Q_, Cinv_, j, stop))
+            return alpha_, S_, Q_, Cinv_, j, stop, acts_ + 1
+
+        alpha, S, Q, Cinv, _, _, acts = lax.while_loop(
+            lambda c: cnd(c), stepped,
+            (alpha, S, Q, Cinv, jnp.int32(0), ~enabled, acts))
+        return alpha, S, Q, Cinv, acts
 
     def alpha_eq(a, b_):
         eq = jnp.all((a == b_) | (jnp.isinf(a) & jnp.isinf(b_)), axis=1)
@@ -408,29 +430,29 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
 
     def outer(carry):
         alpha, old, S, Q, Cinv, acts, t, done = carry
-        # refresh S/Q/C^-1 exactly from alpha only when the unrefreshed
-        # rank-one action chain has grown past the drift budget (or at
-        # init). The per-OUTER exact refresh was this body's entire cost
-        # gap vs FSBL at 1M atoms (r4: 3.17 vs 0.85 s/8-batch) — and the
-        # refresh is a no-op in exact arithmetic (S/Q/C^-1 are pure
-        # functions of alpha; the reference NEVER refreshes,
-        # src/sbl.jl:381-406), so the trigger only bounds f32 drift: the
-        # budget matches the ~k-action unrefreshed chain the first
-        # acquisition stage has always run. `need` is uniform across the
-        # atom axis, so the conditional _sq_refresh psum is
-        # collective-consistent.
-        need = (t == 0) | (acts >= refresh_actions)
+        # exact refresh at init; afterwards the DRIFT-BUDGET refresh
+        # lives inside run_stage (every refresh_actions rank-one
+        # actions, mid-stage when needed) — the refresh is an
+        # exact-arithmetic no-op (S/Q/C^-1 are pure functions of alpha;
+        # the reference NEVER refreshes, src/sbl.jl:381-406), so the
+        # budget only bounds f32 drift, and bounding it per-ACTION
+        # rather than per-outer both removes the refresh tax of
+        # convergent runs and kills the runaway the per-outer anchor
+        # allowed (see run_stage).
+        need = t == 0
         S, Q, Cinv = lax.cond(
             need,
             lambda: _sq_refresh(A_local, Bs_local, alpha, sigma2, axis),
             lambda: (S, Q, Cinv))
         acts = jnp.where(need, 0, acts)
-        alpha, S, Q, Cinv, j1 = run_stage(acquisition, maxiter_acq,
-                                          alpha, S, Q, Cinv, ~done)
+        alpha, S, Q, Cinv, acts = run_stage(acquisition, maxiter_acq,
+                                            alpha, S, Q, Cinv, ~done,
+                                            acts)
         done1 = done | alpha_eq(alpha, old)
         old1 = alpha
-        alpha, S, Q, Cinv, j2 = run_stage(deletion_update, maxiter_del,
-                                          alpha, S, Q, Cinv, ~done1)
+        alpha, S, Q, Cinv, acts = run_stage(deletion_update, maxiter_del,
+                                            alpha, S, Q, Cinv, ~done1,
+                                            acts)
         # a capped acquisition stage with beneficial adds still pending has
         # not converged even if deletion changed nothing (the re-estimate
         # gain right after an optimal add is exactly zero in exact
@@ -438,7 +460,7 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         # models/sbl.py _rmps_optimize)
         done2 = done1 | (alpha_eq(alpha, old1)
                          & ~has_beneficial_add(alpha, S, Q))
-        return alpha, alpha, S, Q, Cinv, acts + j1 + j2, t + 1, done2
+        return alpha, alpha, S, Q, Cinv, acts, t + 1, done2
 
     def outer_cond(carry):
         return (carry[6] < maxiter) & ~jnp.all(carry[7])
