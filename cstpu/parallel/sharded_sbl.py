@@ -294,7 +294,7 @@ def _apply_action(A_local, alpha, S, Q, Cinv, gsel, gamma_change,
 
 def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
                      maxiter_acq: int, maxiter_del: int, min_increase,
-                     m: int, axis: str, refresh_actions: int = 32):
+                     m: int, axis: str, refresh_actions: int = 128):
     """Batched RMPS with atom-sharded (alpha, S, Q). Parity:
     cstpu.models.sbl._rmps_optimize — with the exact S/Q/C^-1 refresh
     on a drift-budget trigger (every `refresh_actions` rank-one
@@ -478,7 +478,7 @@ def rmps_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
                  maxiter_deletion: int | None = None,
                  min_increase: float = 1e-6, atoms_axis: str = "atoms",
                  batch_axis: str = "batch",
-                 refresh_actions: int = 32):
+                 refresh_actions: int = 128):
     """Batched RMPS with the dictionary and per-atom state column-sharded.
 
     Returns the dense posterior-mean weights (B, m), sharded over
@@ -514,7 +514,7 @@ def rmps_sharded(A, Bs, sigma, mesh: Mesh, maxiter: int | None = None,
 @lru_cache(maxsize=64)
 def _rmps_sharded_jit(mesh: Mesh, atoms_axis: str, batch_axis: str,
                       maxiter: int, macq: int, mdel: int, m: int,
-                      dtype_name: str, refresh_actions: int = 32):
+                      dtype_name: str, refresh_actions: int = 128):
     @_f32_matmuls
     def shard_fn(A_local, Bs_local, s2, mi):
         return _rmps_shard_body(A_local, Bs_local, s2, maxiter, macq, mdel,
