@@ -533,7 +533,9 @@ def config5bpd():
             ("bpd_sharded", lambda yy: bpd_sharded(
                 A, yy, delta, mesh=mesh, maxiter=12000)[0]),
             ("bpd_secant_sharded", lambda yy: bpd_secant_sharded(
-                A, yy, delta, mesh=mesh))):
+                A, yy, delta, mesh=mesh)),
+            ("bpd_ard_secant_screened", lambda yy: bpd_ard(
+                A, yy, delta, maxiter=4, method="secant", screen=True))):
         x = fn(y)                          # compile + warm
         jax.block_until_ready(x)
         t0 = time.perf_counter()

@@ -574,7 +574,8 @@ def bpd_reweighting(A, b, delta, reweight, maxiter: int = 8,
     m = A.shape[1]
     n = A.shape[0]
     if screen is None:
-        screen = (method == "admm" and reweight_builder is not None
+        screen = (method in ("admm", "secant")
+                  and reweight_builder is not None
                   and m >= (1 << 16))
     tol = jnp.asarray(1e-8 if A.dtype == jnp.float64 else 1e-5, A.dtype)
     # inner solves run with on_infeasible="raw": a mid-loop iterate that
@@ -611,6 +612,11 @@ def bpd_reweighting(A, b, delta, reweight, maxiter: int = 8,
         return _certify(x)
 
     import numpy as np
+
+    if method == "secant":
+        return _bpd_reweighting_screened_secant(
+            A, b, delta, reweight, reweight_builder, int(maxiter),
+            float(min_decrease), float(screen_margin), _certify)
 
     dlt = jnp.asarray(delta, A.dtype)
     ones = jnp.ones((m,), A.dtype)
@@ -683,6 +689,88 @@ def bpd_reweighting(A, b, delta, reweight, maxiter: int = 8,
     out = np.zeros((m,), np.asarray(x_sub).dtype)
     out[solved_idx] = np.asarray(x_sub)
     return _certify(jnp.asarray(out, A.dtype))
+
+
+def _bpd_reweighting_screened_secant(A, b, delta, reweight,
+                                     reweight_builder, maxiter: int,
+                                     min_decrease: float, margin: float,
+                                     certify):
+    """Secant-screened reweighted BPD (r5).
+
+    The ADMM screen needs the ball dual uy; the secant solver carries a
+    BETTER certificate for free: its terminal LASSO multiplier lam, for
+    which |2 a_j'r| <= lam w_j with equality on the support (exact KKT
+    of the weighted LASSO the Pareto point solves). Screening keeps
+    atoms with margin |2 a_j'r|/lam >= (1 - screen_margin) plus the
+    support, runs the reweighting loop on the kept columns with
+    warm-started secant solves, and re-verifies ALL discarded atoms
+    with one full-m GEMV against the final (lam, w) — any violator is
+    re-admitted and the subproblem re-solved (<= 3 repair rounds, as in
+    the ADMM screen). Final answer goes through the same ball
+    certification as every BPD-family output."""
+    import numpy as np
+
+    n, m = A.shape
+    A64 = np.asarray(A, np.float64)
+    b64 = np.asarray(b, np.float64)
+    x, info = _bpd_secant(A, b, delta)
+    if not info["feasible"]:
+        return jnp.full((m,), jnp.nan, A.dtype)
+    lam_s = max(float(info["lam"]), 1e-300)
+    r = b64 - A64 @ np.asarray(x, np.float64)
+    margins = np.abs(2.0 * (r @ A64)) / lam_s
+    keep = (margins >= (1.0 - margin)) | (np.abs(np.asarray(x)) > 0)
+    kidx = np.flatnonzero(keep)
+    if kidx.size == 0 or kidx.size > max(m // 8, 4 * n):
+        # screen ineffective: plain secant reweighting loop
+        w = jnp.ones((m,), A.dtype)
+        for _ in range(1, maxiter):
+            w = reweight(w, x)
+            x2, info = _bpd_secant(A, b, delta, w)
+            if not info["feasible"]:
+                break
+            if float(jnp.linalg.norm(x2 - x)) < min_decrease:
+                return certify(x2)
+            x = x2
+        return certify(x)
+
+    ktol = 1e-3
+    solved_idx = kidx
+    x_sub = jnp.take(x, jnp.asarray(kidx))
+    for _ in range(3):
+        x_sub = jnp.take(
+            jnp.zeros((m,), A.dtype).at[jnp.asarray(solved_idx)].set(
+                x_sub), jnp.asarray(kidx))
+        solved_idx = kidx
+        A_sub = jnp.take(A, jnp.asarray(kidx), axis=1)
+        sub_rw = reweight_builder(A_sub)
+        w_sub = jnp.ones((kidx.size,), A.dtype)
+        for _o in range(1, maxiter):
+            w_sub = sub_rw(w_sub, x_sub)
+            xs, sinfo = _bpd_secant(A_sub, b, delta, w_sub, x0=x_sub)
+            if not sinfo["feasible"]:
+                break
+            moved = float(jnp.linalg.norm(xs - x_sub))
+            x_sub = xs
+            lam_s = max(float(sinfo["lam"]), 1e-300)
+            if moved < min_decrease:
+                break
+        # full-m KKT verification against the final (lam, w)
+        x_full = np.zeros((m,), np.float64)
+        x_full[kidx] = np.asarray(x_sub, np.float64)
+        w_full = np.asarray(reweight(jnp.ones((m,), A.dtype),
+                                     jnp.asarray(x_full, A.dtype)),
+                            np.float64)
+        r_s = b64 - A64 @ x_full
+        viol = np.abs(2.0 * (r_s @ A64)) > lam_s * w_full * (1.0 + ktol)
+        viol[kidx] = False
+        bad = np.flatnonzero(viol)
+        if bad.size == 0:
+            return certify(jnp.asarray(x_full, A.dtype))
+        kidx = np.sort(np.concatenate([kidx, bad]))
+    out = np.zeros((m,), np.float64)
+    out[solved_idx] = np.asarray(x_sub, np.float64)
+    return certify(jnp.asarray(out, A.dtype))
 
 
 def candes_weights(w, x, eps: float):

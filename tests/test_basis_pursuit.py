@@ -311,3 +311,30 @@ def test_bpd_secant_matches_homotopy_objective():
         assert rho <= DELTA * (1.0 + 1e-6), (seed, rho)
         xh, _ = bpd_homotopy(A64, y64, DELTA)
         assert np.abs(xs).sum() <= np.abs(xh).sum() * 1.05 + 1e-3, seed
+
+
+def test_bpd_reweighted_secant_screened_matches_unscreened():
+    # r5: the secant-screened path replaces the ADMM ball dual with the
+    # Pareto point's own LASSO multiplier (|2 a_j'r| <= lam w_j KKT
+    # margins); screened and unscreened secant reweighting must agree
+    # and land certified inside the ball
+    import jax.numpy as jnp
+
+    from conftest import planted_problem
+    from cstpu import bpd_ard, bpd_candes, support
+
+    A, x, b, y = planted_problem(95, n=16, m=96, k=3, noise=5e-3)
+    delta = 1e-2
+    for fn in (bpd_ard, bpd_candes):
+        ref = np.asarray(fn(A, y, delta, method="secant"))
+        for margin in (0.5, 0.0):
+            scr = np.asarray(fn(A, y, delta, method="secant", screen=True,
+                                screen_margin=margin))
+            assert (list(np.flatnonzero(np.abs(scr) > delta))
+                    == list(np.flatnonzero(np.abs(ref) > delta))
+                    == list(support(x))), (fn.__name__, margin)
+            np.testing.assert_allclose(scr, ref, atol=5e-7,
+                                       err_msg=f"{fn.__name__} {margin}")
+            feas = float(np.linalg.norm(
+                np.asarray(A) @ scr - np.asarray(y)))
+            assert feas <= delta * (1 + 1e-6), (fn.__name__, margin)
