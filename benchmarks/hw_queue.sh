@@ -6,11 +6,13 @@
 #
 #   bash benchmarks/hw_queue.sh [logdir]
 #
-# Order: cheapest signal first.
+# Order: cheapest/highest-value signal first (r5 edition).
 #   1. tunnel probe (tiny matmul)
-#   2. tpu_smoke — full public-surface conformance (37 cases)
-#   3. fsbl_kernel_ab — fused-vs-XLA A/B for the FSBL + RMPS kernels
-#   4. bench.py — headline number
+#   2. bench.py — headline number
+#   3. tpu_smoke — full public-surface conformance
+#   4. suite config 2 (official 2a/2b rows, NS kernel)
+#   5. suite config 8 (config5bpd incl. the secant rows)
+#   6. suite config 7 (4e SBL rows at refresh budget 128, honest sync)
 set -u
 LOG=${1:-/tmp/hw_queue_$(date -u +%H%M)}
 mkdir -p "$LOG"
@@ -25,26 +27,25 @@ x = jnp.ones((128,128)); (x@x).block_until_ready()
 print('TUNNEL_UP', jax.devices()[0].device_kind)" \
     >> "$LOG/status" 2>&1 || { echo "probe FAILED" >> "$LOG/status"; exit 1; }
 
-echo "== tpu_smoke ==" | tee -a "$LOG/status"
-timeout 3600 python benchmarks/tpu_smoke.py > "$LOG/smoke.log" 2>&1
-echo "smoke exit=$? $(tail -1 "$LOG/smoke.log")" >> "$LOG/status"
-
-echo "== fsbl/rmps kernel A/B ==" | tee -a "$LOG/status"
-timeout 5400 python benchmarks/fsbl_kernel_ab.py 128,1024,8 256,1024,8 \
-    > "$LOG/ab.log" 2>&1
-echo "ab exit=$? $(tail -3 "$LOG/ab.log" | tr '\n' ' ')" >> "$LOG/status"
-
 echo "== bench ==" | tee -a "$LOG/status"
-timeout 900 python bench.py > "$LOG/bench.log" 2>&1
+timeout 1800 python bench.py > "$LOG/bench.log" 2>&1
 echo "bench exit=$? $(tail -1 "$LOG/bench.log")" >> "$LOG/status"
 
-echo "== suite (fused-kernel configs) ==" | tee -a "$LOG/status"
-timeout 3600 python benchmarks/suite.py 3 4 > "$LOG/suite34.log" 2>&1
-echo "suite34 exit=$? $(tail -1 "$LOG/suite34.log")" >> "$LOG/status"
+echo "== tpu_smoke ==" | tee -a "$LOG/status"
+timeout 5400 python benchmarks/tpu_smoke.py > "$LOG/smoke.log" 2>&1
+echo "smoke exit=$? $(tail -1 "$LOG/smoke.log")" >> "$LOG/status"
 
-echo "== weak scaling (single-chip point) ==" | tee -a "$LOG/status"
-timeout 1800 python benchmarks/weak_scaling.py > "$LOG/weak.log" 2>&1
-echo "weak exit=$? $(tail -1 "$LOG/weak.log")" >> "$LOG/status"
+echo "== suite config2 ==" | tee -a "$LOG/status"
+timeout 5400 python benchmarks/suite.py 2 > "$LOG/suite2.log" 2>&1
+echo "suite2 exit=$? $(grep -h '^{' "$LOG/suite2.log" | tail -2 | tr '\n' ' ')" >> "$LOG/status"
+
+echo "== suite config5bpd ==" | tee -a "$LOG/status"
+timeout 5400 python benchmarks/suite.py 8 > "$LOG/suite8.log" 2>&1
+echo "suite8 exit=$? $(grep -h '^{' "$LOG/suite8.log" | tail -1)" >> "$LOG/status"
+
+echo "== suite config4e ==" | tee -a "$LOG/status"
+timeout 5400 python benchmarks/suite.py 7 > "$LOG/suite7.log" 2>&1
+echo "suite7 exit=$? $(grep -h '^{' "$LOG/suite7.log" | tail -2 | tr '\n' ' ')" >> "$LOG/status"
 
 echo "== done ==" >> "$LOG/status"
 cat "$LOG/status"
