@@ -79,19 +79,19 @@ def _posterior_mean_local(A_local, Bs_local, alpha, sigma2, axis: str):
     return gamma * (Cb @ A_local)
 
 
-def _fsbl_shard_body(A_local, Bs_local, sigma2, maxiter: int,
-                     min_increase, m: int, axis: str):
-    """Batched FSBL with atom-sharded (alpha, S, Q). Parity:
-    cstpu.models.sbl._fsbl (greedy best-action ascent)."""
+def _init_sq_empty(A_local, Bs_local, sigma2):
+    """Closed-form (S, Q, C^-1) at the EMPTY active set (alpha = Inf):
+    C = Sigma, so nothing needs the generic rebuild's n^2 m GEMM sweep
+    — scalar noise is elementwise, matrix noise is two Cholesky solves
+    (the same arithmetic as models.sbl._init_sq). Shared by the FSBL
+    body's init and RMPS's t = 0 refresh (whose generic _sq_refresh at
+    alpha = Inf burned a full C rebuild + per-row S sweep for values
+    these closed forms produce exactly — at 1M atoms that was most of a
+    second per solve)."""
     B, n = Bs_local.shape
     m_local = A_local.shape[1]
-    shard = lax.axis_index(axis).astype(jnp.int32)
     f = A_local.dtype
-    loc_iota = lax.broadcasted_iota(jnp.int32, (B, m_local), 1)
     eye = jnp.eye(n, dtype=f)
-
-    # empty-active-set init: C = Sigma (scalar: closed form; matrix:
-    # Cholesky solves, the same arithmetic as models.sbl._init_sq)
     if jnp.ndim(sigma2) == 2:
         from jax.scipy.linalg import cho_solve
 
@@ -107,6 +107,20 @@ def _fsbl_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         S0 = jnp.broadcast_to(jnp.sum(A_local * A_local, axis=0)[None, :]
                               / sigma2, (B, m_local)) + 0.0
         Q0 = (Bs_local @ A_local) / sigma2
+    return S0, Q0, Cinv0
+
+
+def _fsbl_shard_body(A_local, Bs_local, sigma2, maxiter: int,
+                     min_increase, m: int, axis: str):
+    """Batched FSBL with atom-sharded (alpha, S, Q). Parity:
+    cstpu.models.sbl._fsbl (greedy best-action ascent)."""
+    B, n = Bs_local.shape
+    m_local = A_local.shape[1]
+    shard = lax.axis_index(axis).astype(jnp.int32)
+    f = A_local.dtype
+    loc_iota = lax.broadcasted_iota(jnp.int32, (B, m_local), 1)
+
+    S0, Q0, Cinv0 = _init_sq_empty(A_local, Bs_local, sigma2)
     alpha0 = jnp.full((B, m_local), jnp.inf, f)
 
     def action_deltas(alpha, S, Q):
@@ -440,9 +454,12 @@ def _rmps_shard_body(A_local, Bs_local, sigma2, maxiter: int,
         # convergent runs and kills the runaway the per-outer anchor
         # allowed (see run_stage).
         need = t == 0
+        # t = 0 has alpha = Inf by construction: the closed-form empty-
+        # set init replaces the generic rebuild (n^2 m GEMM + per-row S
+        # sweep computing colnorms it could read off directly)
         S, Q, Cinv = lax.cond(
             need,
-            lambda: _sq_refresh(A_local, Bs_local, alpha, sigma2, axis),
+            lambda: _init_sq_empty(A_local, Bs_local, sigma2),
             lambda: (S, Q, Cinv))
         acts = jnp.where(need, 0, acts)
         alpha, S, Q, Cinv, acts = run_stage(acquisition, maxiter_acq,
