@@ -50,23 +50,51 @@ def _check_sigma(sigma, n: int, entry: str) -> None:
 def _rebuild_C(A_local, gamma, sigma, axis: str):
     """C = Sigma + A diag(gamma) A' rebuilt EXACTLY from per-shard
     Gram partials (one psum) — the numerically sensitive refresh anchor
-    shared by the FSBL/RMPS posterior means and the RMPS per-outer-
-    iteration state refresh. `sigma` is a scalar variance or a full
-    (n, n) covariance (replicated).
+    shared by the FSBL/RMPS posterior means and the RMPS drift-budget
+    state refresh. `sigma` is a scalar variance or a full (n, n)
+    covariance (replicated).
 
-    Sequential lax.map over batch rows, NOT a batched einsum: the
-    instance-batched form materializes a (B, n, m_local) temp — 32 TB at
-    the 1M-atom scale this path exists for. Per row the scaled copy of
-    the shard is one A-sized transient; the GEMM is n^2 m/shard flops
-    (MXU-bound at large m)."""
+    gamma is nonzero only on the ACTIVE atoms (a handful), so the
+    default path gathers each row's nonzero-gamma columns into a
+    fixed (kcap,)-slot buffer and pays O(n^2 kcap) instead of the full
+    O(n^2 m) sweep — at 1M atoms that GEMM was most of the posterior
+    mean's cost. Exactness guard: any row with more than kcap actives
+    sends the whole batch down the dense rebuild (lax.cond; identical
+    result by construction, just slower). Both branches end in the same
+    psum, uniform across the atom axis.
+
+    Dense branch stays a sequential lax.map over batch rows, NOT a
+    batched einsum: the instance-batched form materializes a
+    (B, n, m_local) temp — 32 TB at the 1M-atom scale."""
     n, m_local = A_local.shape
+    B = gamma.shape[0]
+    f = A_local.dtype
     Sig = _sigma_matrix(sigma, n, A_local.dtype)
 
-    def one(g):
-        Z = A_local * g[None, :]
-        return lax.dot_general(Z, A_local, (((1,), (1,)), ((), ())))
+    def dense():
+        def one(g):
+            Z = A_local * g[None, :]
+            return lax.dot_general(Z, A_local, (((1,), (1,)), ((), ())))
 
-    Cpart = lax.map(one, gamma)                               # (B, n, n)
+        return lax.map(one, gamma)                            # (B, n, n)
+
+    kcap = min(m_local, max(64, 0))
+
+    def gathered():
+        # per-row top-kcap |gamma| slots (actives first; zero-gamma pads
+        # contribute zero columns, so the Gram is exact)
+        gv, gi = lax.top_k(jnp.abs(gamma), kcap)              # (B, kcap)
+        gsel = jnp.take_along_axis(gamma, gi, axis=1)         # signed
+        cols = jnp.take(A_local, gi.reshape(-1), axis=1)      # (n, B*kcap)
+        cols = jnp.moveaxis(cols.reshape(n, B, kcap), 1, 0)   # (B, n, kcap)
+        Z = cols * gsel[:, None, :]
+        return lax.dot_general(Z, cols, (((2,), (2,)), ((0,), (0,))))
+
+    if kcap >= m_local:
+        Cpart = dense()
+    else:
+        n_active = jnp.max(jnp.sum((gamma != 0).astype(jnp.int32), axis=1))
+        Cpart = lax.cond(n_active <= kcap, gathered, dense)
     return lax.psum(Cpart, axis) + Sig[None, :, :]
 
 
