@@ -559,8 +559,30 @@ def check_convex_sharded(trial, rng, A, b, k):
     if m % 8:
         return
     mesh = make_mesh((1, 8))
-    which = ["bp", "fista"][(trial // len(CHECKS)) % 2]
-    if which == "bp":
+    which = ["bp", "fista", "bpd_secant"][(trial // len(CHECKS)) % 3]
+    if which == "bpd_secant":
+        from cstpu.parallel.convex import bpd_secant_sharded
+
+        delta = float(10 ** rng.uniform(-2.3, -1.5))
+        xs, sinfo = bpd_secant_sharded(A, b, delta, mesh=mesh,
+                                       return_info=True)
+        xr, rinfo = cstpu.bpd(A, b, delta, return_info=True)
+        if sinfo["feasible"] != rinfo["feasible"]:
+            _flag(trial, f"bpd_secant_sharded: feasibility flag "
+                         f"{sinfo['feasible']} != single {rinfo['feasible']}")
+            return
+        if not sinfo["feasible"]:
+            return
+        feas = float(jnp.linalg.norm(A @ xs - b))
+        if feas > delta * (1 + 1e-5):
+            _flag(trial, f"bpd_secant_sharded: ball violated {feas:.3e} "
+                         f"vs delta {delta:.3e}")
+        o_s = float(jnp.sum(jnp.abs(xs)))
+        o_r = float(jnp.sum(jnp.abs(xr)))
+        if o_s > o_r * 1.05 + 1e-3:
+            _flag(trial, f"bpd_secant_sharded: objective {o_s:.6f} far "
+                         f"above single-chip {o_r:.6f}")
+    elif which == "bp":
         zs, _, _ = bp_sharded(A, b, mesh=mesh)
         xr = cstpu.bp(A, b)
         feas_s = float(jnp.linalg.norm(A @ zs - b))
