@@ -75,8 +75,15 @@ def _planted(key, B, n, m, k, correlated=False):
         A, _, _ = correlated_data(ka, n=n, m=m, k=k, dtype=jnp.float32,
                                   decay=float(correlated))
     else:
-        A = jax.random.normal(ka, (n, m), jnp.float32)
-        A = A / jnp.sqrt(jnp.sum(A * A, axis=0, keepdims=True))
+        # Generate + column-normalize under ONE jit: eager `A / sqrt(sum
+        # (A*A))` materializes two extra (n, m) temps — 8 GB of transient
+        # HBM at m=2^20, which OOM'd the 4e 1M row when run after the
+        # 131k row in the same process. Fused, peak is ~one (n, m) buffer.
+        A = jax.jit(
+            lambda kk: (lambda G: G * jax.lax.rsqrt(
+                jnp.sum(G * G, axis=0, keepdims=True)))(
+                    jax.random.normal(kk, (n, m), jnp.float32)),
+            static_argnums=())(ka)
     sup = jax.vmap(lambda s: jax.random.permutation(s, m)[:k])(
         jax.random.split(kx, B))
     X = jnp.zeros((B, m), jnp.float32)
@@ -342,7 +349,12 @@ def config4e():
 
     B, n, k = 8, 1024, 16
     sigma = 1e-2
+    A = Y = None
     for m in (131_072, 1_048_576):
+        # free the previous size's dictionary BEFORE generating the next
+        # one — holding the 131k A/Y across the 1M generation contributed
+        # to the HBM OOM this loop once hit on a 16 GB chip
+        del A, Y
         A, X, Bs, sup = _planted(jax.random.PRNGKey(44), B, n, m, k)
         keyn = jax.random.PRNGKey(18)
         from cstpu import perturb
